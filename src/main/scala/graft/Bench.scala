@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver.
+  *
+  * Materialization: `write.format("noop")` — a full pipeline execution with
+  * no sink cost, so Catalyst cannot prune the query's projections the way a
+  * bare `count()` would (VERDICT r2 §wrong-2). Failures are reported in a
+  * separate `errors` map instead of polluting timings.
+  */
 object Bench {
+  /** Representative heavy queries (full-surface correctness is Verify's job). */
+  private val headline = Seq(
+    "a1_kpi_global", "a5_two_key_group", "a4_daily_series", "a9_multistat",
+    "a11_error_buckets", "j2_fact_join", "j4_star_join", "j5_anti_join",
+    "t3_topk_rank", "w2_running_sum", "u1_union_distinct", "p8_bucketize",
+    "a10_percentile_approx", "a15_dedup_count",
+    "dedup_minhash_pairs", "ann_cosine_topk", "text_quality_score",
+    "dedup_exact_groups", "text_lang_id", "w_session_windows",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val available = SparkEntry.queries
+    val names = headline.filter(available.contains) ++
+      (if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) available.keys.toSeq.sorted.diff(headline) else Nil)
+
+    var errors = List.empty[(String, String)]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try available(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Ops.Q
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Thin registry: every module exposes `entries` (name -> query) and
+  * `oracles` (name -> DuckDB SQL); this object concatenates them. A name in
+  * `queries` without an oracle gets the driver's weaker rows-only check
+  * (used for seed-/approximation-specific operators).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the A5 pricing-summary aggregate (TPC-H Q1 shape — the same
+    * groupBy/agg pattern as the reference's KPI queries, app.py:239-252). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    analytics.CoreQueries.entries("a5_two_key_group")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, Q] =
+    analytics.CoreQueries.entries
+
+  def oracleSql: Map[String, String] =
+    analytics.CoreQueries.oracles
 }

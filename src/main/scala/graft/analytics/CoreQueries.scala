@@ -1,0 +1,768 @@
+package graft.analytics
+
+import graft.{Ops, Tables}
+import graft.Ops.{Q, dsum, dsumWide, dmean, pct}
+import graft.operators.Cleaning
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational core of the engine's query surface, re-expressing the
+  * reference's analytics/cleaning operators (SURVEY.md §2) over the testdata
+  * star schema: `lineitem`/`orders` play fact_trip, `customer`/`nation`/
+  * `region` play the dimensions, `events` plays the raw trip feed.
+  *
+  * Reference sites are cited per entry. Every entry here has a DuckDB oracle
+  * in [[oracles]]; all outputs carry a deterministic total ORDER BY and
+  * decimal-routed sums (see [[graft.Ops]]) so hashes are engine-stable.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins broadcast explicitly (`broadcast(nation)`) — never
+  *    shuffle a 100-TB fact for a 25-row dim;
+  *  - global sorts appear only on already-aggregated (small) results;
+  *    top-k goes through orderBy+limit => TakeOrderedAndProject;
+  *  - all filters/projections are pure Column exprs => parquet pushdown.
+  */
+object CoreQueries {
+
+  // ---------------------------------------------------------------- cleaning
+
+  /** P1 — cast projection as ONE select (Ex02DataIngestion.scala:50-68). */
+  private val p1CastProjection: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    Cleaning.castProjection(li, Seq(
+      "l_orderkey" -> IntegerType,
+      "l_linenumber" -> LongType,
+      "l_shipdate" -> DateType))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P2 — half-open month window (Ex02DataIngestion.scala:33-42,72-77). */
+  private val p2MonthWindow: Q = (s, dir) =>
+    Cleaning.monthWindow(Tables(s, dir).events, "ts", 2024, 1)
+      .select("event_id", "ts", "event_type")
+      .orderBy("event_id")
+
+  /** P3 — null/non-negative guards incl. nullable asymmetry
+    * (Ex02DataIngestion.scala:80-87). */
+  private val p3NullGuards: Q = (s, dir) =>
+    Cleaning.nullGuards(Tables(s, dir).events,
+      requiredNonNull = Seq("ts", "event_type"),
+      nonNegative = Seq("value"),
+      keepNullable = Seq("user_id"))
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  /** P7 — rename/select projection (Ex02DataIngestion.scala:131-151). */
+  private val p7RenameSelect: Q = (s, dir) =>
+    Tables(s, dir).lineitem.select(
+      col("l_orderkey").as("okey"),
+      col("l_linenumber").as("lno"),
+      col("l_quantity").as("qty"),
+      col("l_returnflag").as("rflag"))
+      .orderBy("okey", "lno")
+
+  /** P8 — CASE-WHEN price bucketing (error_analysis.py:229-234). */
+  private val p8Bucketize: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .withColumn("bucket", Cleaning.bucketize(col("o_totalprice"),
+        Seq(50000.0 -> "low", 150000.0 -> "medium", 300000.0 -> "high"),
+        "very_high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+
+  /** P9 — range predicate + LIMIT scatter query (ex04 notebook cell 30),
+    * made deterministic with a total order before the limit. */
+  private val p9RangeLimit: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") <= 50000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(5000)
+
+  /** P10 — BETWEEN + isin dashboard filters (streamlit app.py:248-251). */
+  private val p10BetweenIsin: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01").cast(TimestampType), lit("1997-12-31").cast(TimestampType)) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+
+  /** P11 — sign-based error counts as ONE conditional aggregate
+    * (error_analysis.py:192-193; avoids the two-job count/count pattern). */
+  private val p11SignCounts: Q = (s, dir) =>
+    Tables(s, dir).customer.agg(
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("neg_n"),
+      sum(when(col("c_acctbal") > 0, 1L).otherwise(0L)).as("pos_n"),
+      dsum(abs(col("c_acctbal"))).as("abs_total"))
+
+  // ------------------------------------------------------------ aggregations
+
+  /** A1 — global KPI aggregate (app.py:239-252). */
+  private val a1KpiGlobal: Q = (s, dir) =>
+    Tables(s, dir).lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      dmean(col("l_extendedprice")).as("avg_price"),
+      dmean(col("l_quantity")).as("avg_qty"))
+
+  /** A2 — MIN/MAX available date range (app.py:151-156). */
+  private val a2MinMax: Q = (s, dir) =>
+    Tables(s, dir).orders.agg(
+      min(to_date(col("o_orderdate"))).as("min_date"),
+      max(to_date(col("o_orderdate"))).as("max_date"))
+
+  /** A3 — conditional null-count profile (ex04 notebook cells 5,7). */
+  private val a3NullProfile: Q = (s, dir) =>
+    Tables(s, dir).events.agg(
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"))
+
+  /** A4/T1 — group-by-day series, ordered ascending (app.py:287-300). */
+  private val a4DailySeries: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("day")
+
+  /** A5 — two-key group-by count (app.py:403-418 borough/zone analog). */
+  private val a5TwoKeyGroup: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A6/T2 — group-by sum ranked descending (notebook cell 27 payment revenue). */
+  private val a6GroupSumDesc: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderpriority"))
+
+  /** A7 — DISTINCT projection for dashboard filter lists (app.py:188-207). */
+  private val a7DistinctList: Q = (s, dir) =>
+    Tables(s, dir).customer.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** A9/A13 — multi-stat summary with order-independent stddev
+    * (error_analysis.py:176-188; eda.py:47). stddev from exact decimal
+    * sum/sumsq so the value is partition-order-stable. */
+  private val a9MultiStat: Q = (s, dir) => {
+    val x = col("o_totalprice")
+    Tables(s, dir).orders.agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("s1"),
+      dsumWide(x * x).as("s2"),
+      min(x).as("min_v"), max(x).as("max_v"),
+      round(pct(x, 0.25), 4).as("q25"),
+      round(pct(x, 0.5), 4).as("q50"),
+      round(pct(x, 0.75), 4).as("q75"))
+      .select(col("n"),
+        round(col("s1") / col("n"), 4).as("mean_v"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+          .as("stddev_v"),
+        col("min_v"), col("max_v"), col("q25"), col("q50"), col("q75"))
+  }
+
+  /** A10 — percentile profile (error_analysis.py:183-187). Exact interpolated
+    * percentile for oracle parity; percentile_approx is the 100-TB variant and
+    * is exercised (rows-only) by `a10_percentile_approx`. */
+  private val a10Percentiles: Q = (s, dir) => {
+    val x = col("l_extendedprice")
+    Tables(s, dir).lineitem.agg(
+      round(pct(x, 0.25), 4).as("p25"),
+      round(pct(x, 0.5), 4).as("p50"),
+      round(pct(x, 0.75), 4).as("p75"),
+      round(pct(x, 0.95), 4).as("p95"),
+      round(pct(x, 0.99), 4).as("p99"))
+  }
+
+  /** A10b — approx percentile, the actual at-scale operator (single pass,
+    * mergeable sketch). No oracle: approximation is engine-specific. */
+  private val a10Approx: Q = (s, dir) => {
+    val x = col("l_extendedprice")
+    Tables(s, dir).lineitem.agg(
+      percentile_approx(x, lit(0.5), lit(10000)).as("p50_approx"),
+      percentile_approx(x, lit(0.95), lit(10000)).as("p95_approx"))
+  }
+
+  /** A11 — grouped error stats incl. RMSE per price bucket
+    * (error_analysis.py:237-243), with a deterministic linear "prediction". */
+  private val a11ErrorBuckets: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+      .withColumn("err", col("l_extendedprice") - (col("l_quantity") * 1000.0 + 500.0))
+    li.withColumn("bucket", Cleaning.bucketize(col("l_extendedprice"),
+        Seq(10000.0 -> "low", 30000.0 -> "medium", 60000.0 -> "high"), "very_high"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(dsumWide(col("err")) / count(lit(1)), 4).as("mean_err"),
+        round(dsumWide(abs(col("err"))) / count(lit(1)), 4).as("mae"),
+        round(sqrt(dsumWide(col("err") * col("err")) / count(lit(1))), 4).as("rmse"),
+        round(pct(col("err"), 0.5), 4).as("median_err"))
+      .orderBy("bucket")
+  }
+
+  /** A12 — per-column missing-ratio profile (eda.py:41-46). */
+  private val a12MissingRatio: Q = (s, dir) =>
+    Tables(s, dir).events.agg(
+      round(avg(col("user_id").isNull.cast(DoubleType)), 6).as("miss_user"),
+      round(avg(col("value").isNull.cast(DoubleType)), 6).as("miss_value"),
+      round(avg(col("props").isNull.cast(DoubleType)), 6).as("miss_props"))
+
+  /** A14 — regression metrics (RMSE/MAE/R²) as one aggregate pass
+    * (trainer.py:130-152), deterministic via decimal sums. */
+  private val a14RegMetrics: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+      .withColumn("label", col("l_extendedprice"))
+      .withColumn("pred", col("l_quantity") * 1000.0 + 500.0)
+      .withColumn("err", col("label") - col("pred"))
+    li.agg(
+      count(lit(1)).as("n"),
+      dsum(col("label")).as("s1"),
+      dsumWide(col("label") * col("label")).as("s2"),
+      dsumWide(col("err") * col("err")).as("sse"),
+      dsumWide(abs(col("err"))).as("sae"))
+      .select(col("n"),
+        round(sqrt(col("sse") / col("n")), 4).as("rmse"),
+        round(col("sae") / col("n"), 4).as("mae"),
+        round(lit(1.0) - col("sse") / (col("s2") - col("s1") * col("s1") / col("n")), 6)
+          .as("r2"))
+  }
+
+  /** A15 — natural-key dedup contract (indexes.sql:30-37,
+    * dw_load_incremental.sql:94): batch dedup cardinality vs raw. */
+  private val a15DedupCount: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    ev.agg(
+      count(lit(1)).as("raw_rows"),
+      count_distinct(struct(col("user_id"), col("ts"), col("event_type")))
+        .as("dedup_rows"))
+  }
+
+  // ------------------------------------------------------------------- joins
+
+  /** J1 — fact ⋈ tiny dim, explicitly broadcast (app.py:246 etc.). */
+  private val j1BroadcastDim: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(broadcast(t.nation),
+        t.customer("c_nationkey") === t.nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("acct_total"))
+      .orderBy("n_name")
+  }
+
+  /** J2 — fact ⋈ fact-side dim on the join key (app.py:247 analog):
+    * lineitem ⋈ orders, shuffle-hash/sort-merge territory at scale. */
+  private val j2FactJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** J4 — chained star join (app.py:330-344): lineitem ⋈ orders ⋈ customer
+    * ⋈ broadcast(nation) ⋈ broadcast(region), revenue per region. */
+  private val j4StarJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+      .join(t.customer, t.orders("o_custkey") === t.customer("c_custkey"))
+      .join(broadcast(t.nation), t.customer("c_nationkey") === t.nation("n_nationkey"))
+      .join(broadcast(t.region), t.nation("n_regionkey") === t.region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_items"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("r_name")
+  }
+
+  /** J5 — FK-violation check as left_anti (dw_creation.sql:63-71 analog):
+    * customers that never ordered. */
+  private val j5AntiJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, t.customer("c_custkey") === t.orders("o_custkey"),
+        "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** J6 — left_semi (EXISTS) twin of J5. */
+  private val j6SemiJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, t.customer("c_custkey") === t.orders("o_custkey"),
+        "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J7 — left outer join with null-side aggregation. */
+  private val j7LeftOuter: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, t.customer("c_custkey") === t.orders("o_custkey"),
+        "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_no_orders"),
+        count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ----------------------------------------------------- sorts / top-k / rank
+
+  /** T3 + W1 — top-10 by aggregate with rank column (app.py:403-421):
+    * TakeOrderedAndProject first, then row_number over the tiny result —
+    * never a global window over the fact. */
+  private val t3TopkRank: Q = (s, dir) => {
+    val top = Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_custkey"))
+      .limit(10)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("revenue"), asc("o_custkey"))))
+      .select("rank", "o_custkey", "n", "revenue")
+  }
+
+  // ---------------------------------------------------------------- windows
+
+  /** W2 — running per-partition cumulative sum (beyond-parity window op;
+    * quantities are integral doubles so the cumulative sum is FP-exact). */
+  private val w2RunningSum: Q = (s, dir) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).lineitem
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** W3 — lag/lead event gap per user in exact microseconds. */
+  private val w3LagGap: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir).events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .select("user_id", "event_id", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W4 — ntile bucketing per partition with a total tiebreak. */
+  private val w4Ntile: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables(s, dir).orders
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_orderkey", "o_orderpriority", "quartile")
+      .orderBy("o_orderkey")
+  }
+
+  // ----------------------------------------------------------------- set ops
+
+  /** U1 — union + distinct (dim_location id derivation,
+    * dw_load_incremental.sql:22-32). */
+  private val u1UnionDistinct: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.select(col("o_custkey").as("custkey"))
+      .union(t.customer.select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  /** U2 — UNION ALL reporting rollup (full_pipeline_dag.py:509). */
+  private val u2UnionAll: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.agg(count(lit(1)).as("n")).select(lit("orders").as("tbl"), col("n"))
+      .unionAll(
+        t.lineitem.agg(count(lit(1)).as("n")).select(lit("lineitem").as("tbl"), col("n")))
+      .orderBy("tbl")
+  }
+
+  /** U3 — INTERSECT (beyond-parity set op). */
+  private val u3Intersect: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.select(col("c_custkey").as("custkey"))
+      .intersect(t.orders.select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** U4 — EXCEPT (beyond-parity set op; equals J5 semantically). */
+  private val u4Except: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.select(col("c_custkey").as("custkey"))
+      .except(t.orders.select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  // --------------------------------------------------------- scalar functions
+
+  /** F1 — timestamp/date part family (features.py:21-34,
+    * dw_load_incremental.sql:34-51). Spark dayofweek is 1=Sunday; the oracle
+    * maps DuckDB's 0=Sunday dow accordingly (SURVEY §7.5 convention pin). */
+  private val f1DateParts: Q = (s, dir) =>
+    Tables(s, dir).events.select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      dayofmonth(col("ts")).as("d"),
+      dayofweek(col("ts")).as("dow"),
+      hour(col("ts")).as("h"),
+      minute(col("ts")).as("mi"),
+      to_date(col("ts")).as("day"),
+      date_trunc("hour", col("ts")).as("hour_bucket"),
+      unix_micros(col("ts")).as("us"))
+      .orderBy("event_id")
+
+  /** F2 — math family (error_analysis.py:241,356-359). */
+  private val f2Math: Q = (s, dir) =>
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      round(abs(col("c_acctbal")), 2).as("abs_bal"),
+      round(sqrt(abs(col("c_acctbal"))), 4).as("sqrt_bal"),
+      round(pow(col("c_acctbal"), 2.0), 2).as("sq_bal"),
+      floor(col("c_acctbal")).as("floor_bal"),
+      ceil(col("c_acctbal")).as("ceil_bal"),
+      signum(col("c_acctbal")).as("sign_bal"))
+      .orderBy("c_custkey")
+
+  /** F3 — null-handling family (coalesce/nullif/is-null flags). */
+  private val f3NullFuncs: Q = (s, dir) =>
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE")).as("seg2"),
+      (col("c_mktsegment") === "BUILDING").cast(IntegerType).as("is_building"))
+      .orderBy("c_custkey")
+
+  /** F4 — JSON extraction from a string column (beyond-parity; the events
+    * `props` column is a JSON payload as in any event feed). */
+  private val f4JsonExtract: Q = (s, dir) =>
+    Tables(s, dir).events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .orderBy("event_id")
+
+  /** F5 — string function family (upper/substr/length/concat). */
+  private val f5StringFuncs: Q = (s, dir) =>
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      length(col("c_name")).as("name_len"),
+      upper(col("c_name")).as("name_up"),
+      substring(col("c_name"), 1, 8).as("name_pre"),
+      concat(col("c_mktsegment"), lit("_"), col("c_name")).as("seg_name"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- sampling
+
+  /** R1 — seeded Bernoulli sample (spark_prepare.py:55). Seed semantics are
+    * engine-specific => rows-only check (no oracle). */
+  private val r1Sample: Q = (s, dir) =>
+    Tables(s, dir).lineitem.sample(withReplacement = false, 0.1, 42)
+      .agg(count(lit(1)).as("n_sampled"))
+
+  /** R2 — seeded randomSplit (train.py:35). Rows-only check. */
+  private val r2Split: Q = (s, dir) => {
+    val Array(train, test) = Tables(s, dir).lineitem.randomSplit(Array(0.8, 0.2), 42)
+    train.agg(count(lit(1)).as("n")).select(lit("train").as("part"), col("n"))
+      .unionAll(test.agg(count(lit(1)).as("n")).select(lit("test").as("part"), col("n")))
+      .orderBy("part")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val entries: Map[String, Q] = Map(
+    "p1_cast_projection" -> p1CastProjection,
+    "p2_month_window" -> p2MonthWindow,
+    "p3_null_guards" -> p3NullGuards,
+    "p7_rename_select" -> p7RenameSelect,
+    "p8_bucketize" -> p8Bucketize,
+    "p9_range_limit" -> p9RangeLimit,
+    "p10_between_isin" -> p10BetweenIsin,
+    "p11_sign_counts" -> p11SignCounts,
+    "a1_kpi_global" -> a1KpiGlobal,
+    "a2_minmax_range" -> a2MinMax,
+    "a3_null_profile" -> a3NullProfile,
+    "a4_daily_series" -> a4DailySeries,
+    "a5_two_key_group" -> a5TwoKeyGroup,
+    "a6_group_sum_desc" -> a6GroupSumDesc,
+    "a7_distinct_list" -> a7DistinctList,
+    "a9_multistat" -> a9MultiStat,
+    "a10_percentiles" -> a10Percentiles,
+    "a10_percentile_approx" -> a10Approx,
+    "a11_error_buckets" -> a11ErrorBuckets,
+    "a12_missing_ratio" -> a12MissingRatio,
+    "a14_regression_metrics" -> a14RegMetrics,
+    "a15_dedup_count" -> a15DedupCount,
+    "j1_broadcast_dim" -> j1BroadcastDim,
+    "j2_fact_join" -> j2FactJoin,
+    "j4_star_join" -> j4StarJoin,
+    "j5_anti_join" -> j5AntiJoin,
+    "j6_semi_join" -> j6SemiJoin,
+    "j7_left_outer" -> j7LeftOuter,
+    "t3_topk_rank" -> t3TopkRank,
+    "w2_running_sum" -> w2RunningSum,
+    "w3_lag_gap" -> w3LagGap,
+    "w4_ntile" -> w4Ntile,
+    "u1_union_distinct" -> u1UnionDistinct,
+    "u2_union_all" -> u2UnionAll,
+    "u3_intersect" -> u3Intersect,
+    "u4_except" -> u4Except,
+    "f1_date_parts" -> f1DateParts,
+    "f2_math" -> f2Math,
+    "f3_null_funcs" -> f3NullFuncs,
+    "f4_json_extract" -> f4JsonExtract,
+    "f5_string_funcs" -> f5StringFuncs,
+    "r1_sample" -> r1Sample,
+    "r2_split" -> r2Split,
+  )
+
+  /** DuckDB oracle SQL per entry. Sums go through DECIMAL in lockstep with
+    * the Spark side (see [[graft.Ops.dsum]]); integer-ish aggregates are cast
+    * to BIGINT because DuckDB's integer SUM returns HUGEINT. */
+  val oracles: Map[String, String] = Map(
+    "p1_cast_projection" ->
+      """SELECT CAST(l_orderkey AS INT) AS l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(l_shipdate AS DATE) AS l_shipdate, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p2_month_window" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "p3_null_guards" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  AND value IS NOT NULL AND value >= 0
+        |  AND (user_id IS NULL OR user_id >= 0)
+        |ORDER BY event_id""".stripMargin,
+    "p7_rename_select" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lno, l_quantity AS qty,
+        |       l_returnflag AS rflag
+        |FROM lineitem ORDER BY okey, lno""".stripMargin,
+    "p8_bucketize" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            WHEN o_totalprice < 300000 THEN 'high'
+        |            ELSE 'very_high' END AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "p9_range_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 0 AND l_extendedprice <= 50000
+        |ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin,
+    "p10_between_isin" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                      AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND o_orderpriority IN ('1-URGENT','2-HIGH')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "p11_sign_counts" ->
+      """SELECT CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_n,
+        |       CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+        |       CAST(sum(CAST(abs(c_acctbal) AS DECIMAL(18,2))) AS DOUBLE) AS abs_total
+        |FROM customer""".stripMargin,
+    "a1_kpi_global" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty
+        |FROM lineitem""".stripMargin,
+    "a2_minmax_range" ->
+      """SELECT CAST(min(o_orderdate) AS DATE) AS min_date,
+        |       CAST(max(o_orderdate) AS DATE) AS max_date FROM orders""".stripMargin,
+    "a3_null_profile" ->
+      """SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+        |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value
+        |FROM events""".stripMargin,
+    "a4_daily_series" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
+    "a5_two_key_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a6_group_sum_desc" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY revenue DESC, o_orderpriority""".stripMargin,
+    "a7_distinct_list" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "a9_multistat" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+        |         min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+        |         round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+        |         round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+        |         round(quantile_cont(o_totalprice, 0.75), 4) AS q75
+        |  FROM orders)
+        |SELECT n, round(s1 / n, 4) AS mean_v,
+        |       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_v,
+        |       min_v, max_v, q25, q50, q75 FROM a""".stripMargin,
+    "a10_percentiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem""".stripMargin,
+    "a11_error_buckets" ->
+      """WITH e AS (
+        |  SELECT l_extendedprice - (l_quantity * 1000.0 + 500.0) AS err,
+        |         CASE WHEN l_extendedprice < 10000 THEN 'low'
+        |              WHEN l_extendedprice < 30000 THEN 'medium'
+        |              WHEN l_extendedprice < 60000 THEN 'high'
+        |              ELSE 'very_high' END AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n,
+        |       round(CAST(sum(CAST(err AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS mean_err,
+        |       round(CAST(sum(CAST(abs(err) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS mae,
+        |       round(sqrt(CAST(sum(CAST(err * err AS DECIMAL(30,6))) AS DOUBLE) / count(*)), 4) AS rmse,
+        |       round(quantile_cont(err, 0.5), 4) AS median_err
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a12_missing_ratio" ->
+      """SELECT round(avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS miss_user,
+        |       round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS miss_value,
+        |       round(avg(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS miss_props
+        |FROM events""".stripMargin,
+    "a14_regression_metrics" ->
+      """WITH e AS (
+        |  SELECT l_extendedprice AS label,
+        |         l_extendedprice - (l_quantity * 1000.0 + 500.0) AS err
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(label AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(label * label AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+        |         CAST(sum(CAST(err * err AS DECIMAL(30,6))) AS DOUBLE) AS sse,
+        |         CAST(sum(CAST(abs(err) AS DECIMAL(30,6))) AS DOUBLE) AS sae
+        |  FROM e)
+        |SELECT n, round(sqrt(sse / n), 4) AS rmse, round(sae / n, 4) AS mae,
+        |       round(1.0 - sse / (s2 - s1 * s1 / n), 6) AS r2 FROM a""".stripMargin,
+    "a15_dedup_count" ->
+      """SELECT (SELECT count(*) FROM events) AS raw_rows,
+        |       (SELECT count(*) FROM
+        |          (SELECT DISTINCT user_id, ts, event_type FROM events)) AS dedup_rows""".stripMargin,
+    "j1_broadcast_dim" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_total
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "j2_fact_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "j4_star_join" ->
+      """SELECT r_name, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "j7_left_outer" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+        |       count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "t3_topk_rank" ->
+      """WITH top AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1
+        |  ORDER BY revenue DESC, o_custkey LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS rank,
+        |       o_custkey, n, revenue
+        |FROM top ORDER BY rank""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "w3_lag_gap" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w4_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "u1_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION SELECT c_custkey FROM customer ORDER BY custkey""".stripMargin,
+    "u2_union_all" ->
+      """SELECT 'orders' AS tbl, count(*) AS n FROM orders
+        |UNION ALL SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+        |ORDER BY tbl""".stripMargin,
+    "u3_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "u4_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "f1_date_parts" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |       CAST(day(ts) AS INT) AS d,
+        |       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |       CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi,
+        |       CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour_bucket,
+        |       epoch_us(ts) AS us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f2_math" ->
+      """SELECT c_custkey,
+        |       round(abs(c_acctbal), 2) AS abs_bal,
+        |       round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
+        |       round(pow(c_acctbal, 2.0), 2) AS sq_bal,
+        |       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |       CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |       CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f3_null_funcs" ->
+      """SELECT c_custkey,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg2,
+        |       CAST(c_mktsegment = 'BUILDING' AS INT) AS is_building
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f4_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f5_string_funcs" ->
+      """SELECT c_custkey, CAST(length(c_name) AS INT) AS name_len,
+        |       upper(c_name) AS name_up, substr(c_name, 1, 8) AS name_pre,
+        |       c_mktsegment || '_' || c_name AS seg_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -27,9 +27,13 @@ import java.time.LocalDate
   */
 object Cleaning {
 
-  /** One-node cast projection: (column -> target type) applied as a single select. */
+  /** One-node cast projection: (column -> target type) applied as a single select.
+    * Unknown column names fail eagerly (like the reference's `withColumn(col(...))`
+    * style, which fails analysis on a typo'd name). */
   def castProjection(df: DataFrame, casts: Seq[(String, DataType)]): DataFrame = {
     val castMap = casts.toMap
+    val unknown = castMap.keySet -- df.columns.toSet
+    require(unknown.isEmpty, s"castProjection: unknown columns $unknown")
     val cols = df.columns.map { c =>
       castMap.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
     }
@@ -72,9 +76,11 @@ object Cleaning {
   }
 
   /** CASE-WHEN bucketing (error_analysis.py:229-234, P8): thresholds are the
-    * upper bounds of each labeled bucket; values >= last threshold get `rest`. */
+    * upper bounds of each labeled bucket; values >= last threshold get `rest`.
+    * Bounds are sorted ascending here so caller order can't shadow a bucket;
+    * null inputs fall through to `rest` (matches the reference's CASE). */
   def bucketize(c: Column, bounds: Seq[(Double, String)], rest: String): Column =
-    bounds.foldRight(lit(rest): Column) { case ((ub, label), acc) =>
+    bounds.sortBy(_._1).foldRight(lit(rest): Column) { case ((ub, label), acc) =>
       when(c < ub, label).otherwise(acc)
     }
 
@@ -84,7 +90,9 @@ object Cleaning {
   def retention(raw: DataFrame, keep: Column): DataFrame =
     raw.agg(
       count(lit(1)).as("raw_rows"),
-      sum(when(keep, 1L).otherwise(0L)).as("kept_rows"),
-      round(sum(when(keep, 1.0).otherwise(0.0)) / count(lit(1)), 6).as("retention")
+      coalesce(sum(when(keep, 1L).otherwise(0L)), lit(0L)).as("kept_rows"),
+      // empty input => retention 1.0 (vacuously nothing was dropped), never null
+      coalesce(round(sum(when(keep, 1.0).otherwise(0.0)) / count(lit(1)), 6),
+        lit(1.0)).as("retention")
     )
 }
