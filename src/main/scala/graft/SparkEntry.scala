@@ -20,8 +20,16 @@ object SparkEntry {
     analytics.CoreQueries.entries("a5_two_key_group")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, Q] =
-    analytics.CoreQueries.entries
+    analytics.CoreQueries.entries ++
+      warehouse.StarSchema.entries ++
+      functions.TextOps.entries ++
+      operators.Dedup.entries ++
+      operators.Similarity.entries
 
   def oracleSql: Map[String, String] =
-    analytics.CoreQueries.oracles
+    analytics.CoreQueries.oracles ++
+      warehouse.StarSchema.oracles ++
+      functions.TextOps.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

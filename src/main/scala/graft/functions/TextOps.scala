@@ -1,0 +1,165 @@
+package graft.functions
+
+import graft.Tables
+import graft.Ops.Q
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting). The reference has no text surface
+  * (SURVEY.md §2.8 — string functions are absent there), so these are
+  * beyond-parity operators designed Spark-first:
+  *
+  *  - everything is built-in `functions._` higher-order array expressions
+  *    (split / transform / filter / aggregate) => whole-stage codegen, no
+  *    UDFs, no driver round-trips — a 100-TB `documents` table streams
+  *    through a single Project node per operator;
+  *  - scoring is pure per-row arithmetic: no shuffle at all.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Sum of a transformed int over tokens (codegen'd fold). */
+  private def tokSum(text: Column, f: Column => Column): Column =
+    aggregate(transform(tokens(text), f), lit(0L), (acc, v) => acc + v)
+
+  /** Count of tokens that belong to a fixed vocabulary. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab: _*)))
+
+  /** Deterministic document fingerprint: md5 of the whitespace-normalized
+    * lower-cased text (the "rolling hash" role; md5 keeps the oracle in
+    * lockstep since both engines ship it). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Per-language marker vocabularies for the n-gram/stopword language-ID
+    * heuristic. Ordered: the order is the deterministic argmax tiebreak. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "para", "por", "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pour", "que", "dans", "sur", "pas"),
+    "zh" -> Seq("的", "是", "在", "了", "有", "我", "不", "这", "他", "们"),
+  )
+
+  /** Language-ID: score each candidate language by marker-vocabulary hits,
+    * pick the argmax (first language in [[langMarkers]] order wins ties). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, vocab) => lang -> vocabHits(text, vocab) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, score), i), acc) =>
+        scores.drop(i + 1).map(_._2) match {
+          case Nil => acc
+          case one :: Nil => when(score >= one, lang).otherwise(acc)
+          case rest => when(score >= greatest(rest: _*), lang).otherwise(acc)
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  /** Token statistics per document. */
+  private val tokenStats: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(tokSum(col("text"), t => length(t).cast(LongType)).cast(DoubleType) /
+        tokenCount(col("text")), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/digit ratios + a composite score
+    * (the quality-filter stage of an LLM data pipeline). */
+  private val qualityScore: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val nTok = tokenCount(col("text"))
+    val stopHits = vocabHits(col("text"), langMarkers.toMap.apply("en"))
+    val digitChars = length(regexp_replace(col("text"), "[^0-9]", ""))
+    d.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(stopHits.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
+      round(digitChars.cast(DoubleType) / length(col("text")), 6).as("digit_ratio"),
+      round(
+        least(nTok.cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
+          least(stopHits.cast(DoubleType) / nTok * 5.0, lit(0.5)), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic md5 fingerprint per document. */
+  private val fingerprintQ: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Language-ID prediction next to the labeled lang column. */
+  private val langIdQ: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val entries: Map[String, Q] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality_score" -> qualityScore,
+    "text_fingerprint" -> fingerprintQ,
+    "text_lang_id" -> langIdQ,
+  )
+
+  private def vocabSql(vocab: Seq[String]): String =
+    vocab.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val langScoreSql: String = langMarkers.map { case (lang, vocab) =>
+    s"len(list_filter(string_split(text, ' '), t -> t IN ${vocabSql(vocab)})) AS s_$lang"
+  }.mkString(", ")
+
+  // argmax with the same first-wins tiebreak as langId()
+  private val langCaseSql: String = {
+    val langs = langMarkers.map(_._1)
+    val cases = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val rest = langs.drop(i + 1).map("s_" + _).mkString(", ")
+      s"WHEN s_$l >= greatest($rest) THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> t IN ${vocabSql(langMarkers.toMap.apply("en"))})) AS stop_hits,
+         |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         |         length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |       round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+         |       round(CAST(digit_chars AS DOUBLE) / n_chars, 6) AS digit_ratio,
+         |       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |             least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 0.5), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (SELECT doc_id, lang, $langScoreSql FROM documents)
+         |SELECT doc_id, lang, $langCaseSql AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+  )
+}

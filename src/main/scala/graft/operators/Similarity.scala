@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import graft.Ops.Q
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  * Beyond-parity surface for the training-data pipeline brief.
+  *
+  * Scale design:
+  *  - the query set is small and gets `broadcast()` — the corpus (100 TB
+  *    side) is never shuffled for brute-force scoring;
+  *  - top-k per query is a window partitioned by query id (parallel across
+  *    queries), applied AFTER the similarity filter prunes candidates;
+  *  - the ANN path buckets the corpus by sign-LSH (random-hyperplane
+  *    signs derived from seeded per-dimension hashes — deterministic, no
+  *    stored model) and probes only matching buckets;
+  *  - all vector math is higher-order-function arithmetic in DOUBLE
+  *    (codegen'd, and bit-stable against the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Array[Float] -> Array[Double] (exact widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Dot product of two double arrays (sequential left fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus, score everything, keep k best per query. Exact — the baseline
+    * the ANN path is measured against. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes; plane p's
+    * normal has component hash(p, d) in dimension d, scaled to [-1, 1).
+    * Deterministic (seeded by xxhash64), so bucketing needs no fitted model
+    * and replays identically across the cluster. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, d) => x * (xxhash64(lit(p), d).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: probe only the query's own LSH bucket. Approximate — a
+    * neighbor hashed to another bucket is missed; recall is tested against
+    * [[cosineTopK]] in the suite. At 100 TB the bucket column would be the
+    * partition key so a probe touches one partition. */
+  def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dim: Int, planes: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dim, planes))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), dim, planes))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  private val bruteTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private val lshTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    cosineTopKLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10, 64)
+      .orderBy("query_id", "rank")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> bruteTopK,
+    "ann_lsh_topk" -> lshTopK,   // approximate => rows-only
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings c
+        |  JOIN embeddings q ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+  )
+}

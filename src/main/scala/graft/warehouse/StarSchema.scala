@@ -1,0 +1,119 @@
+package graft.warehouse
+
+import graft.Tables
+import graft.Ops.Q
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema derivation: the Spark twin of the reference's warehouse layer
+  * (`ex03_sql_table_creation/dw_creation.sql` + `dw_load_incremental.sql`).
+  *
+  *  - Dimensions are `select(...).distinct()` over the fact feed (A8) or
+  *    literal seeded rows (S9, `dw_load_reference.sql:1-29`).
+  *  - `dim_time`'s Postgres TIME key is encoded as seconds-of-day INT
+  *    (SURVEY §7.5 hard part 1 — Spark has no TIME type).
+  *  - The idempotent fact load re-expresses the composite-unique-index +
+  *    `ON CONFLICT DO NOTHING` contract (`indexes.sql:30-37`,
+  *    `dw_load_incremental.sql:94`) as dropDuplicates(naturalKey) within
+  *    the batch plus a left_anti join against the existing mart — at scale
+  *    the anti join reads only the month partitions the batch touches.
+  */
+object StarSchema {
+
+  /** dim_date: distinct calendar rows derived from a timestamp column
+    * (`dw_load_incremental.sql:34-42`). Spark dayofweek is 1=Sunday. */
+  def dimDate(df: DataFrame, tsCol: String): DataFrame =
+    df.select(to_date(col(tsCol)).as("date_id")).distinct()
+      .select(col("date_id"),
+        year(col("date_id")).as("year"),
+        month(col("date_id")).as("month"),
+        dayofmonth(col("date_id")).as("day"),
+        dayofweek(col("date_id")).as("day_of_week"))
+
+  /** dim_time at minute grain, keyed by seconds-of-day
+    * (`dw_load_incremental.sql:45-51`). */
+  def dimTime(df: DataFrame, tsCol: String): DataFrame =
+    df.select(hour(col(tsCol)).as("hour"), minute(col(tsCol)).as("minute")).distinct()
+      .select((col("hour") * 3600 + col("minute") * 60).as("time_id"),
+        col("hour"), col("minute"))
+
+  /** Generic distinct-derived dimension (A8). */
+  def dimFromDistinct(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Seeded literal dimension (S9): the reference's payment-type seed rows
+    * (`dw_load_reference.sql:1-10`). */
+  def seededPaymentDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      0 -> "Flex Fare", 1 -> "Credit card", 2 -> "Cash", 3 -> "No charge",
+      4 -> "Dispute", 5 -> "Unknown", 6 -> "Voided trip",
+    ).toDF("payment_type_id", "payment_description")
+  }
+
+  /** Idempotent append protocol: in-batch natural-key dedup + anti join vs
+    * the existing mart. Returns only the rows that would be appended. */
+  def idempotentAppend(batch: DataFrame, existing: DataFrame,
+                       naturalKey: Seq[String]): DataFrame =
+    batch.dropDuplicates(naturalKey)
+      .join(existing.select(naturalKey.map(col): _*).distinct(),
+        naturalKey, "left_anti")
+
+  // ---------------------------------------------------------------- entries
+
+  private val dimDateQ: Q = (s, dir) =>
+    dimDate(Tables(s, dir).orders, "o_orderdate").orderBy("date_id")
+
+  private val dimTimeQ: Q = (s, dir) =>
+    dimTime(Tables(s, dir).events, "ts").orderBy("time_id")
+
+  private val seededDimQ: Q = (s, dir) => seededPaymentDim(s).orderBy("payment_type_id")
+
+  /** Double-load idempotence: loading the same batch twice must equal
+    * loading it once. first = protocol vs empty mart; second = protocol vs
+    * the mart after the first load => 0 new rows. */
+  private val idempotentLoadQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val key = Seq("user_id", "ts", "event_type")
+    val empty = ev.filter(lit(false))
+    val first = idempotentAppend(ev, empty, key)
+    val second = idempotentAppend(ev, first, key)
+    first.agg(count(lit(1)).as("n")).select(lit("first_load").as("phase"), col("n"))
+      .unionAll(second.agg(count(lit(1)).as("n")).select(lit("second_load").as("phase"), col("n")))
+      .orderBy("phase")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "dim_date_build" -> dimDateQ,
+    "dim_time_build" -> dimTimeQ,
+    "s9_literal_dim" -> seededDimQ,
+    "fact_idempotent_load" -> idempotentLoadQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dim_date_build" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_id,
+        |       CAST(year(o_orderdate) AS INT) AS year,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       CAST(day(o_orderdate) AS INT) AS day,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS day_of_week
+        |FROM orders ORDER BY date_id""".stripMargin,
+    "dim_time_build" ->
+      """SELECT DISTINCT CAST(hour(ts) * 3600 + minute(ts) * 60 AS INT) AS time_id,
+        |       CAST(hour(ts) AS INT) AS hour, CAST(minute(ts) AS INT) AS minute
+        |FROM events ORDER BY time_id""".stripMargin,
+    "s9_literal_dim" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'Flex Fare'), (1, 'Credit card'), (2, 'Cash'), (3, 'No charge'),
+        |  (4, 'Dispute'), (5, 'Unknown'), (6, 'Voided trip'))
+        |  AS t(payment_type_id, payment_description)
+        |ORDER BY payment_type_id""".stripMargin,
+    "fact_idempotent_load" ->
+      """SELECT 'first_load' AS phase,
+        |       (SELECT count(*) FROM (SELECT DISTINCT user_id, ts, event_type FROM events)) AS n
+        |UNION ALL SELECT 'second_load' AS phase, 0 AS n
+        |ORDER BY phase""".stripMargin,
+  )
+}
