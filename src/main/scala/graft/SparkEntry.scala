@@ -24,12 +24,22 @@ object SparkEntry {
       warehouse.StarSchema.entries ++
       functions.TextOps.entries ++
       operators.Dedup.entries ++
-      operators.Similarity.entries
+      operators.Similarity.entries ++
+      operators.Multimodal.entries ++
+      quality.Gates.entries ++
+      streaming.EventStream.entries ++
+      sources.Sources.entries ++
+      ml.FarePipeline.entries
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracles ++
       warehouse.StarSchema.oracles ++
       functions.TextOps.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      operators.Multimodal.oracles ++
+      quality.Gates.oracles ++
+      streaming.EventStream.oracles ++
+      sources.Sources.oracles ++
+      ml.FarePipeline.oracles
 }

@@ -1,0 +1,122 @@
+package graft.ml
+
+import graft.Tables
+import graft.Ops.Q
+import graft.operators.Cleaning
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.GBTRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ML surface (SURVEY §2.12): features -> StringIndexer×n -> OHE ->
+  * VectorAssembler -> GBT -> RegressionEvaluator, mirroring the reference's
+  * `ex05_ml_prediction_service/src/trainer.py:78-152` and
+  * `src/features.py:21-76`, re-expressed on `org.apache.spark.ml` (Scala) so
+  * the py4j boundary disappears (SURVEY §3.3).
+  */
+object FarePipeline {
+
+  /** Feature engineering over the lineitem feed: derived numerics +
+    * quality filter (P4) + dropna (P5) + anti-leakage drop (P6). */
+  def features(li: DataFrame): DataFrame =
+    li.withColumn("ship_month", month(col("l_shipdate")))
+      .withColumn("ship_dow", dayofweek(col("l_shipdate")))
+      .withColumn("gross", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      // P4-style quality window: positive quantity, sane price
+      .filter(col("l_quantity") > 0 && col("l_quantity") <= 200 &&
+        col("l_extendedprice") >= 0)
+      // P5: drop rows null in any modeling column
+      .na.drop(Seq("l_quantity", "l_discount", "l_returnflag", "l_linestatus",
+        "ship_month", "ship_dow", "l_extendedprice"))
+      // P6: drop leakage columns (components of the label)
+      .drop("l_tax", "gross")
+
+  /** M1-M4 assembled as one Pipeline (trainer.py:78-109). */
+  def buildPipeline(categorical: Seq[String], numeric: Seq[String],
+                    labelCol: String, maxDepth: Int = 6, maxIter: Int = 50,
+                    seed: Long = 42L): Pipeline = {
+    val indexers = categorical.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep"))
+    val encoder = new OneHotEncoder()
+      .setInputCols(categorical.map(c => s"${c}_idx").toArray)
+      .setOutputCols(categorical.map(c => s"${c}_ohe").toArray)
+    val assembler = new VectorAssembler()
+      .setInputCols((categorical.map(c => s"${c}_ohe") ++ numeric).toArray)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val gbt = new GBTRegressor()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setMaxDepth(maxDepth).setMaxIter(maxIter).setSeed(seed)
+    new Pipeline().setStages((indexers :+ encoder :+ assembler :+ gbt).toArray)
+  }
+
+  /** M6 — rmse/mae/r2 (trainer.py:130-152). */
+  def evaluate(predictions: DataFrame, labelCol: String): Map[String, Double] = {
+    def ev(metric: String) = new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName(metric)
+      .evaluate(predictions)
+    Map("rmse" -> ev("rmse"), "mae" -> ev("mae"), "r2" -> ev("r2"))
+  }
+
+  /** S10 — model persistence roundtrip. */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** Train/evaluate end-to-end with the reference's M9 persist discipline
+    * (cache train/test before count+fit, trainer.py:185-190). */
+  def trainEval(data: DataFrame, labelCol: String, maxDepth: Int, maxIter: Int)
+      : (PipelineModel, Map[String, Double]) = {
+    val categorical = Seq("l_returnflag", "l_linestatus")
+    val numeric = Seq("l_quantity", "l_discount", "ship_month", "ship_dow")
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), 42L)
+    train.persist(); test.persist()
+    try {
+      val model = buildPipeline(categorical, numeric, labelCol,
+        maxDepth = maxDepth, maxIter = maxIter).fit(train)
+      (model, evaluate(model.transform(test), labelCol))
+    } finally { train.unpersist(); test.unpersist() }
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  /** Feature stage output — deterministic, oracle-checked. */
+  private val mlFeaturesQ: Q = (s, dir) =>
+    features(Tables(s, dir).lineitem)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"), col("l_linestatus"),
+        col("ship_month"), col("ship_dow"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Full GBT train+eval on the sf dir (small maxIter so Verify stays fast;
+    * metric thresholds are asserted in the test suite per SURVEY §7.5 —
+    * seeded GBT is not bit-stable across engines => rows-only). */
+  private val mlGbtMetricsQ: Q = (s, dir) => {
+    import s.implicits._
+    val (_, m) = trainEval(features(Tables(s, dir).lineitem), "l_extendedprice",
+      maxDepth = 5, maxIter = 10)
+    Seq(("rmse", m("rmse")), ("mae", m("mae")), ("r2", m("r2")))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "ml_features" -> mlFeaturesQ,
+    "ml_gbt_metrics" -> mlGbtMetricsQ, // model metrics are seed/engine-specific
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_features" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |       l_returnflag, l_linestatus,
+        |       CAST(month(l_shipdate) AS INT) AS ship_month,
+        |       CAST(dayofweek(l_shipdate) + 1 AS INT) AS ship_dow,
+        |       l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 0 AND l_quantity <= 200 AND l_extendedprice >= 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import graft.Ops.Q
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, per the builder brief. The container ships no media
+  * codecs, so the DECODE KERNEL IS A DETERMINISTIC FAKE (clearly marked
+  * below); everything Spark-side — schema, batch iteration shape,
+  * partition-local processing, output contract — is real and tested.
+  *
+  * Design: decode runs via `mapPartitions` over a typed Dataset (the Scala
+  * twin of `mapInPandas`): one iterator in / one iterator out per partition,
+  * so a heavyweight decoder would amortize its init per partition (model
+  * load, codec context) — the property that matters at 100 TB. Rows stream;
+  * nothing is collected.
+  */
+object Multimodal {
+
+  /** The canonical media record: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true)))
+
+  final case class MediaRecord(media_id: Long, media_type: String,
+                               content: Array[Byte], width: Int, height: Int,
+                               n_frames: Int)
+  final case class MediaFeatures(media_id: Long, media_type: String,
+                                 n_bytes: Int, checksum: Long,
+                                 feature: Array[Double])
+
+  /** ===== STUB DECODE KERNEL =====
+    * A real deployment would decode `content` with an image/audio codec and
+    * emit embedding features. Offline container => deterministic fake:
+    * 8 doubles derived from byte-windows of the payload. Same signature,
+    * same batch shape, same cost model (per-byte pass over content). */
+  private def fakeDecode(content: Array[Byte]): Array[Double] = {
+    val feat = new Array[Double](8)
+    var i = 0
+    while (i < content.length) {
+      feat(i % 8) += (content(i) & 0xFF) / 255.0
+      i += 1
+    }
+    feat.map(v => math.round(v * 10000.0) / 10000.0)
+  }
+
+  /** Partition-streaming decode: iterator-in/iterator-out, no collect. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init would go here (codec context / model load)
+      it.map { r =>
+        val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        MediaFeatures(r.media_id, r.media_type, bytes.length, crc.getValue,
+          fakeDecode(bytes))
+      }
+    }
+  }
+
+  /** Frame-sampling stub for video payloads: pick every k-th frame index —
+    * the real kernel would demux; the index arithmetic is the real part. */
+  def sampleFrameIndexes(nFrames: Int, every: Int): Seq[Int] =
+    (0 until nFrames by every)
+
+  /** Build a synthetic media table from the documents corpus (text bytes as
+    * payload) — exercises the binary column path end-to-end. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"), lit("image/fake").as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit(64).as("width"), lit(64).as("height"), lit(1).as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  /** Binary decode plumbing: stable ids/sizes/checksums + fake features.
+    * Rows-only (the checksum/feature kernel is engine-local by design). */
+  private val decodeQ: Q = (s, dir) => {
+    decodeFeatures(syntheticMedia(s, dir))
+      .toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))
+      .orderBy("media_id")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "mm_decode_features" -> decodeQ,
+  )
+
+  /** CRC32 exists in DuckDB? No — keep n_bytes oracle-checkable instead:
+    * byte length of UTF-8 payload must equal the text length (ASCII corpus).
+    * The checksum column stays engine-local, so this entry is rows-only; the
+    * kernel determinism is asserted in the test suite. */
+  val oracles: Map[String, String] = Map.empty
+}

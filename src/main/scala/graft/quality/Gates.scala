@@ -1,0 +1,81 @@
+package graft.quality
+
+import graft.Tables
+import graft.Ops.Q
+import graft.operators.Cleaning
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates: the Spark twin of the reference's runtime checks
+  * (`ex06_airflow/dags/full_pipeline_dag.py:59-60,130-181,392-411,504-524`
+  * and `src/logging_config.py:118-170`).
+  *
+  * Pure functions over single-scan aggregates — a gate never costs more
+  * than one conditional aggregate over the batch it guards.
+  */
+object Gates {
+
+  /** Retention thresholds (full_pipeline_dag.py:59-60). */
+  val FailBelow = 0.80
+  val WarnBelow = 0.90
+
+  /** Status of a retention ratio: FAIL < 0.80 <= WARN < 0.90 <= PASS. */
+  def retentionStatus(ratio: Double): String =
+    if (ratio < FailBelow) "FAIL" else if (ratio < WarnBelow) "WARN" else "PASS"
+
+  /** Column form for use inside aggregates. */
+  def retentionStatusCol(ratio: Column): Column =
+    when(ratio < FailBelow, "FAIL").when(ratio < WarnBelow, "WARN").otherwise("PASS")
+
+  /** Row-floor check (staging/fact >= 1000 rows,
+    * full_pipeline_dag.py:392-411,504-524). */
+  def floorStatus(rows: Long, floor: Long = 1000L): String =
+    if (rows >= floor) "PASS" else "FAIL"
+
+  /** Retention gate over a raw frame + keep predicate: single scan,
+    * returns (raw_rows, kept_rows, retention, status). */
+  def retentionGate(raw: DataFrame, keep: Column): DataFrame =
+    Cleaning.retention(raw, keep)
+      .withColumn("status", retentionStatusCol(col("retention")))
+
+  /** Row floor gate as a 1-row frame. */
+  def floorGate(df: DataFrame, floor: Long = 1000L): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"))
+      .withColumn("floor", lit(floor))
+      .withColumn("status", when(col("n_rows") >= floor, "PASS").otherwise("FAIL"))
+
+  // ---------------------------------------------------------------- entries
+
+  /** The ingest retention gate applied to the events feed with the
+    * reference's cleaning predicate shape (value sane + ids present). */
+  private val retentionGateQ: Q = (s, dir) =>
+    retentionGate(Tables(s, dir).events,
+      col("value").isNotNull && col("value") >= 0 && col("user_id").isNotNull)
+
+  private val floorGateQ: Q = (s, dir) => floorGate(Tables(s, dir).events)
+
+  val entries: Map[String, Q] = Map(
+    "q_retention_gate" -> retentionGateQ,
+    "q_floor_gate" -> floorGateQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_retention_gate" ->
+      """WITH a AS (
+        |  SELECT count(*) AS raw_rows,
+        |         CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0
+        |                        AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows
+        |  FROM events)
+        |SELECT raw_rows, kept_rows,
+        |       round(kept_rows * 1.0 / raw_rows, 6) AS retention,
+        |       CASE WHEN kept_rows * 1.0 / raw_rows < 0.80 THEN 'FAIL'
+        |            WHEN kept_rows * 1.0 / raw_rows < 0.90 THEN 'WARN'
+        |            ELSE 'PASS' END AS status
+        |FROM a""".stripMargin,
+    "q_floor_gate" ->
+      """SELECT count(*) AS n_rows, CAST(1000 AS BIGINT) AS floor,
+        |       CASE WHEN count(*) >= 1000 THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM events""".stripMargin,
+  )
+}

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.Tables
+import graft.Ops.{Q, dsum}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink operators (SURVEY §2.1): multi-path scans, CSV with explicit
+  * schema, JSON, partitioned parquet overwrite, JDBC (Derby), path probes.
+  *
+  * Roundtrip entries write under `target/tmp` (scratch inside the repo) and
+  * read back, so the oracle compares against the original table — the
+  * roundtrip is byte-faithful or the hash check fails.
+  */
+object Sources {
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(s"target/tmp/$name")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** S3 — multi-path union scan (spark_io.py:133-135). */
+  def multiPathScan(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S4 — Hadoop FS existence probe (spark_io.py:24-33), driver-side. */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S8 — CSV with an explicit schema (taxi_zone_lookup pattern,
+    * SURVEY §2.1 S8): never infer on a production feed. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S5 — month/partition-scoped overwrite sink: Hive-style partitionBy with
+    * dynamic partition overwrite, the scalable form of the reference's
+    * path-scoped overwrite (`Ex02DataIngestion.scala:116-118`) — a re-run
+    * replaces only the partitions present in the batch. */
+  def partitionedOverwrite(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  // ---------------------------------------------------------------- entries
+
+  private val multiPathQ: Q = (s, dir) =>
+    multiPathScan(s, Seq(s"$dir/orders.parquet", s"$dir/orders.parquet"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  /** CSV roundtrip: nation -> csv -> explicit-schema read -> oracle vs the
+    * original parquet table. */
+  private val csvRoundtripQ: Q = (s, dir) => {
+    val out = tmpDir("csv_nation")
+    Tables(s, dir).nation.coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    readCsv(s, out, schema).orderBy("n_nationkey")
+  }
+
+  /** S11 — JSON sink + source roundtrip (trainer.py:308-340 report shape). */
+  private val jsonRoundtripQ: Q = (s, dir) => {
+    val out = tmpDir("json_supplier")
+    Tables(s, dir).supplier.select("s_suppkey", "s_name", "s_acctbal")
+      .coalesce(1).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.schema(schema).json(out).orderBy("s_suppkey")
+  }
+
+  /** S5 — partitioned overwrite roundtrip: orders partitioned by year,
+    * written twice (idempotence), read back through partition pruning. */
+  private val partitionedSinkQ: Q = (s, dir) => {
+    val out = tmpDir("pq_orders_by_year")
+    val orders = Tables(s, dir).orders.withColumn("o_year", year(col("o_orderdate")))
+    partitionedOverwrite(orders, out, Seq("o_year"))
+    partitionedOverwrite(orders, out, Seq("o_year")) // second write must be a no-op
+    s.read.parquet(out)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("o_year", col("o_year").cast(IntegerType))
+      .orderBy("o_year")
+  }
+
+  /** S6 — JDBC sink+source roundtrip via in-memory Derby (the JDBC layer of
+    * `Ex02DataIngestion.scala:154-164` without an external warehouse). */
+  private val jdbcRoundtripQ: Q = (s, dir) => {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables(s, dir).region
+      .write.mode("overwrite").jdbc(url, "region_rt", props)
+    s.read.jdbc(url, "region_rt", props)
+      .select(col("r_regionkey").cast(IntegerType).as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
+  /** S4 — path-existence probe over the expected table inventory. */
+  private val pathProbeQ: Q = (s, dir) => {
+    import s.implicits._
+    Seq("region", "nation", "customer", "orders", "lineitem", "no_such_table")
+      .map(t => (t, pathExists(s, s"$dir/$t.parquet")))
+      .toDF("table_name", "exists_flag")
+      .orderBy("table_name")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "s3_multipath_scan" -> multiPathQ,
+    "s8_csv_roundtrip" -> csvRoundtripQ,
+    "s11_json_roundtrip" -> jsonRoundtripQ,
+    "s5_partitioned_sink" -> partitionedSinkQ,
+    "s6_jdbc_roundtrip" -> jdbcRoundtripQ,
+    "s4_path_probe" -> pathProbeQ, // environment probe => rows-only
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s3_multipath_scan" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)""".stripMargin,
+    "s8_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s11_json_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "s5_partitioned_sink" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "s6_jdbc_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+  )
+}

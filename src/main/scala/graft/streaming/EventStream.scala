@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.Tables
+import graft.Ops.{Q, dsum}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time windowing + stateful processing.
+  *
+  * The reference's incrementality is orchestrated monthly batch (SURVEY
+  * §2.10): a strict half-open event-time window with drop-outside semantics.
+  * This module supplies the Structured-Streaming-native equivalents —
+  * tumbling/sliding/session windows that run identically over a batch frame
+  * (registered + oracle-checked here) or a `readStream` source (exercised
+  * with MemoryStream in the test suite):
+  *
+  *  - batch `window()`/`session_window()` and streaming share one code path,
+  *    so correctness checked in batch carries to the stream;
+  *  - watermark-with-drop (`withWatermark`) is the streaming twin of the
+  *    reference's out-of-month row drop (`Ex02DataIngestion.scala:77`);
+  *  - `flatMapGroupsWithState` covers custom state machines the built-in
+  *    windows can't express (per-user running counters).
+  */
+object EventStream {
+
+  /** Tumbling event-time aggregation (works for batch and stream). */
+  def tumblingAgg(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+
+  /** Sliding event-time aggregation. */
+  def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+
+  /** Per-user session windows with an inactivity gap. */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+
+  /** Streaming variant with watermark-with-drop, for `readStream` inputs. */
+  def streamingTumbling(events: DataFrame, width: String, watermark: String): DataFrame =
+    tumblingAgg(events.withWatermark("ts", watermark), width)
+
+  case class UserEvent(user_id: Long, event_type: String)
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom stateful operator: per-user running event count emitted on every
+    * micro-batch update (`flatMapGroupsWithState`, the state-machine escape
+    * hatch the built-in windows can't cover). */
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          Iterator(UserCount(userId, total))
+      }
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  private val tumblingQ: Q = (s, dir) =>
+    tumblingAgg(Tables(s, dir).events, "1 hour").orderBy("ws")
+
+  private val slidingQ: Q = (s, dir) =>
+    slidingAgg(Tables(s, dir).events, "6 hours", "1 hour").orderBy("ws")
+
+  private val sessionQ: Q = (s, dir) =>
+    sessionAgg(Tables(s, dir).events, "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  val entries: Map[String, Q] = Map(
+    "w_tumbling_hourly" -> tumblingQ,
+    "w_sliding_6h_1h" -> slidingQ,
+    "w_session_windows" -> sessionQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    "w_sliding_6h_1h" ->
+      """SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events, range(6) r(k)
+        |GROUP BY 1 ORDER BY ws""".stripMargin,
+    "w_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}
