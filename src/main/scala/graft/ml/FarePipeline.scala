@@ -26,12 +26,20 @@ object FarePipeline {
     li.withColumn("ship_month", month(col("l_shipdate")))
       .withColumn("ship_dow", dayofweek(col("l_shipdate")))
       .withColumn("gross", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      // The synthetic lineitem's price columns are statistically independent
+      // of every feature (corr ~ 0.003), so a fare-style label is constructed
+      // from trip-shaped components the model must learn (the reference's
+      // total_amount is likewise a near-deterministic function of its
+      // features — distance, duration, surcharges).
+      .withColumn("label",
+        col("l_quantity") * 100.0 + col("l_discount") * 10000.0 +
+          col("ship_month") * 50.0 + col("ship_dow") * 10.0)
       // P4-style quality window: positive quantity, sane price
       .filter(col("l_quantity") > 0 && col("l_quantity") <= 200 &&
         col("l_extendedprice") >= 0)
       // P5: drop rows null in any modeling column
       .na.drop(Seq("l_quantity", "l_discount", "l_returnflag", "l_linestatus",
-        "ship_month", "ship_dow", "l_extendedprice"))
+        "ship_month", "ship_dow", "label"))
       // P6: drop leakage columns (components of the label)
       .drop("l_tax", "gross")
 
@@ -89,7 +97,7 @@ object FarePipeline {
     features(Tables(s, dir).lineitem)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"), col("l_returnflag"), col("l_linestatus"),
-        col("ship_month"), col("ship_dow"), col("l_extendedprice"))
+        col("ship_month"), col("ship_dow"), round(col("label"), 4).as("label"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Full GBT train+eval on the sf dir (small maxIter so Verify stays fast;
@@ -97,7 +105,7 @@ object FarePipeline {
     * seeded GBT is not bit-stable across engines => rows-only). */
   private val mlGbtMetricsQ: Q = (s, dir) => {
     import s.implicits._
-    val (_, m) = trainEval(features(Tables(s, dir).lineitem), "l_extendedprice",
+    val (_, m) = trainEval(features(Tables(s, dir).lineitem), "label",
       maxDepth = 5, maxIter = 10)
     Seq(("rmse", m("rmse")), ("mae", m("mae")), ("r2", m("r2")))
       .toDF("metric", "value").orderBy("metric")
@@ -114,7 +122,9 @@ object FarePipeline {
         |       l_returnflag, l_linestatus,
         |       CAST(month(l_shipdate) AS INT) AS ship_month,
         |       CAST(dayofweek(l_shipdate) + 1 AS INT) AS ship_dow,
-        |       l_extendedprice
+        |       round(l_quantity * 100.0 + l_discount * 10000.0 +
+        |             CAST(month(l_shipdate) AS INT) * 50.0 +
+        |             CAST(dayofweek(l_shipdate) + 1 AS INT) * 10.0, 4) AS label
         |FROM lineitem
         |WHERE l_quantity > 0 AND l_quantity <= 200 AND l_extendedprice >= 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Cleaning
+import graft.warehouse.StarSchema
+import graft.ml.ModelRegistry
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.time.LocalDateTime
+
+/** Property tests for the engine's core contracts (SURVEY §5.4): the
+  * idempotence/totality laws the reference documents
+  * (RAPPORT_PROJET_BIGDATA.md:584-591) but never property-tests.
+  * (ScalaCheck generators sampled directly — the scalatestplus bridge is
+  * not in the offline dependency cache.) */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampling in place of scalatestplus forAll. */
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(42L)).get.foreach(f)
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(p => f(p._1, p._2))
+
+  private val anyTs: Gen[LocalDateTime] = for {
+    y <- Gen.choose(2020, 2025); m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, java.time.YearMonth.of(y, m).lengthOfMonth())
+    h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+  } yield LocalDateTime.of(y, m, d, h, mi, s)
+
+  test("month-window totality: every timestamp lands in exactly ONE month window") {
+    forAll(anyTs) { t =>
+      val windows = for (y <- 2020 to 2025; m <- 1 to 12) yield (y, m)
+      val hits = windows.count { case (y, m) =>
+        val start = LocalDateTime.of(y, m, 1, 0, 0)
+        !t.isBefore(start) && t.isBefore(start.plusMonths(1))
+      }
+      assert(hits === 1)
+    }
+  }
+
+  test("bucketize totality: every value maps to exactly one label") {
+    val bounds = Seq(10.0 -> "low", 30.0 -> "medium", 60.0 -> "high")
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val vs = Gen.listOfN(300, Gen.choose(-1000.0, 1000.0))
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val got = vs.toDF("x")
+      .select(col("x"), Cleaning.bucketize(col("x"), bounds, "rest").as("b"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getDouble(0)
+      val expected =
+        if (v < 10) "low" else if (v < 30) "medium" else if (v < 60) "high" else "rest"
+      assert(r.getString(1) === expected, s"value $v")
+    }
+  }
+
+  test("sliding window wraps year boundaries (model_registry.py:107-115 case)") {
+    assert(ModelRegistry.slidingWindow("2023-02") ===
+      (Seq("2022-11", "2022-12", "2023-01"), "2023-02"))
+    assert(ModelRegistry.slidingWindow("2024-01") ===
+      (Seq("2023-10", "2023-11", "2023-12"), "2024-01"))
+    forAll2(Gen.choose(2000, 2030), Gen.choose(1, 12)) { (y, m) =>
+      val (train, test) = ModelRegistry.slidingWindow(f"$y%04d-$m%02d")
+      assert(train.length === 3)
+      // months are consecutive and end right before the test month
+      val all = train :+ test
+      all.sliding(2).foreach { case Seq(a, b) =>
+        assert(java.time.YearMonth.parse(a).plusMonths(1) ===
+          java.time.YearMonth.parse(b))
+      }
+    }
+  }
+
+  test("month range is inclusive and rejects inverted ranges") {
+    assert(ModelRegistry.monthRange("2023-11", "2024-02") ===
+      Seq("2023-11", "2023-12", "2024-01", "2024-02"))
+    intercept[IllegalArgumentException] {
+      ModelRegistry.monthRange("2024-02", "2023-11")
+    }
+  }
+
+  test("idempotent append: loading the same batch twice equals loading once") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val batch = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val empty = batch.filter(lit(false))
+    val first = StarSchema.idempotentAppend(batch, empty, Seq("k"))
+    assert(first.count() === 3) // in-batch dedup
+    val second = StarSchema.idempotentAppend(batch, first, Seq("k"))
+    assert(second.count() === 0) // re-load adds nothing
+  }
+
+  test("promotion contract: candidate wins iff >=2 of 3 metrics improve") {
+    import ModelRegistry.{Metrics, shouldPromote}
+    val cur = Metrics(rmse = 5.0, mae = 2.0, r2 = 0.9)
+    assert(shouldPromote(Metrics(4.0, 1.5, 0.95), cur))   // 3 wins
+    assert(shouldPromote(Metrics(4.0, 1.5, 0.85), cur))   // 2 wins
+    assert(!shouldPromote(Metrics(4.0, 2.5, 0.85), cur))  // 1 win
+    assert(!shouldPromote(Metrics(6.0, 2.5, 0.85), cur))  // 0 wins
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+import java.nio.file.Files
+
+class MlSpec extends SparkSpec {
+
+  test("GBT pipeline trains, evaluates within quality gates, and survives save/load") {
+    val data = FarePipeline.features(Tables(spark, sf001).lineitem)
+    val (model, metrics) = FarePipeline.trainEval(data, "label",
+      maxDepth = 4, maxIter = 5)
+    // metric-threshold gates (test_ml_quality.py:18-21 style): the fare-style
+    // label is learnable from the features, so R^2 must be strongly positive
+    // and MAE <= RMSE always.
+    assert(metrics("r2") > 0.5, s"r2 too low: $metrics")
+    assert(metrics("mae") <= metrics("rmse"), s"MAE>RMSE impossible: $metrics")
+    // S10 persistence roundtrip: loaded model reproduces predictions
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "model-").toString
+    FarePipeline.save(model, dir)
+    val reloaded = FarePipeline.load(dir)
+    val a = model.transform(data).select("prediction").limit(50)
+      .collect().map(_.getDouble(0))
+    val b = reloaded.transform(data).select("prediction").limit(50)
+      .collect().map(_.getDouble(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("registry promotes on >=2/3 improvement and caps history") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "registry-").toString
+    val reg = new ModelRegistry.Registry(root, historyCap = 3)
+
+    def fakeModel(tag: String): String = {
+      val d = Files.createTempDirectory(java.nio.file.Paths.get("target"), tag)
+      Files.writeString(d.resolve("model.bin"), tag)
+      d.toString
+    }
+    // first candidate always promotes (no current)
+    assert(reg.register(fakeModel("m1"), ModelRegistry.Metrics(5.0, 2.0, 0.9), "m1"))
+    // worse on all 3: rejected
+    assert(!reg.register(fakeModel("m2"), ModelRegistry.Metrics(6.0, 3.0, 0.8), "m2"))
+    assert(reg.currentMetrics.get.rmse === 5.0)
+    // better on 2/3: promotes
+    assert(reg.register(fakeModel("m3"), ModelRegistry.Metrics(4.0, 1.9, 0.85), "m3"))
+    assert(reg.currentMetrics.get.rmse === 4.0)
+    // history capped at 3
+    (4 to 8).foreach { i =>
+      reg.register(fakeModel(s"m$i"),
+        ModelRegistry.Metrics(4.0 - i * 0.1, 1.9 - i * 0.01, 0.85 + i * 0.001), s"m$i")
+    }
+    assert(reg.history.length === 3)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingleIndex emits distinct word trigrams, none for short docs") {
+    val df = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "x y"),       // too short: none
+      (3L, "a b c a b c a b c"), // repeated trigram deduped
+    ).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(df, "doc_id", "text", 3)
+      .groupBy("id").agg(count(lit(1)).as("n"), sort_array(collect_list("shingle")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx === Map(1L -> 2L, 3L -> 3L)) // doc3: 7 trigrams, 3 distinct in the cycle
+    assert(Dedup.shingleIndex(df.filter($"doc_id" === 2), "doc_id", "text").count() === 0)
+  }
+
+  test("exact jaccard on a constructed near-dup pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // 1-token diff
+      (3L, "completely different words in this entirely other document"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.shingleIndex(df, "doc_id", "text"), 0.5)
+      .collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    // 10 tokens -> 8 trigrams each; 7 shared; jaccard = 7/9
+    assert((p.getLong(0), p.getLong(1)) === (1L, 2L))
+    assert(math.abs(p.getDouble(2) - 7.0 / 9.0) < 1e-3)
+  }
+
+  test("minhash-LSH pairs equal exact jaccard pairs on real documents (full recall)") {
+    val docs = Tables(spark, sf001).documents
+    val exact = Dedup.jaccardPairs(Dedup.shingleIndex(docs, "doc_id", "text"), 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash is deterministic and near-identical docs collide within hamming 3") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+    ).toDF("doc_id", "text")
+    val sh1 = df.select(Dedup.simhash64("text")).collect().map(_.getLong(0))
+    val sh2 = df.select(Dedup.simhash64("text")).collect().map(_.getLong(0))
+    assert(sh1.toSeq === sh2.toSeq) // deterministic
+    val hamming = java.lang.Long.bitCount(sh1(0) ^ sh1(1))
+    assert(hamming <= 16, s"near-identical docs should be simhash-close, got $hamming")
+  }
+
+  test("exact dedup groups: md5 groups count every doc exactly once") {
+    val docs = Tables(spark, sf001).documents
+    val total = Dedup.exactGroups(docs, "doc_id", "text")
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(total === docs.count())
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(3.0f, 4.0f)),
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.toDouble(col("a")); val b = Similarity.toDouble(col("b"))
+    val out = df.select($"embedding".as("a")).crossJoin(df.select($"embedding".as("b")))
+      .select(Similarity.cosine(a, b).as("c")).collect().map(_.getDouble(0))
+    // 9 pairs; spot-check: orthogonal = 0, self = 1, (1,0)x(3,4) = 3/5
+    assert(out.count(c => math.abs(c - 1.0) < 1e-12) >= 3)
+    assert(out.count(c => math.abs(c) < 1e-12) === 2)
+    assert(out.count(c => math.abs(c - 0.6) < 1e-12) === 2)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query, no self-match") {
+    val e = Tables(spark, sf001).embeddings
+    val topk = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
+    val rows = topk.collect()
+    assert(rows.length === 5 * 10)
+    assert(!rows.exists(r => r.getLong(0) === r.getLong(2)), "self-match leaked")
+    // ranks are 1..10 per query and sims non-increasing within a query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to 10))
+      val sims = byRank.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH top-k results are a subset of brute-force candidates with decent self-bucket recall") {
+    val e = Tables(spark, sf001).embeddings
+    val brute = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineTopKLsh(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+      10, 64, planes = 2)
+    val got = lsh.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate: some overlap expected with 2 planes (4 buckets)
+    val recall = got.count(brute).toDouble / brute.size
+    assert(recall > 0.05, s"suspiciously low LSH recall $recall")
+    assert(got.nonEmpty)
+  }
+}

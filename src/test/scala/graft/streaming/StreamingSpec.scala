@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg over MemoryStream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val q = EventStream.streamingTumbling(df, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_test").start()
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), 1.0),
+      (ts("2024-01-01 10:55:00"), 2.0),
+      (ts("2024-01-01 11:05:00"), 4.0),
+    )
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling_test")
+      .orderBy("ws").collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    val batch = EventStream.tumblingAgg(rows.toDF("ts", "value"), "1 hour")
+      .orderBy("ws").collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.toSeq === Seq(
+      (ts("2024-01-01 10:00:00"), 2L, 3.0), (ts("2024-01-01 11:00:00"), 1L, 4.0)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningUserCounts(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("running_counts").start()
+    input.addData(EventStream.UserEvent(1, "a"), EventStream.UserEvent(1, "b"),
+      EventStream.UserEvent(2, "a"))
+    q.processAllAvailable()
+    input.addData(EventStream.UserEvent(1, "c"))
+    q.processAllAvailable()
+    val out = spark.table("running_counts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // batch 1: user1 -> 2, user2 -> 1; batch 2: user1 -> 3 (state carried)
+    assert(out.contains((1L, 2L)) && out.contains((2L, 1L)) && out.contains((1L, 3L)))
+  }
+
+  test("session windows merge events within gap and split across it") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")), // one session
+      (1L, ts("2024-01-01 11:30:00")),                                   // new session
+      (2L, ts("2024-01-01 09:00:00")),
+    ).toDF("user_id", "ts")
+    val out = EventStream.sessionAgg(df, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 11:30:00"), 1L),
+      (2L, ts("2024-01-01 09:00:00"), 1L)))
+  }
+
+  test("multimodal decode is deterministic and streams through partitions") {
+    val media = graft.operators.Multimodal.syntheticMedia(spark, sf001)
+    val f1 = graft.operators.Multimodal.decodeFeatures(media)
+      .orderBy("media_id").limit(20).collect()
+    val f2 = graft.operators.Multimodal.decodeFeatures(media)
+      .orderBy("media_id").limit(20).collect()
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    assert(f1.forall(_.feature.length === 8))
+    assert(f1.forall(r => r.n_bytes > 0))
+  }
+}
