@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan auditor: prints formatted physical plans for selected queries so the
+  * scale-critical properties can be checked (and are asserted in PlanSpec):
+  * PushedFilters on scans, BroadcastHashJoin on dim joins,
+  * TakeOrderedAndProject for top-k, no CartesianProduct anywhere.
+  */
+object ExplainAudit {
+  def plan(spark: SparkSession, dir: String, name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "p9_range_limit", "j1_broadcast_dim", "j4_star_join", "t3_topk_rank",
+      "a5_two_key_group", "dedup_minhash_pairs", "ann_cosine_topk",
+      "dedup_jaccard_pairs", "w2_running_sum")
+    val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      println(plan(spark, dir, n))
+    }
+    spark.stop()
+  }
+}

