@@ -21,6 +21,7 @@ object SparkEntry {
 
   def queries: Map[String, Q] =
     analytics.CoreQueries.entries ++
+      analytics.ExtendedQueries.entries ++
       warehouse.StarSchema.entries ++
       functions.TextOps.entries ++
       operators.Dedup.entries ++
@@ -33,6 +34,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracles ++
+      analytics.ExtendedQueries.oracles ++
       warehouse.StarSchema.oracles ++
       functions.TextOps.oracles ++
       operators.Dedup.oracles ++

@@ -1,0 +1,173 @@
+package graft.analytics
+
+import graft.{Ops, Tables}
+import graft.Ops.{Q, dsum, dsumWide}
+import graft.operators.Cleaning
+import graft.sources.Sources
+import graft.ml.ModelRegistry
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second wave of the analytics surface: the SQL-view query path (S7), the
+  * composed clean-ingest pipeline (VERDICT r2 item 10), rollup/pivot
+  * aggregates, and the reference's top-error collect+label pattern (T4). */
+object ExtendedQueries {
+
+  /** The deterministic "prediction error" used by the error-analysis ops —
+    * one definition shared by a11/a14/t4. */
+  private def withErr(li: DataFrame): DataFrame =
+    li.withColumn("err", col("l_extendedprice") - (col("l_quantity") * 1000.0 + 500.0))
+
+  /** T4 driver-side cause inference (error_analysis.py:101-159): plain Scala
+    * over the <=10 collected top-error rows — intentionally NOT distributed,
+    * mirroring the reference's design (cheap on 10 rows, readable logic). */
+  def inferLikelyCause(quantity: Double, discount: Double): String =
+    if (quantity >= 40) "high_quantity"
+    else if (discount >= 0.08) "high_discount"
+    else "unmodeled"
+
+  // ---------------------------------------------------------------- entries
+
+  /** S7 — the spark.sql-over-registered-views query surface
+    * (the replacement for the reference's PostgreSQL dashboard reads,
+    * app.py:136-145). Identical SQL runs as the DuckDB oracle. */
+  private val sqlViewsQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Composed clean-ingest pipeline (Ex02DataIngestion.scala:45-118):
+    * cast -> month window -> null guards -> partitioned overwrite sink
+    * (written twice: idempotence) -> read back -> KPI aggregate. */
+  private val cleanIngestQ: Q = (s, dir) => {
+    val cleaned = Cleaning.nullGuards(
+      Cleaning.monthWindow(
+        Cleaning.castProjection(Tables(s, dir).events,
+          Seq("user_id" -> LongType, "value" -> DoubleType)),
+        "ts", 2024, 1),
+      requiredNonNull = Seq("ts", "event_type"),
+      nonNegative = Seq("value"))
+      .withColumn("day", to_date(col("ts")))
+    val out = {
+      val d = new java.io.File("target/tmp/clean_events"); d.mkdirs(); d.getAbsolutePath
+    }
+    Sources.partitionedOverwrite(cleaned, out, Seq("day"))
+    Sources.partitionedOverwrite(cleaned, out, Seq("day")) // idempotent re-run
+    s.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("value")).as("total_value"),
+      count_distinct(col("day")).as("n_days"))
+  }
+
+  /** A16 — ROLLUP aggregate (beyond-parity; subtotal rows carry NULL keys). */
+  private val rollupQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .rollup("o_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
+
+  /** A17 — pivot (wide conditional aggregate) on order status. */
+  private val pivotQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** T4 — top-k collect + driver-side cause labeling
+    * (error_analysis.py:295-313): TakeOrderedAndProject brings back 10 rows,
+    * plain Scala labels them, result re-enters Spark as a literal frame. */
+  private val topErrorsQ: Q = (s, dir) => {
+    import s.implicits._
+    val top = withErr(Tables(s, dir).lineitem)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), round(abs(col("err")), 4).as("abs_err"))
+      .orderBy(desc("abs_err"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(10)
+      .collect()
+    top.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getLong(0), r.getInt(1), r.getDouble(4),
+        inferLikelyCause(r.getDouble(2), r.getDouble(3)))
+    }.toSeq.toDF("rank", "l_orderkey", "l_linenumber", "abs_err", "likely_cause")
+  }
+
+  /** M8 — sliding train/test window surfaced as data (rows-only). */
+  private val slidingWindowQ: Q = (s, dir) => {
+    import s.implicits._
+    Seq("2023-02", "2024-01", "2024-12").flatMap { m =>
+      val (train, test) = ModelRegistry.slidingWindow(m)
+      train.map(t => (test, "train", t)) :+ ((test, "test", test))
+    }.toDF("window_for", "role", "month").orderBy("window_for", "role", "month")
+  }
+
+  /** A13 — built-in summary() profile (string-typed stats => rows-only; the
+    * oracle-checked numeric twin is a9_multistat). */
+  private val summaryQ: Q = (s, dir) =>
+    Tables(s, dir).lineitem.select("l_quantity", "l_extendedprice").summary()
+
+  val entries: Map[String, Q] = Map(
+    "s7_sql_views" -> sqlViewsQ,
+    "pipeline_clean_ingest" -> cleanIngestQ,
+    "a16_rollup" -> rollupQ,
+    "a17_pivot" -> pivotQ,
+    "t4_top_errors_labeled" -> topErrorsQ,
+    "ml_sliding_window" -> slidingWindowQ,
+    "a13_summary_builtin" -> summaryQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s7_sql_views" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "pipeline_clean_ingest" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts IS NOT NULL AND event_type IS NOT NULL
+        |  AND value IS NOT NULL AND value >= 0""".stripMargin,
+    "a16_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (1, 2)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a17_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "t4_top_errors_labeled" ->
+      """WITH e AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |         round(abs(l_extendedprice - (l_quantity * 1000.0 + 500.0)), 4) AS abs_err
+        |  FROM lineitem),
+        |top AS (
+        |  SELECT * FROM e
+        |  ORDER BY abs_err DESC, l_orderkey, l_linenumber LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY abs_err DESC, l_orderkey, l_linenumber) AS INT) AS rank,
+        |       l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber, abs_err,
+        |       CASE WHEN l_quantity >= 40 THEN 'high_quantity'
+        |            WHEN l_discount >= 0.08 THEN 'high_discount'
+        |            ELSE 'unmodeled' END AS likely_cause
+        |FROM top ORDER BY rank""".stripMargin,
+  )
+}
