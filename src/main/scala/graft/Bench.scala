@@ -19,6 +19,7 @@ object Bench {
     "a10_percentile_approx", "a15_dedup_count",
     "dedup_minhash_pairs", "ann_cosine_topk", "text_quality_score",
     "dedup_exact_groups", "text_lang_id", "w_session_windows",
+    "skew_salted_join", "s7_sql_views", "pipeline_clean_ingest",
   )
 
   def main(args: Array[String]): Unit = {

@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Dedup.entries ++
       operators.Similarity.entries ++
       operators.Multimodal.entries ++
+      operators.Skew.entries ++
       quality.Gates.entries ++
       streaming.EventStream.entries ++
       sources.Sources.entries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
+      operators.Skew.oracles ++
       quality.Gates.oracles ++
       streaming.EventStream.oracles ++
       sources.Sources.oracles ++

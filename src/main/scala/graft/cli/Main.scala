@@ -1,0 +1,97 @@
+package graft.cli
+
+import graft.{GraftSession, Tables}
+import graft.operators.Cleaning
+import graft.quality.Gates
+import graft.sources.Sources
+import graft.warehouse.StarSchema
+import graft.ml.{FarePipeline, ModelRegistry}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-stage CLI mirroring the reference's spark-submit surfaces
+  * (`Ex02DataIngestion.scala:15-31` arg parsing; `src/ml_pipeline.py`
+  * arguments). One binary, subcommand per stage:
+  *
+  *   graft.cli.Main ingest    --input DIR --output DIR --year Y --month M
+  *   graft.cli.Main warehouse --input DIR --output DIR
+  *   graft.cli.Main analytics --input DIR --query NAME [--output DIR]
+  *   graft.cli.Main ml        --input DIR --model-dir DIR --test-month YYYY-MM
+  *
+  * Exit codes follow the reference (`ml_pipeline.py:533-540`):
+  * 0 success, 1 failure, 2 missing input data.
+  */
+object Main {
+
+  private def parse(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: <ingest|warehouse|analytics|ml> --input DIR ..."); sys.exit(1) }
+    val cmd = args.head
+    val opt = parse(args.tail)
+    val input = opt.getOrElse("input", "/root/testdata/sf0.001")
+    if (!Sources.pathExists(GraftSession.local(4, 4), s"$input/events.parquet")) {
+      System.err.println(s"[graft] missing input data under $input"); sys.exit(2)
+    }
+    val spark = GraftSession.local()
+    try {
+      cmd match {
+        case "ingest" =>
+          val (y, m) = (opt.getOrElse("year", "2024").toInt, opt.getOrElse("month", "1").toInt)
+          val out = opt.getOrElse("output", "target/tmp/cli_ingest")
+          val cleaned = Cleaning.nullGuards(
+            Cleaning.monthWindow(Tables(spark, input).events, "ts", y, m),
+            requiredNonNull = Seq("ts", "event_type"), nonNegative = Seq("value"))
+            .withColumn("day", to_date(col("ts")))
+          val gate = Gates.retentionGate(Tables(spark, input).events,
+            Cleaning.monthWindowPredicate(col("ts"), y, m)).head
+          Sources.partitionedOverwrite(cleaned, out, Seq("day"))
+          println(s"[graft] ingest $y-$m -> $out rows=${spark.read.parquet(out).count()} " +
+            s"retention=${gate.getDouble(2)} status=${gate.getString(3)}")
+
+        case "warehouse" =>
+          val out = opt.getOrElse("output", "target/tmp/cli_dw")
+          val t = Tables(spark, input)
+          StarSchema.dimDate(t.orders, "o_orderdate")
+            .write.mode("overwrite").parquet(s"$out/dim_date")
+          StarSchema.dimTime(t.events, "ts")
+            .write.mode("overwrite").parquet(s"$out/dim_time")
+          StarSchema.seededPaymentDim(spark)
+            .write.mode("overwrite").parquet(s"$out/dim_payment_type")
+          println(s"[graft] warehouse dims -> $out")
+
+        case "analytics" =>
+          val name = opt.getOrElse("query", "a1_kpi_global")
+          val df = graft.SparkEntry.queries(name)(spark, input)
+          opt.get("output") match {
+            case Some(out) => df.write.mode("overwrite").parquet(s"$out/$name")
+            case None => df.show(20, truncate = false)
+          }
+
+        case "ml" =>
+          val testMonth = opt.getOrElse("test-month", "2024-01")
+          val modelDir = opt.getOrElse("model-dir", "target/tmp/cli_models")
+          val (train, test) = ModelRegistry.slidingWindow(testMonth)
+          println(s"[graft] sliding window: train=$train test=$test")
+          val data = FarePipeline.features(Tables(spark, input).lineitem)
+          val (model, metrics) = FarePipeline.trainEval(data, "label",
+            maxDepth = opt.getOrElse("max-depth", "5").toInt,
+            maxIter = opt.getOrElse("max-iter", "10").toInt)
+          val candidate = s"$modelDir/candidate-$testMonth"
+          FarePipeline.save(model, candidate)
+          val reg = new ModelRegistry.Registry(modelDir)
+          val promoted = reg.register(candidate,
+            ModelRegistry.Metrics(metrics("rmse"), metrics("mae"), metrics("r2")),
+            testMonth)
+          println(s"[graft] ml metrics=$metrics promoted=$promoted")
+
+        case other =>
+          System.err.println(s"[graft] unknown command: $other"); sys.exit(1)
+      }
+    } finally spark.stop()
+  }
+}

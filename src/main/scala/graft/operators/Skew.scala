@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import graft.Ops.{Q, dsumWide}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution would
+  * overload single reducers at 100 TB (a hot `pickup_location_id`, a viral
+  * document, a null-heavy FK). Two complementary tools:
+  *
+  *  - AQE skew-join splitting is ON in [[graft.GraftSession]] — the runtime
+  *    fix for *discovered* skew;
+  *  - [[saltedJoin]] is the static fix for *known* skew: the big side gets a
+  *    deterministic per-row salt in [0, k), the small side is replicated k×,
+  *    and the join key becomes (key, salt) — each hot key fans out over k
+  *    reducers. Result is row-identical to the unsalted join (oracle-checked
+  *    below), cost is k× the small side, which is the side you could afford
+  *    to broadcast anyway.
+  */
+object Skew {
+
+  /** Inner equi-join with the big side salted k ways. `saltSource` must be a
+    * deterministic per-row expression on the big side (any well-distributed
+    * column; uniqueness not required). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, k: Int,
+                 saltSource: String): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(k.toLong)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(k.toLong - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  /** Salted lineitem⋈orders must equal the plain join bit-for-bit. */
+  private val saltedJoinQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val dim = t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(t.lineitem, dim, key = "l_orderkey", k = 8, saltSource = "l_linenumber")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val entries: Map[String, Q] = Map("skew_salted_join" -> saltedJoinQ)
+
+  val oracles: Map[String, String] = Map(
+    "skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+  )
+}

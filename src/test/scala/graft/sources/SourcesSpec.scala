@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+
+  test("fetchIfAbsent downloads once and skips on re-run (S1 idempotence)") {
+    val src = Files.createTempFile(Paths.get("target"), "src-", ".bin")
+    Files.write(src, Array.fill[Byte](1024)(7))
+    val dest = Retrieval.monthPath("target/tmp/raw", "yellow", 2024, 3)
+    Files.deleteIfExists(Paths.get(dest))
+    val first = Retrieval.fetchIfAbsent(src.toUri, dest)
+    assert(first === Retrieval.Fetched(1024L))
+    val second = Retrieval.fetchIfAbsent(src.toUri, dest)
+    assert(second === Retrieval.Skipped)
+    assert(Files.size(Paths.get(dest)) === 1024L)
+  }
+
+  test("monthPath follows the yellow/YYYY/MM layout") {
+    assert(Retrieval.monthPath("/raw", "yellow", 2024, 3) ===
+      "/raw/yellow/2024/03/data.parquet")
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val t = Tables(spark, sf001)
+    val dim = t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = t.lineitem.join(dim, "l_orderkey")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(t.lineitem, dim, "l_orderkey", 8, "l_linenumber")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("path probe distinguishes existing from missing tables") {
+    assert(Sources.pathExists(spark, s"$sf001/lineitem.parquet"))
+    assert(!Sources.pathExists(spark, s"$sf001/nonexistent.parquet"))
+  }
+}
