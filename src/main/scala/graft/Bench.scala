@@ -52,7 +52,11 @@ object Bench {
       catch { case e: Throwable =>
         errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release operator-internal persists so one query's cache pressure
+      // doesn't bleed into the next timing
+      spark.catalog.clearCache()
+      name -> dt
     }
     val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

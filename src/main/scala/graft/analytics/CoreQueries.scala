@@ -158,19 +158,22 @@ object CoreQueries {
     * sum/sumsq so the value is partition-order-stable. */
   private val a9MultiStat: Q = (s, dir) => {
     val x = col("o_totalprice")
+    // one percentile aggregate with an array of targets: a single counts-map
+    // state pass instead of three (the Percentile agg state dominates cost)
     Tables(s, dir).orders.agg(
       count(lit(1)).as("n"),
       dsum(x).as("s1"),
       dsumWide(x * x).as("s2"),
       min(x).as("min_v"), max(x).as("max_v"),
-      round(pct(x, 0.25), 4).as("q25"),
-      round(pct(x, 0.5), 4).as("q50"),
-      round(pct(x, 0.75), 4).as("q75"))
+      percentile(x, array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
       .select(col("n"),
         round(col("s1") / col("n"), 4).as("mean_v"),
         round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
           .as("stddev_v"),
-        col("min_v"), col("max_v"), col("q25"), col("q50"), col("q75"))
+        col("min_v"), col("max_v"),
+        round(col("qs").getItem(0), 4).as("q25"),
+        round(col("qs").getItem(1), 4).as("q50"),
+        round(col("qs").getItem(2), 4).as("q75"))
   }
 
   /** A10 — percentile profile (error_analysis.py:183-187). Exact interpolated
@@ -179,11 +182,13 @@ object CoreQueries {
   private val a10Percentiles: Q = (s, dir) => {
     val x = col("l_extendedprice")
     Tables(s, dir).lineitem.agg(
-      round(pct(x, 0.25), 4).as("p25"),
-      round(pct(x, 0.5), 4).as("p50"),
-      round(pct(x, 0.75), 4).as("p75"),
-      round(pct(x, 0.95), 4).as("p95"),
-      round(pct(x, 0.99), 4).as("p99"))
+      percentile(x, array(Seq(0.25, 0.5, 0.75, 0.95, 0.99).map(lit): _*)).as("qs"))
+      .select(
+        round(col("qs").getItem(0), 4).as("p25"),
+        round(col("qs").getItem(1), 4).as("p50"),
+        round(col("qs").getItem(2), 4).as("p75"),
+        round(col("qs").getItem(3), 4).as("p95"),
+        round(col("qs").getItem(4), 4).as("p99"))
   }
 
   /** A10b — approx percentile, the actual at-scale operator (single pass,

@@ -92,6 +92,28 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-cosine near-dup pairs (the dedup-by-embedding op of the
+    * training-data brief): sign-LSH buckets the corpus, pairs form only
+    * within a bucket (id_a < id_b), then exact cosine filters. Approximate
+    * by construction (a pair split across buckets is missed — recall is
+    * 1/2^planes per disagreeing plane); the suite measures recall against
+    * the exact pairs. At 100 TB the bucket is the partition key, so pair
+    * generation never shuffles the corpus twice. */
+  def cosinePairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, dim: Int, planes: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, planes))
+      .withColumn("nrm", norm(col("v")))
+    val a = c.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = c.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val bruteTopK: Q = (s, dir) => {
@@ -106,9 +128,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val cosinePairsQ: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    cosinePairsLsh(e, "vec_id", "embedding", 0.45, 64, planes = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
-    "ann_lsh_topk" -> lshTopK,   // approximate => rows-only
+    "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
+    "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
   )
 
   val oracles: Map[String, String] = Map(

@@ -34,6 +34,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH cosine near-dup pairs are a subset of exact pairs with correct sims") {
+    val e = Tables(spark, sf001).embeddings
+    // exact pairs via the brute-force scorer (corpus vs corpus at tiny sf)
+    val exact = Similarity.cosineTopK(e, e, "vec_id", "embedding", 50)
+      .filter($"sim" >= 0.4).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+    val lsh = Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.4, 64, planes = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.forall { case (p, _) => exact.contains(p) },
+      "LSH returned a pair the exact scorer does not confirm")
+    lsh.foreach { case (_, sim) => assert(sim >= 0.4 && sim <= 1.0) }
+  }
+
   test("LSH top-k results are a subset of brute-force candidates with decent self-bucket recall") {
     val e = Tables(spark, sf001).embeddings
     val brute = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)

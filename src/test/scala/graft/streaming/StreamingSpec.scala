@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
       (2L, ts("2024-01-01 09:00:00"), 1L)))
   }
 
+  test("file-based readStream over the events feed equals the batch aggregate") {
+    val srcDir = new java.io.File("target/tmp/stream_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+    srcDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      srcDir.toPath.resolve("part-0.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.streamingTumbling(stream, "1 hour", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream").start()
+    q.processAllAvailable()
+    val streamedTotal = spark.table("file_stream").agg(sum("n")).head.getLong(0)
+    q.stop()
+    val batchTotal = graft.Tables(spark, sf001).events.count()
+    assert(streamedTotal === batchTotal)
+  }
+
   test("multimodal decode is deterministic and streams through partitions") {
     val media = graft.operators.Multimodal.syntheticMedia(spark, sf001)
     val f1 = graft.operators.Multimodal.decodeFeatures(media)
