@@ -18,6 +18,33 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Production builder for a real cluster: same semantics as [[local]] but
+    * sized for many executors. Config-only (no master hardcoded — supplied
+    * by spark-submit), so the whole engine moves from local[32] to a
+    * 1000-executor deployment without code changes:
+    *
+    *  - shuffle partitions ~2-3x total cores (caller passes the number);
+    *    AQE coalescing shrinks small stages back down at runtime
+    *  - advisory partition size bounds task memory (spill-aware: a 64 MiB
+    *    target post-shuffle partition fits executor memory with headroom)
+    *  - maxPartitionBytes keeps scan tasks balanced over 100 TB of parquet
+    *  - the graft native functions ride in via GraftExtensions
+    */
+  def clusterBuilder(shufflePartitions: Int,
+                     appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
   /** Local session for tests/bench. `cores` threads, one JVM. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             shufflePartitions: Int = 32,

@@ -118,7 +118,25 @@ object ExtendedQueries {
   private val summaryQ: Q = (s, dir) =>
     Tables(s, dir).lineitem.select("l_quantity", "l_extendedprice").summary()
 
+  /** A18 — exact multi-column distinct counts (the HLL-sketch twin
+    * `approx_count_distinct` is exercised rows-only as a19). */
+  private val distinctCountsQ: Q = (s, dir) =>
+    Tables(s, dir).lineitem.agg(
+      count_distinct(col("l_orderkey")).as("n_orders"),
+      count_distinct(col("l_partkey")).as("n_parts"),
+      count_distinct(col("l_suppkey")).as("n_supps"))
+
+  /** A19 — approx_count_distinct: the mergeable single-pass sketch used at
+    * 100 TB where exact distinct would shuffle every key. Sketch estimates
+    * are engine-specific => rows-only. */
+  private val approxDistinctQ: Q = (s, dir) =>
+    Tables(s, dir).lineitem.agg(
+      approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
+      approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+
   val entries: Map[String, Q] = Map(
+    "a18_count_distinct" -> distinctCountsQ,
+    "a19_approx_distinct" -> approxDistinctQ,
     "s7_sql_views" -> sqlViewsQ,
     "pipeline_clean_ingest" -> cleanIngestQ,
     "a16_rollup" -> rollupQ,
@@ -129,6 +147,11 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a18_count_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
     "s7_sql_views" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

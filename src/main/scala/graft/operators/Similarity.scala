@@ -114,6 +114,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF-style ANN: a KMeans coarse quantizer buckets the corpus; each query
+    * probes only its `nProbe` nearest centroid buckets. The query set is
+    * collected to the driver (it is small by contract — same assumption as
+    * the broadcast in [[cosineTopK]]) to compute probe assignments against
+    * the k centroids; the corpus is never collected and is scored only
+    * within probed buckets. At 100 TB `bucket` is the storage partition key,
+    * so a probe reads nProbe/nCentroids of the data. */
+  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nCentroids: Int = 16,
+                    nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("bucket").fit(c)
+    val bucketed = km.transform(c).select(col("neighbor_id"), col("cv"),
+      col("bucket")).withColumn("cn", norm(col("cv")))
+
+    val centers = km.clusterCenters.map(_.toArray)
+    val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      centers.zipWithIndex.map { case (ctr, b) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i) - ctr(i); d += t * t; i += 1 }
+        (b, d)
+      }.sortBy(_._2).take(nProbe).map { case (b, _) => (qid, b) }
+    }.toSeq.toDF("query_id", "bucket")
+    val qVecs = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("query_id", "qv").withColumn("qn", norm(col("qv")))
+
+    val scored = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val bruteTopK: Q = (s, dir) => {
@@ -134,9 +183,16 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  private val ivfTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    cosineTopKIvf(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
     "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
+    "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
   )
 

@@ -48,6 +48,20 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (_, sim) => assert(sim >= 0.4 && sim <= 1.0) }
   }
 
+  test("IVF top-k: high recall vs brute force with 4-of-16 bucket probes") {
+    val e = Tables(spark, sf001).embeddings
+    val brute = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.cosineTopKIvf(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+      10, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(brute).toDouble / brute.size
+    assert(recall > 0.2, s"IVF recall too low: $recall")
+    assert(ivf.size === brute.size) // k neighbors per query either way
+  }
+
   test("LSH top-k results are a subset of brute-force candidates with decent self-bucket recall") {
     val e = Tables(spark, sf001).embeddings
     val brute = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)

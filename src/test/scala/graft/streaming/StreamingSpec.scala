@@ -89,6 +89,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamedTotal === batchTotal)
   }
 
+  test("streaming dedup with watermark drops in-stream duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L),
+      (ts("2024-01-01 10:02:00"), 2L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:03:00"), 1L)) // duplicate within watermark
+    q.processAllAvailable()
+    val ks = spark.table("stream_dedup").collect().map(_.getLong(1)).sorted
+    q.stop()
+    assert(ks.toSeq === Seq(1L, 2L))
+  }
+
   test("multimodal decode is deterministic and streams through partitions") {
     val media = graft.operators.Multimodal.syntheticMedia(spark, sf001)
     val f1 = graft.operators.Multimodal.decodeFeatures(media)
