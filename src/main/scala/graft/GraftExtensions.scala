@@ -5,14 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.MinHashAgg
+import graft.functions.{GraftDot, MinHashAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
   * graft surface with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (no code changes).
-  * In-process callers get the same registration lazily via
-  * [[MinHashAgg.register]]. */
+  * In-process callers get the same registrations lazily via
+  * [[MinHashAgg.register]] / [[GraftDot.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_minhash(h1, h2, intLiteral)")
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"), GraftDot.info, GraftDot.builder))
   }
 }

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   *  - the ANN path buckets the corpus by sign-LSH (random-hyperplane
   *    signs derived from seeded per-dimension hashes — deterministic, no
   *    stored model) and probes only matching buckets;
-  *  - all vector math is higher-order-function arithmetic in DOUBLE
-  *    (codegen'd, and bit-stable against the DuckDB oracle).
+  *  - the pairwise kernel is the codegen'd native [[graft.functions.GraftDot]]
+  *    expression in DOUBLE (identical sequential summation to the HOF form,
+  *    so results stay bit-stable against the DuckDB oracle); the HOF
+  *    [[dot]]/[[cosine]] Columns remain as the public composable API.
   */
 object Similarity {
 
@@ -42,12 +44,13 @@ object Similarity {
     * the ANN path is measured against. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("sim", expr("graft_dot(cv, qv)") / (col("cn") * col("qn")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -76,15 +79,16 @@ object Similarity {
     * partition key so a probe touches one partition. */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, dim: Int, planes: Int = 4): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), dim, planes))
-      .withColumn("cn", norm(col("cv")))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), dim, planes))
-      .withColumn("qn", norm(col("qv")))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("sim", expr("graft_dot(cv, qv)") / (col("cn") * col("qn")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -101,15 +105,16 @@ object Similarity {
     * generation never shuffles the corpus twice. */
   def cosinePairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, planes: Int = 4): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, planes))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val a = c.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
     val b = c.select(col("id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("sim", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
@@ -133,8 +138,9 @@ object Similarity {
       .withColumn("fv", array_to_vector(col("cv")))
     val km = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("bucket").fit(c)
+    graft.functions.GraftDot.register(spark)
     val bucketed = km.transform(c).select(col("neighbor_id"), col("cv"),
-      col("bucket")).withColumn("cn", norm(col("cv")))
+      col("bucket")).withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
 
     val centers = km.clusterCenters.map(_.toArray)
     val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
@@ -149,13 +155,13 @@ object Similarity {
       }.sortBy(_._2).take(nProbe).map { case (b, _) => (qid, b) }
     }.toSeq.toDF("query_id", "bucket")
     val qVecs = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toSeq.toDF("query_id", "qv").withColumn("qn", norm(col("qv")))
+      .toSeq.toDF("query_id", "qv").withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
 
     val scored = bucketed
       .join(broadcast(probes), Seq("bucket"))
       .join(broadcast(qVecs), Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("sim", expr("graft_dot(cv, qv)") / (col("cn") * col("qn")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
