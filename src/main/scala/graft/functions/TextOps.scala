@@ -109,11 +109,40 @@ object TextOps {
       .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** BPE-ish token-count estimate (brief: "whitespace + a BPE-ish regex"):
+    * subword pieces = runs of <=4 letters, digit runs, and punctuation
+    * singles — the ~chars/4 heuristic real tokenizers approximate, without
+    * shipping a merges table. regexp_count is codegen'd; no UDF. */
+  def bpeTokenEstimate(text: Column): Column =
+    regexp_count(text, lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"))
+
+  private val bpeTokensQ: Q = (s, dir) =>
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_words"),
+      bpeTokenEstimate(col("text")).as("n_bpe_est"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive rolling fingerprint over tokens (brief: "document
+    * fingerprinting (rolling hash)"): fold acc = rotl(acc, 5) XOR hash(tok).
+    * xxhash64-seeded => engine-local (rows-only); determinism and order
+    * sensitivity are asserted in the suite. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))).bitwiseXOR(xxhash64(t)))
+
+  private val rollingHashQ: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), rollingHash(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
     "text_fingerprint" -> fingerprintQ,
     "text_lang_id" -> langIdQ,
+    "text_bpe_tokens" -> bpeTokensQ,
+    "text_rolling_hash" -> rollingHashQ, // xxhash64-based => rows-only
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -161,5 +190,10 @@ object TextOps {
       s"""WITH s AS (SELECT doc_id, lang, $langScoreSql FROM documents)
          |SELECT doc_id, lang, $langCaseSql AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -56,6 +56,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 16, s"near-identical docs should be simhash-close, got $hamming")
   }
 
+  test("rolling hash is deterministic and order-sensitive") {
+    import graft.functions.TextOps
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextOps.rollingHash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(3L)) // same content, same fingerprint
+    assert(fp(1L) !== fp(2L)) // reordered tokens change it (rolling, not bag)
+  }
+
   test("exact dedup groups: md5 groups count every doc exactly once") {
     val docs = Tables(spark, sf001).documents
     val total = Dedup.exactGroups(docs, "doc_id", "text")
