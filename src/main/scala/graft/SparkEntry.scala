@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Similarity.entries ++
       operators.Multimodal.entries ++
       operators.Skew.entries ++
+      operators.AsOfJoin.entries ++
       quality.Gates.entries ++
       streaming.EventStream.entries ++
       sources.Sources.entries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Skew.oracles ++
+      operators.AsOfJoin.oracles ++
       quality.Gates.oracles ++
       streaming.EventStream.oracles ++
       sources.Sources.oracles ++
