@@ -23,6 +23,16 @@ class CleaningSpec extends SparkSpec {
       ts("2024-01-15 12:00:00.0"), ts("2024-01-31 23:59:59.999999")))
   }
 
+  test("timeWindow generalizes the month window to arbitrary half-open backfill ranges") {
+    val df = Seq(
+      ts("2024-01-31 23:59:59.0"), ts("2024-02-01 00:00:00.0"),
+      ts("2024-03-15 12:00:00.0"), ts("2024-04-01 00:00:00.0"),
+    ).toDF("ts")
+    val kept = Cleaning.timeWindow(df, "ts", "2024-02-01", "2024-04-01")
+      .collect().map(_.getTimestamp(0))
+    assert(kept.toSet === Set(ts("2024-02-01 00:00:00.0"), ts("2024-03-15 12:00:00.0")))
+  }
+
   test("nullGuards keeps nullable passenger-count-style column null but rejects negatives") {
     val df = Seq(
       (Some(1L), Some(5.0)),   // fine
