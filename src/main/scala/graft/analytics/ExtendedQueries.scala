@@ -114,9 +114,11 @@ object ExtendedQueries {
   }
 
   /** A13 — built-in summary() profile (string-typed stats => rows-only; the
-    * oracle-checked numeric twin is a9_multistat). */
+    * oracle-checked numeric twin is a9_multistat, which also carries the
+    * exact quartiles — so the approx-percentile rows are skipped here). */
   private val summaryQ: Q = (s, dir) =>
-    Tables(s, dir).lineitem.select("l_quantity", "l_extendedprice").summary()
+    Tables(s, dir).lineitem.select("l_quantity", "l_extendedprice")
+      .summary("count", "mean", "stddev", "min", "max")
 
   /** A18 — exact multi-column distinct counts (the HLL-sketch twin
     * `approx_count_distinct` is exercised rows-only as a19). */

@@ -135,16 +135,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
-    * Expressed in SQL because `shiftright` with a *column* shift amount is
-    * only reachable through the Catalyst expression, not the Scala DSL. */
-  def simhash64(textColName: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, 63), 0L,
-       |  (acc, p) -> acc + IF(
-       |    aggregate(split($textColName, ' '), 0L,
-       |      (a, t) -> a + (shiftright(xxhash64(t), p) & 1L) * 2L - 1L) > 0,
-       |    shiftleft(1L, p), 0L))""".stripMargin)
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
+    * computed by the native [[graft.functions.GraftSimHash]] kernel (the
+    * SQL HOF form pays 64 interpreted folds per row — 45s -> ~1s at sf0.1). */
+  def simhash64(textColName: String): Column =
+    expr(s"graft_simhash(split($textColName, ' '))")
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
     * 16-bit-segment pigeonhole blocking: any pair within Hamming 3 of a
@@ -152,6 +147,7 @@ object Dedup {
     * key is (segment_idx, segment_value) — no all-pairs scan. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftSimHash.register(df.sparkSession)
     val sigs = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
     val seg = sigs.withColumn("seg", explode(sequence(lit(0), lit(3))))
       .withColumn("seg_val", expr("shiftright(sh, seg * 16) & 65535"))
@@ -176,17 +172,20 @@ object Dedup {
       .orderBy("doc_id")
 
   private val jaccardPairsQ: Q = (s, dir) =>
-    jaccardPairs(shingleIndex(Tables(s, dir).documents, "doc_id", "text"), 0.8)
+    // index feeds both join sides + sizes: persist instead of 3 rescans
+    jaccardPairs(shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(), 0.8)
       .orderBy("id_a", "id_b")
 
   private val minhashPairsQ: Q = (s, dir) =>
     minhashDedupPairs(Tables(s, dir).documents, "doc_id", "text", 0.8)
       .orderBy("id_a", "id_b")
 
-  private val simhashQ: Q = (s, dir) =>
+  private val simhashQ: Q = (s, dir) => {
+    graft.functions.GraftSimHash.register(s)
     Tables(s, dir).documents
       .select(col("doc_id"), simhash64("text").as("simhash"))
       .orderBy("doc_id")
+  }
 
   private val simhashPairsQ: Q = (s, dir) =>
     simhashPairs(Tables(s, dir).documents, "doc_id", "text", 3)

@@ -45,6 +45,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash is deterministic and near-identical docs collide within hamming 3") {
+    graft.functions.GraftSimHash.register(spark)
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
