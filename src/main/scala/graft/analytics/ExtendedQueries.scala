@@ -136,7 +136,30 @@ object ExtendedQueries {
       approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
       approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
 
+  /** W5 — relative-rank window family (percent_rank / cume_dist). */
+  private val percentRankQ: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    Tables(s, dir).orders
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select("o_orderkey", "o_orderpriority", "pr", "cd")
+      .orderBy("o_orderkey")
+  }
+
+  /** A20 — collected-set aggregate, emitted as a joined string so the
+    * comparison is array-representation-agnostic. */
+  private val collectSetQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val entries: Map[String, Q] = Map(
+    "w5_percent_rank" -> percentRankQ,
+    "a20_collect_set" -> collectSetQ,
     "a18_count_distinct" -> distinctCountsQ,
     "a19_approx_distinct" -> approxDistinctQ,
     "s7_sql_views" -> sqlViewsQ,
@@ -149,6 +172,18 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "w5_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |       round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "a20_collect_set" ->
+      """SELECT o_orderpriority,
+        |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "a18_count_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         |       count(DISTINCT l_partkey) AS n_parts,
