@@ -20,6 +20,7 @@ object Bench {
     "dedup_minhash_pairs", "ann_cosine_topk", "text_quality_score",
     "dedup_exact_groups", "text_lang_id", "w_session_windows",
     "skew_salted_join", "s7_sql_views", "pipeline_clean_ingest",
+    "asof_join_backward", "a16_rollup",
   )
 
   def main(args: Array[String]): Unit = {
