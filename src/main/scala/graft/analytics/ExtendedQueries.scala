@@ -157,7 +157,40 @@ object ExtendedQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** A21 — typed Aggregator surface via functions.udaf: quantity-weighted
+    * mean price per return flag. The two accumulated double sums are
+    * order-dependent, but their ratio's error (~1e-10) is far below the
+    * 4-decimal rounding, so the oracle hash is stable. */
+  private val weightedMeanQ: Q = (s, dir) => {
+    import org.apache.spark.sql.Encoders
+    val wm = udaf(graft.functions.TypedAggs.WeightedMean,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4).as("wmean_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** W6 — RANGE-frame rolling window: 7-day revenue over the daily series.
+    * The frame key is integer days-since-epoch so Spark's numeric
+    * rangeBetween and the SQL RANGE INTERVAL form agree. A global window
+    * over the (small, pre-aggregated) daily series — never over the fact. */
+  private val rolling7dQ: Q = (s, dir) => {
+    val daily = Tables(s, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast(DateType)))
+      .rangeBetween(-6, 0)
+    daily.withColumn("rev7", round(sum(col("rev")).over(w), 2))
+      .select(col("day"), col("rev"), col("rev7"))
+      .orderBy("day")
+  }
+
   val entries: Map[String, Q] = Map(
+    "a21_weighted_mean" -> weightedMeanQ,
+    "w6_rolling_7d" -> rolling7dQ,
     "w5_percent_rank" -> percentRankQ,
     "a20_collect_set" -> collectSetQ,
     "a18_count_distinct" -> distinctCountsQ,
@@ -172,6 +205,21 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a21_weighted_mean" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "w6_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev,
+        |       round(sum(rev) OVER (
+        |         ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7
+        |FROM daily ORDER BY day""".stripMargin,
     "w5_percent_rank" ->
       """SELECT o_orderkey, o_orderpriority,
         |       round(percent_rank() OVER (PARTITION BY o_orderpriority
