@@ -75,6 +75,14 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
 
+  /** A22 — CUBE: all grouping-set combinations of (year, priority). */
+  private val cubeQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube("o_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
+
   /** A17 — pivot (wide conditional aggregate) on order status. */
   private val pivotQ: Q = (s, dir) =>
     Tables(s, dir).orders
@@ -199,6 +207,7 @@ object ExtendedQueries {
     "pipeline_clean_ingest" -> cleanIngestQ,
     "a16_rollup" -> rollupQ,
     "a17_pivot" -> pivotQ,
+    "a22_cube" -> cubeQ,
     "t4_top_errors_labeled" -> topErrorsQ,
     "ml_sliding_window" -> slidingWindowQ,
     "a13_summary_builtin" -> summaryQ,
@@ -263,6 +272,12 @@ object ExtendedQueries {
         |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "a22_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (1, 2)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "t4_top_errors_labeled" ->
       """WITH e AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
