@@ -48,7 +48,7 @@ object Main {
             requiredNonNull = Seq("ts", "event_type"), nonNegative = Seq("value"))
             .withColumn("day", to_date(col("ts")))
           val gate = Gates.retentionGate(Tables(spark, input).events,
-            Cleaning.monthWindowPredicate(col("ts"), y, m)).head
+            Cleaning.monthWindowPredicate(col("ts"), y, m)).head()
           Sources.partitionedOverwrite(cleaned, out, Seq("day"))
           println(s"[graft] ingest $y-$m -> $out rows=${spark.read.parquet(out).count()} " +
             s"retention=${gate.getDouble(2)} status=${gate.getString(3)}")
