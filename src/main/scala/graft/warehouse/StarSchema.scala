@@ -61,10 +61,29 @@ object StarSchema {
       .join(existing.select(naturalKey.map(col): _*).distinct(),
         naturalKey, "left_anti")
 
+  /** Backfill loop: the Airflow `@monthly catchup` twin
+    * (full_pipeline_dag.py:82-94) as a plain function — each month is an
+    * independent idempotent unit (half-open window + partition overwrite),
+    * so re-running any subset of months converges to the same mart. */
+  def backfillMonths(months: Seq[String])(runMonth: String => Unit): Unit =
+    months.foreach(runMonth)
+
   // ---------------------------------------------------------------- entries
 
   private val dimDateQ: Q = (s, dir) =>
     dimDate(Tables(s, dir).orders, "o_orderdate").orderBy("date_id")
+
+  /** J3 — fact ⋈ dim_time on the seconds-of-day TIME key (app.py:335;
+    * SURVEY §7.5 hard part 1: both sides must use the same encoding). */
+  private val j3TimeJoinQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .withColumn("time_id", hour(col("ts")) * 3600 + minute(col("ts")) * 60)
+    val dt = dimTime(Tables(s, dir).events, "ts")
+    ev.join(broadcast(dt), "time_id")
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"), graft.Ops.dsum(col("value")).as("total"))
+      .orderBy("hour")
+  }
 
   private val dimTimeQ: Q = (s, dir) =>
     dimTime(Tables(s, dir).events, "ts").orderBy("time_id")
@@ -86,6 +105,7 @@ object StarSchema {
   }
 
   val entries: Map[String, Q] = Map(
+    "j3_time_join" -> j3TimeJoinQ,
     "dim_date_build" -> dimDateQ,
     "dim_time_build" -> dimTimeQ,
     "s9_literal_dim" -> seededDimQ,
@@ -93,6 +113,17 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
+    "j3_time_join" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT CAST(hour(ts) * 3600 + minute(ts) * 60 AS INT) AS time_id,
+        |         CAST(hour(ts) AS INT) AS hour FROM events),
+        |ev AS (
+        |  SELECT CAST(hour(ts) * 3600 + minute(ts) * 60 AS INT) AS time_id, value
+        |  FROM events)
+        |SELECT dt.hour, count(*) AS n,
+        |       CAST(sum(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM ev JOIN dt ON ev.time_id = dt.time_id
+        |GROUP BY 1 ORDER BY dt.hour""".stripMargin,
     "dim_date_build" ->
       """SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_id,
         |       CAST(year(o_orderdate) AS INT) AS year,
