@@ -294,6 +294,20 @@ object CoreQueries {
       .orderBy("r_name")
   }
 
+  /** J8 — fact ⋈ mid-size dim (part): revenue by brand. Bigger than the
+    * broadcast threshold at real scale => shuffle-hash/sort-merge territory;
+    * Catalyst/AQE picks, stats decide. */
+  private val j8PartJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.join(t.part, t.lineitem("l_partkey") === t.part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        dsum(col("p_retailprice")).as("retail_total"))
+      .orderBy("p_brand")
+  }
+
   /** J5 — FK-violation check as left_anti (dw_creation.sql:63-71 analog):
     * customers that never ordered. */
   private val j5AntiJoin: Q = (s, dir) => {
@@ -512,6 +526,7 @@ object CoreQueries {
     "j1_broadcast_dim" -> j1BroadcastDim,
     "j2_fact_join" -> j2FactJoin,
     "j4_star_join" -> j4StarJoin,
+    "j8_part_join" -> j8PartJoin,
     "j5_anti_join" -> j5AntiJoin,
     "j6_semi_join" -> j6SemiJoin,
     "j7_left_outer" -> j7LeftOuter,
@@ -677,6 +692,12 @@ object CoreQueries {
         |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "j8_part_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_total
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "j4_star_join" ->
       """SELECT r_name, count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
