@@ -107,6 +107,13 @@ class StreamingSpec extends SparkSpec {
     assert(ks.toSeq === Seq(1L, 2L))
   }
 
+  test("frame sampling picks every k-th index and handles edge sizes") {
+    import graft.operators.Multimodal.sampleFrameIndexes
+    assert(sampleFrameIndexes(10, 3) === Seq(0, 3, 6, 9))
+    assert(sampleFrameIndexes(1, 5) === Seq(0))
+    assert(sampleFrameIndexes(0, 2) === Seq.empty)
+  }
+
   test("multimodal decode is deterministic and streams through partitions") {
     val media = graft.operators.Multimodal.syntheticMedia(spark, sf001)
     val f1 = graft.operators.Multimodal.decodeFeatures(media)
