@@ -46,26 +46,44 @@ object Bench {
       available.get("a7_distinct_list").foreach(_(spark, sfDir).collect())
     } catch { case _: Throwable => () }
 
+    // Median-of-N per query (VERDICT r3 item 1): BENCH_r03 recorded 234 s
+    // for a 47 s suite because the driver's single pass overlapped host
+    // load. One contended execution can no longer pollute the artifact;
+    // loadavg is emitted alongside so a reader can judge the host.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try available(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      val times = Seq.newBuilder[Double]
+      var failed = false
+      var r = 0
+      while (r < repeats && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          available(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          failed = true
+          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        }
+        // release operator-internal persists so one query's cache pressure
+        // doesn't bleed into the next timing
+        spark.catalog.clearCache()
+        r += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release operator-internal persists so one query's cache pressure
-      // doesn't bleed into the next timing
-      spark.catalog.clearCache()
-      name -> dt
+      name -> times.result().sorted
     }
     val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val medians = ok.map { case (n, ts) => n -> ts(ts.length / 2) }
+    val mins = ok.map { case (n, ts) => n -> ts.head }
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(medians)},"queries_min":${jmap(mins)},"runs":$repeats,"loadavg":$loadavg,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

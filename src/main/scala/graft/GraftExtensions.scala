@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GraftDot, MinHashAgg}
+import graft.functions.{GraftDot, GraftSimHash, MinHashAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((
       FunctionIdentifier("graft_dot"), GraftDot.info, GraftDot.builder))
+    // ADVICE r3: without this, the --conf deployment path was missing part
+    // of the native surface (Dedup.simhash64 failed with undefined function)
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
+      GraftSimHash.builder))
+    // tier (c): the native as-of join operator (AsOfJoinPlan -> AsOfJoinExec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -121,12 +121,36 @@ object ExtendedQueries {
     }.toDF("window_for", "role", "month").orderBy("window_for", "role", "month")
   }
 
-  /** A13 — built-in summary() profile (string-typed stats => rows-only; the
-    * oracle-checked numeric twin is a9_multistat, which also carries the
-    * exact quartiles — so the approx-percentile rows are skipped here). */
-  private val summaryQ: Q = (s, dir) =>
-    Tables(s, dir).lineitem.select("l_quantity", "l_extendedprice")
-      .summary("count", "mean", "stddev", "min", "max")
+  /** A13 — summary()-shaped profile computed as a TYPED frame (VERDICT r3
+    * item 10: the string-typed builtin summary() was rows-only; this twin is
+    * oracle-checked). One scan: a single multi-column aggregate, reshaped to
+    * one row per column via stack. stddev from exact decimal sum/sumsq (the
+    * a9 machinery) so the value is partition-order-stable. The builtin
+    * `.summary()` itself stays covered in QuerySpec. */
+  private val summaryQ: Q = (s, dir) => {
+    val q = col("l_quantity"); val p = col("l_extendedprice")
+    def stddevOf(s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column) =
+      round(sqrt((s2 - s1 * s1 / col("n")) / (col("n") - 1)), 4)
+    Tables(s, dir).lineitem.agg(
+      count(lit(1)).as("n"),
+      dsum(q, 4).as("q_s1"), dsumWide(q * q).as("q_s2"),
+      min(q).as("q_min"), max(q).as("q_max"),
+      dsum(p, 4).as("p_s1"), dsumWide(p * p).as("p_s2"),
+      min(p).as("p_min"), max(p).as("p_max"))
+      .select(col("n"),
+        round(col("q_s1") / col("n"), 4).as("q_mean"),
+        stddevOf(col("q_s1"), col("q_s2")).as("q_std"),
+        col("q_min"), col("q_max"),
+        round(col("p_s1") / col("n"), 4).as("p_mean"),
+        stddevOf(col("p_s1"), col("p_s2")).as("p_std"),
+        col("p_min"), col("p_max"))
+      .select(expr(
+        """stack(2,
+          |  'l_extendedprice', n, p_mean, p_std, p_min, p_max,
+          |  'l_quantity',      n, q_mean, q_std, q_min, q_max)
+          |AS (column_name, n, mean_v, stddev_v, min_v, max_v)""".stripMargin))
+      .orderBy("column_name")
+  }
 
   /** A18 — exact multi-column distinct counts (the HLL-sketch twin
     * `approx_count_distinct` is exercised rows-only as a19). */
@@ -278,6 +302,28 @@ object ExtendedQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE (1, 2)
         |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a13_summary_builtin" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS q_s1,
+        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS q_s2,
+        |         min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS p_s1,
+        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS p_s2,
+        |         min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max
+        |  FROM lineitem)
+        |SELECT 'l_extendedprice' AS column_name, n,
+        |       round(p_s1 / n, 4) AS mean_v,
+        |       round(sqrt((p_s2 - p_s1 * p_s1 / n) / (n - 1)), 4) AS stddev_v,
+        |       p_min AS min_v, p_max AS max_v
+        |FROM a
+        |UNION ALL
+        |SELECT 'l_quantity' AS column_name, n,
+        |       round(q_s1 / n, 4) AS mean_v,
+        |       round(sqrt((q_s2 - q_s1 * q_s1 / n) / (n - 1)), 4) AS stddev_v,
+        |       q_min AS min_v, q_max AS max_v
+        |FROM a
+        |ORDER BY column_name""".stripMargin,
     "t4_top_errors_labeled" ->
       """WITH e AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount,

@@ -30,14 +30,32 @@ object Main {
     }.toMap
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: <ingest|warehouse|analytics|ml> --input DIR ..."); sys.exit(1) }
+    val code = run(args)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+    sys.exit(code)
+  }
+
+  /** Exit-code-returning body, testable without killing the JVM (CliSpec
+    * asserts the exit-2 skip path). Does NOT stop the session — `main`
+    * owns that, so tests can call this against their shared session. */
+  def run(args: Array[String]): Int = {
+    if (args.isEmpty) {
+      System.err.println("usage: <ingest|warehouse|analytics|ml> --input DIR ...")
+      return 1
+    }
     val cmd = args.head
     val opt = parse(args.tail)
     val input = opt.getOrElse("input", "/root/testdata/sf0.001")
-    if (!Sources.pathExists(GraftSession.local(4, 4), s"$input/events.parquet")) {
-      System.err.println(s"[graft] missing input data under $input"); sys.exit(2)
-    }
+    // ADVICE r3: build the real session FIRST and reuse it for the probe —
+    // a throwaway local(4,4) here would win getOrCreate and silently pin
+    // every stage to 4 cores / 4 shuffle partitions.
     val spark = GraftSession.local()
+    // availability short-circuit (Gates.availabilityGate semantics): a
+    // missing month is SKIP + exit 2, not a failure (ml_pipeline.py:533-540)
+    if (!Sources.pathExists(spark, s"$input/events.parquet")) {
+      System.err.println(s"[graft] missing input data under $input")
+      return 2
+    }
     try {
       cmd match {
         case "ingest" =>
@@ -90,8 +108,12 @@ object Main {
           println(s"[graft] ml metrics=$metrics promoted=$promoted")
 
         case other =>
-          System.err.println(s"[graft] unknown command: $other"); sys.exit(1)
+          System.err.println(s"[graft] unknown command: $other"); return 1
       }
-    } finally spark.stop()
+      0
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] $cmd failed: ${e.getMessage}"); 1
+    }
   }
 }

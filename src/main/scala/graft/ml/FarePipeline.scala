@@ -111,9 +111,27 @@ object FarePipeline {
       .toDF("metric", "value").orderBy("metric")
   }
 
+  /** Batch inference as a graded surface (the reference's scoring path,
+    * `ex05_ml_prediction_service/src/predict.py:28-35`: 2.81M rows in one
+    * `model.transform` pass, `reports/predict_report.json`). Fit once with a
+    * small ensemble, score the WHOLE sf dir, return driver-visible scoring
+    * stats. Predictions are seed/engine-specific => rows-only; the
+    * throughput floor is asserted in MlSpec. */
+  private val mlBatchInferenceQ: Q = (s, dir) => {
+    val data = features(Tables(s, dir).lineitem)
+    val model = buildPipeline(Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_discount", "ship_month", "ship_dow"), "label",
+      maxDepth = 3, maxIter = 5).fit(data)
+    model.transform(data).agg(
+      count(lit(1)).as("n_scored"),
+      sum(when(col("prediction") >= 0, 1L).otherwise(0L)).as("n_nonneg"),
+      round(avg(abs(col("prediction") - col("label"))), 2).as("mae_insample"))
+  }
+
   val entries: Map[String, Q] = Map(
     "ml_features" -> mlFeaturesQ,
     "ml_gbt_metrics" -> mlGbtMetricsQ, // model metrics are seed/engine-specific
+    "ml_batch_inference" -> mlBatchInferenceQ, // predictions engine-specific
   )
 
   val oracles: Map[String, String] = Map(

@@ -35,23 +35,62 @@ object AsOfJoin {
     * @param valueCols right-side value columns to attach to left rows */
   def asOfBackward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                    valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
-    val l = valueCols.foldLeft(left.withColumn("__tag", lit(1))) {
-      (df, v) => df.withColumn(v, lit(null).cast(right.schema(v).dataType))
-    }
+    // ADVICE r3: carrying raw values with last(v, ignoreNulls) skips a right
+    // row whose value is genuinely NULL (an older purchase leaks forward).
+    // Instead carry ONE struct that is non-null for every right row — the
+    // marker field makes "no match yet" (struct null) distinguishable from
+    // "matched row with NULL value" (struct present, field null).
+    val payloadType = StructType(StructField("__m", IntegerType, nullable = false) +:
+      valueCols.map(v => StructField(v, right.schema(v).dataType)))
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
     val r = leftCols.filterNot(c => c == key || c == tsCol)
       .foldLeft(right.select((key +: tsCol +: valueCols).map(col): _*)
-        .withColumn("__tag", lit(0))) {
+        .withColumn("__tag", lit(0))
+        .withColumn("__p", struct(lit(1).as("__m") +: valueCols.map(col): _*))
+        .drop(valueCols: _*)) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-    val unioned = l.select((leftCols ++ valueCols :+ "__tag").map(col): _*)
-      .unionByName(r.select((leftCols ++ valueCols :+ "__tag").map(col): _*))
-    val w = Window.partitionBy(key).orderBy(tsCol, "__tag")
+    val unioned = l.select((leftCols :+ "__tag" :+ "__p").map(col): _*)
+      .unionByName(r.select((leftCols :+ "__tag" :+ "__p").map(col): _*))
+    // Ordering (ts, tag, payload): tag puts an equal-ts right row BEFORE the
+    // left row (inclusive <= semantics); the payload tiebreak makes the
+    // matched-row choice deterministic when right rows share (key, ts).
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    val carried = unioned.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__c").getField(v).as(v)): _*)
+  }
+
+  /** Tier (c) native path: identical semantics to [[asOfBackward]], planned
+    * through the custom [[graft.plans.AsOfJoinPlan]] logical node →
+    * [[graft.plans.AsOfJoinStrategy]] → [[graft.plans.AsOfJoinExec]]
+    * sort-merge operator. One hash shuffle per side + in-partition sort +
+    * an O(1)-state streaming merge — vs the composed form's union
+    * materialization and window buffer. Same DuckDB ASOF oracle. */
+  def asOfBackwardNative(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    org.apache.spark.sql.graft.PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // re-alias every right column: left and right often derive from the SAME
+    // cached scan (self-as-of), and a custom binary node gets no
+    // DeduplicateRelations help from the analyzer — fresh exprIds make the
+    // two sides unambiguous
+    val r = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, tsCol),
+      attr(rPlan, key), attr(rPlan, tsCol),
+      valueCols.map(attr(rPlan, _)))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
   }
 
   // ---------------------------------------------------------------- entries
@@ -69,15 +108,33 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
-  val entries: Map[String, Q] = Map("asof_join_backward" -> asOfQ)
+  /** Same query through the native exec — graded against the same oracle. */
+  private val asOfNativeQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    asOfBackwardNative(views, purchases, "user_id", "ts", Seq("last_purchase"))
+      .select("event_id", "user_id", "last_purchase")
+      .orderBy("event_id")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "asof_join_backward" -> asOfQ,
+    "asof_join_native" -> asOfNativeQ,
+  )
+
+  private val asOfOracle =
+    """SELECT v.event_id, v.user_id, p.value AS last_purchase
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND v.ts >= p.ts
+      |ORDER BY v.event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "asof_join_backward" ->
-      """SELECT v.event_id, v.user_id, p.value AS last_purchase
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
-        |ASOF LEFT JOIN
-        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-        |  ON v.user_id = p.user_id AND v.ts >= p.ts
-        |ORDER BY v.event_id""".stripMargin,
+    "asof_join_backward" -> asOfOracle,
+    "asof_join_native" -> asOfOracle,
   )
 }

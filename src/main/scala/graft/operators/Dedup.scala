@@ -54,7 +54,10 @@ object Dedup {
     * self-join on shingle (id_a < id_b), count common shingles, join sizes.
     * At scale, ultra-common shingles dominate the join — cap with
     * `maxDocFreq` (drops shingles shared by more than that many docs; a
-    * shingle that common carries no dedup signal anyway). */
+    * shingle that common carries no dedup signal anyway). With a cap, the
+    * result is the exact Jaccard of the RARE-shingle sets — sizes come from
+    * the same capped index as the pair counts (ADVICE r3: mixing capped
+    * counts with uncapped sizes yields the jaccard of neither set). */
   def jaccardPairs(index: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     val idx = maxDocFreq match {
@@ -68,7 +71,7 @@ object Dedup {
     val b = idx.select(col("id").as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val sz = sizes(index)
+    val sz = sizes(idx)
     common
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -176,6 +179,18 @@ object Dedup {
     jaccardPairs(shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(), 0.8)
       .orderBy("id_a", "id_b")
 
+  /** The hot-shingle cap: a viral shingle shared by more than `JaccardCap`
+    * docs is dropped before the self-join — the configuration that survives
+    * a skewed corpus at 100 TB (a shingle in 10^6 docs would otherwise
+    * contribute 10^12 candidate pairs). Graded with its own oracle applying
+    * the identical doc-frequency filter. */
+  val JaccardCap = 10
+
+  private val jaccardCappedQ: Q = (s, dir) =>
+    jaccardPairs(shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(),
+      0.8, maxDocFreq = Some(JaccardCap))
+      .orderBy("id_a", "id_b")
+
   private val minhashPairsQ: Q = (s, dir) =>
     minhashDedupPairs(Tables(s, dir).documents, "doc_id", "text", 0.8)
       .orderBy("id_a", "id_b")
@@ -195,13 +210,22 @@ object Dedup {
     "dedup_exact_groups" -> exactGroupsQ,
     "dedup_exact_keep_first" -> exactKeepFirstQ,
     "dedup_jaccard_pairs" -> jaccardPairsQ,
+    "dedup_jaccard_capped" -> jaccardCappedQ,
     "dedup_minhash_pairs" -> minhashPairsQ,
     "dedup_simhash" -> simhashQ,         // xxhash64 is Spark-specific => rows-only
     "dedup_simhash_pairs" -> simhashPairsQ, // rows-only
   )
 
-  /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL). */
-  private def jaccardOracle(threshold: Double): String =
+  /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
+    * With a doc-frequency cap, the capped index feeds BOTH pair counts and
+    * sizes — the same rare-shingle-set semantics as [[jaccardPairs]]. */
+  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int] = None): String = {
+    val capFilter = maxDocFreq.map(cap =>
+      s"""capped AS (
+         |  SELECT sh.* FROM sh JOIN (
+         |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $cap) r
+         |  USING (shingle)),""".stripMargin).getOrElse("")
+    val src = if (maxDocFreq.isDefined) "capped" else "sh"
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |sh AS (
@@ -209,10 +233,11 @@ object Dedup {
        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
        |  FROM tok WHERE len(ts) >= 3),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |$capFilter
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |       round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
@@ -221,6 +246,7 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -231,6 +257,7 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardOracle(0.8),
+    "dedup_jaccard_capped" -> jaccardOracle(0.8, maxDocFreq = Some(JaccardCap)),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
   )
 }

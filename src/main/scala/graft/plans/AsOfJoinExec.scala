@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Sort-merge physical plan for [[AsOfJoinPlan]].
+  *
+  * The scale shape is exactly what a hand-scheduled engine would pick, but
+  * declared through Spark's planner contracts so EnsureRequirements supplies
+  * it for free:
+  *
+  *  - `requiredChildDistribution`: both sides clustered by key — ONE hash
+  *    shuffle each (or zero if the child is already co-partitioned, e.g. a
+  *    bucketed table);
+  *  - `requiredChildOrdering`: (key, ts) in-partition sort — satisfied by a
+  *    preceding sort-merge join or sorted scan when available;
+  *  - `doExecute`: a single streaming merge pass over each co-partition
+  *    pair. O(|L| + |R|) per partition, O(1) state (ONE buffered right row),
+  *    no materialized union, no window buffer.
+  *
+  * Right rows with NULL key or NULL ts can never match and are skipped.
+  * Matched-value state is copied (UnsafeRow reuse) only when the right key
+  * equals a key the left side will still emit.
+  */
+case class AsOfJoinExec(
+    leftKey: Attribute,
+    leftTs: Attribute,
+    rightKey: Attribute,
+    rightTs: Attribute,
+    valueAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ valueAttrs.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyB = BindReferences.bindReference(leftKey: Expression, lOut)
+    val lTsB = BindReferences.bindReference(leftTs: Expression, lOut)
+    val rKeyB = BindReferences.bindReference(rightKey: Expression, rOut)
+    val rTsB = BindReferences.bindReference(rightTs: Expression, rOut)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val valueExprs: Seq[Expression] = valueAttrs
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val valueProj = UnsafeProjection.create(valueExprs, rOut)
+        val resultProj = UnsafeProjection.create(outAttrs: Seq[Expression], lOut ++ valueAttrs)
+        val nullValues = new GenericInternalRow(valueAttrs.length)
+        val joined = new JoinedRow
+        val rBuf = rIter.buffered
+
+        // last right row whose key might still match upcoming left rows
+        var matchedKey: Any = null
+        var matchedValues: InternalRow = null
+
+        // consume right rows with (rk < k) or (rk == k && rt <= t); left keys
+        // ascend, so consumed rows of smaller keys are dead forever
+        def advance(k: Any, t: Any): Unit = {
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val rt = rTsB.eval(head)
+            if (rk == null || rt == null) { rBuf.next(); () } // can never match
+            else {
+              val c = keyOrd.compare(rk, k)
+              if (c < 0) { rBuf.next(); () }
+              else if (c == 0 && tsOrd.compare(rt, t) <= 0) {
+                val row = rBuf.next()
+                matchedKey = InternalRow.copyValue(rk) // rk may alias row buffer
+                matchedValues = valueProj(row).copy()
+              } else done = true
+            }
+          }
+        }
+
+        lIter.map { l =>
+          val k = lKeyB.eval(l)
+          val t = lTsB.eval(l)
+          val values =
+            if (k == null || t == null) nullValues
+            else {
+              advance(k, t)
+              if (matchedKey != null && keyOrd.compare(matchedKey, k) == 0) matchedValues
+              else nullValues
+            }
+          resultProj(joined(l, values))
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.valueAttrs,
+        planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}

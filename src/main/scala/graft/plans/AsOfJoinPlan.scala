@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+
+/** Logical backward as-of join: for each left row, attach `valueAttrs` from
+  * the latest right row with the same key and `right.ts <= left.ts`.
+  *
+  * This is the builder brief's tier (c): an operator Spark lacks, expressed
+  * as a first-class plan node (this file) + a planner strategy + a physical
+  * exec ([[AsOfJoinExec]]), installed via `SparkSessionExtensions`
+  * ([[graft.GraftExtensions]]) or per-session
+  * ([[org.apache.spark.sql.graft.PlanBridge.addStrategy]]). The composed
+  * union+window form ([[graft.operators.AsOfJoin.asOfBackward]]) remains the
+  * tier-(a) reference implementation; both answer the same DuckDB `ASOF
+  * LEFT JOIN` oracle.
+  *
+  * Output = all left columns, then the carried right value columns
+  * (nullable: a left row with no earlier right match keeps NULL — left-join
+  * semantics).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    leftTs: Attribute,
+    rightKey: Attribute,
+    rightTs: Attribute,
+    valueAttrs: Seq[Attribute])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ valueAttrs.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}

@@ -3,8 +3,9 @@ package graft.quality
 import graft.Tables
 import graft.Ops.Q
 import graft.operators.Cleaning
+import graft.sources.Sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates: the Spark twin of the reference's runtime checks
@@ -45,6 +46,17 @@ object Gates {
       .withColumn("floor", lit(floor))
       .withColumn("status", when(col("n_rows") >= floor, "PASS").otherwise("FAIL"))
 
+  /** Data-availability short-circuit (the ShortCircuitOperator twin,
+    * `full_pipeline_dag.py:101-127,279-283`): probe passes → RUN, else SKIP
+    * the month and exit clean. The probe runs once, driver-side (an HTTP
+    * HEAD or FS-exists — never a Spark job). The CLI maps SKIP to exit
+    * code 2 (`cli/Main.scala`), mirroring `ml_pipeline.py:533-540`. */
+  def availabilityGate(spark: SparkSession, feed: String, probe: => Boolean): DataFrame = {
+    import spark.implicits._
+    val ok = probe
+    Seq((feed, ok, if (ok) "RUN" else "SKIP")).toDF("feed", "available", "action")
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** The ingest retention gate applied to the events feed with the
@@ -55,12 +67,26 @@ object Gates {
 
   private val floorGateQ: Q = (s, dir) => floorGate(Tables(s, dir).events)
 
+  /** Both gate outcomes in one frame: the present feed probes RUN, the
+    * absent one probes SKIP. */
+  private val availabilityGateQ: Q = (s, dir) =>
+    availabilityGate(s, "events", Sources.pathExists(s, s"$dir/events.parquet"))
+      .unionAll(availabilityGate(s, "missing_feed",
+        Sources.pathExists(s, s"$dir/__no_such_feed__.parquet")))
+      .orderBy("feed")
+
   val entries: Map[String, Q] = Map(
     "q_retention_gate" -> retentionGateQ,
     "q_floor_gate" -> floorGateQ,
+    "q_availability_gate" -> availabilityGateQ,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_availability_gate" ->
+      """SELECT * FROM (VALUES
+        |  ('events', true, 'RUN'), ('missing_feed', false, 'SKIP'))
+        |  AS t(feed, available, action)
+        |ORDER BY feed""".stripMargin,
     "q_retention_gate" ->
       """WITH a AS (
         |  SELECT count(*) AS raw_rows,

@@ -104,8 +104,40 @@ object StarSchema {
       .orderBy("phase")
   }
 
+  /** The reference's dim_location pattern (`dw_load_incremental.sql:22-32`
+    * + `data/taxi_zone_lookup.csv`): ids seen in EITHER fact-side column
+    * (PU ∪ DO there; customer ∪ supplier nation keys here), union-DISTINCT,
+    * LEFT-joined to a small explicit-schema CSV lookup, with unmapped ids
+    * kept via a sentinel fallback instead of dropped. The lookup side is
+    * broadcast — the fact-derived id side is never shuffled for the join. */
+  private val dimLookupEnrichedQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ids = t.customer.select(col("c_nationkey").as("loc_id"))
+      .union(t.supplier.select(col("s_nationkey").as("loc_id")))
+      .distinct()
+    // the zone-lookup-style CSV, deliberately truncated (keys >= 20 missing)
+    // so the null-fallback path is exercised like the reference's unmapped
+    // zone ids
+    val out = {
+      val d = new java.io.File("target/tmp/lookup_nation"); d.mkdirs(); d.getAbsolutePath
+    }
+    t.nation.filter(col("n_nationkey") <= 19)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    val lookup = graft.sources.Sources.readCsv(s, out, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))))
+    ids.join(broadcast(lookup), ids("loc_id") === lookup("n_nationkey"), "left")
+      .select(col("loc_id"),
+        coalesce(col("n_name"), lit("unknown")).as("zone_name"),
+        coalesce(col("n_regionkey"), lit(-1)).as("region_key"))
+      .orderBy("loc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "j3_time_join" -> j3TimeJoinQ,
+    "dim_lookup_enriched" -> dimLookupEnrichedQ,
     "dim_date_build" -> dimDateQ,
     "dim_time_build" -> dimTimeQ,
     "s9_literal_dim" -> seededDimQ,
@@ -113,6 +145,17 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
+    "dim_lookup_enriched" ->
+      """WITH ids AS (
+        |  SELECT c_nationkey AS loc_id FROM customer
+        |  UNION SELECT s_nationkey FROM supplier),
+        |lkp AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey <= 19)
+        |SELECT loc_id, coalesce(n_name, 'unknown') AS zone_name,
+        |       coalesce(n_regionkey, -1) AS region_key
+        |FROM ids LEFT JOIN lkp ON loc_id = n_nationkey
+        |ORDER BY loc_id""".stripMargin,
     "j3_time_join" ->
       """WITH dt AS (
         |  SELECT DISTINCT CAST(hour(ts) * 3600 + minute(ts) * 60 AS INT) AS time_id,

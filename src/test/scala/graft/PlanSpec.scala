@@ -30,6 +30,35 @@ class PlanSpec extends SparkSpec {
       s"scan should read only selected columns: $read")
   }
 
+  test("ann top-k shuffles only (query_id, neighbor_id, sim) — no embedding arrays") {
+    val p = plan("ann_cosine_topk")
+    val sections = p.split("\\n\\(")
+    val exchanges = sections.filter(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning(query_id"))
+    assert(exchanges.nonEmpty, "expected a per-query window Exchange")
+    exchanges.foreach { s =>
+      val input = s.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("cv#") && !input.contains("qv#"),
+        s"window Exchange must not carry embedding arrays: $input")
+    }
+    // Spark 4 pushes the rank filter into the shuffle as a group limit —
+    // partial top-k before the Exchange, the shape you want at 100 TB
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("native as-of join plans through the tier-c AsOfJoinExec") {
+    val p = plan("asof_join_native")
+    assert(p.contains("AsOfJoin"), p.linesIterator.take(15).mkString("\n"))
+    // one hash shuffle per side on the key, supplied by EnsureRequirements
+    assert(p.split("hashpartitioning\\(user_id").length >= 3, "both sides clustered by key")
+  }
+
+  test("lang-id evaluates split exactly once (token array materialized)") {
+    val p = plan("text_lang_id")
+    val n = "split\\(".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 split( in the plan, got $n")
+  }
+
   test("no registered lazy query plans a CartesianProduct or BroadcastNestedLoop") {
     // entries that run driver-side actions (train/collect/write) during
     // construction are exercised elsewhere; everything lazy is checked here

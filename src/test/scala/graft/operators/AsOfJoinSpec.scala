@@ -29,4 +29,63 @@ class AsOfJoinSpec extends SparkSpec {
       10L -> None, 11L -> Some(100.0), 12L -> Some(100.0),
       13L -> Some(120.0), 14L -> Some(200.0), 15L -> None))
   }
+
+  test("a NULL-valued right row is a real match, not skipped (ADVICE r3)") {
+    // quote at 11:00 has px=NULL: a trade at 11:30 must see that NULL, not
+    // carry the older 100.0 forward (DuckDB ASOF semantics)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double]),
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (20L, 1L, ts("2024-01-01 10:30:00")), // -> 100.0
+      (21L, 1L, ts("2024-01-01 11:30:00")), // -> NULL (matched, value null)
+    ).toDF("trade_id", "user_id", "ts")
+    val got = AsOfJoin.asOfBackward(trades, quotes, "user_id", "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(20L -> Some(100.0), 21L -> None))
+  }
+
+  test("tier-c native exec agrees with the composed form (incl. NULL values)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double]),
+      (1L, ts("2024-01-01 12:00:00"), Some(120.0)),
+      (2L, ts("2024-01-01 11:00:00"), Some(200.0)),
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")), // before any quote -> null
+      (11L, 1L, ts("2024-01-01 10:00:00")), // equal ts inclusive -> 100
+      (12L, 1L, ts("2024-01-01 11:30:00")), // -> NULL-valued quote, matched
+      (13L, 1L, ts("2024-01-01 13:00:00")), // -> 120
+      (14L, 2L, ts("2024-01-01 12:00:00")), // other key -> 200
+      (15L, 3L, ts("2024-01-01 12:00:00")), // no quotes for key -> null
+    ).toDF("trade_id", "user_id", "ts")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val composed = res(AsOfJoin.asOfBackward(trades, quotes, "user_id", "ts", Seq("px")))
+    val native = res(AsOfJoin.asOfBackwardNative(trades, quotes, "user_id", "ts", Seq("px")))
+    assert(native === composed)
+    assert(native(11L) === Some(100.0))
+    assert(native(12L) === None) // matched row with NULL value, not carried-forward 100
+    assert(native(15L) === None)
+  }
+
+  test("native exec matches composed on the events feed (self-as-of, real data)") {
+    val ev = graft.Tables(spark, sf001).events
+    import org.apache.spark.sql.functions.col
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "last_purchase").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val composed = res(AsOfJoin.asOfBackward(views, purchases, "user_id", "ts", Seq("last_purchase")))
+    val native = res(AsOfJoin.asOfBackwardNative(views, purchases, "user_id", "ts", Seq("last_purchase")))
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
 }
