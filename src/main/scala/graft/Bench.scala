@@ -21,6 +21,7 @@ object Bench {
     "dedup_exact_groups", "text_lang_id", "w_session_windows",
     "skew_salted_join", "s7_sql_views", "pipeline_clean_ingest",
     "asof_join_backward", "a16_rollup",
+    "asof_join_native", "dedup_jaccard_capped", "ann_lsh_topk",
   )
 
   def main(args: Array[String]): Unit = {
@@ -30,6 +31,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/tmp/warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,8 @@ object SparkEntry {
       operators.Multimodal.entries ++
       operators.Skew.entries ++
       operators.AsOfJoin.entries ++
+      operators.RangeJoin.entries ++
+      warehouse.Bucketing.entries ++
       quality.Gates.entries ++
       streaming.EventStream.entries ++
       sources.Sources.entries ++
@@ -44,6 +46,8 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Skew.oracles ++
       operators.AsOfJoin.oracles ++
+      operators.RangeJoin.oracles ++
+      warehouse.Bucketing.oracles ++
       quality.Gates.oracles ++
       streaming.EventStream.oracles ++
       sources.Sources.oracles ++

@@ -46,6 +46,26 @@ object Gates {
       .withColumn("floor", lit(floor))
       .withColumn("status", when(col("n_rows") >= floor, "PASS").otherwise("FAIL"))
 
+  /** SLA status of one task duration: Airflow SLA semantics — a breach is
+    * reported, never fatal (`full_pipeline_dag.py:308,363,501,574` attaches
+    * SLAs to the reference's 4 heavy tasks). */
+  def slaStatus(durationSec: Double, slaSec: Double): String =
+    if (durationSec <= slaSec) "OK" else "SLA_MISS"
+
+  /** Wall-clock a stage (an action, a write) for SLA accounting. */
+  def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** SLA report over (task, measured duration, sla) triples. */
+  def slaGate(spark: SparkSession, tasks: Seq[(String, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    tasks.map { case (n, d, s) => (n, d, s, slaStatus(d, s)) }
+      .toDF("task", "duration_sec", "sla_sec", "status")
+  }
+
   /** Data-availability short-circuit (the ShortCircuitOperator twin,
     * `full_pipeline_dag.py:101-127,279-283`): probe passes → RUN, else SKIP
     * the month and exit clean. The probe runs once, driver-side (an HTTP
@@ -75,13 +95,34 @@ object Gates {
         Sources.pathExists(s, s"$dir/__no_such_feed__.parquet")))
       .orderBy("feed")
 
+  /** Two genuinely timed stages under generous SLAs (deterministically OK)
+    * plus one synthetic breach; only the deterministic (task, status)
+    * columns are graded — durations vary run to run. */
+  private val slaGateQ: Q = (s, dir) => {
+    val (_, dScan) = timed(Tables(s, dir).events.agg(count(lit(1))).head())
+    val (_, dDim) = timed(
+      Tables(s, dir).orders.select(to_date(col("o_orderdate"))).distinct().count())
+    slaGate(s, Seq(
+      ("events_scan", dScan, 300.0),
+      ("dim_date_build", dDim, 300.0),
+      ("synthetic_breach", 2.5, 1.0)))
+      .select("task", "status").orderBy("task")
+  }
+
   val entries: Map[String, Q] = Map(
     "q_retention_gate" -> retentionGateQ,
     "q_floor_gate" -> floorGateQ,
     "q_availability_gate" -> availabilityGateQ,
+    "q_sla_gate" -> slaGateQ,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sla_gate" ->
+      """SELECT * FROM (VALUES
+        |  ('dim_date_build', 'OK'), ('events_scan', 'OK'),
+        |  ('synthetic_breach', 'SLA_MISS'))
+        |  AS t(task, status)
+        |ORDER BY task""".stripMargin,
     "q_availability_gate" ->
       """SELECT * FROM (VALUES
         |  ('events', true, 'RUN'), ('missing_feed', false, 'SKIP'))

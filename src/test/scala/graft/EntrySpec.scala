@@ -54,5 +54,7 @@ class EntrySpec extends SparkSpec {
     assert(Gates.retentionStatus(1.0) === "PASS")
     assert(Gates.floorStatus(999) === "FAIL")
     assert(Gates.floorStatus(1000) === "PASS")
+    assert(Gates.slaStatus(1.0, 2.0) === "OK")
+    assert(Gates.slaStatus(2.1, 2.0) === "SLA_MISS")
   }
 }

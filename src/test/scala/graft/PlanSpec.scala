@@ -53,6 +53,20 @@ class PlanSpec extends SparkSpec {
     assert(p.split("hashpartitioning\\(user_id").length >= 3, "both sides clustered by key")
   }
 
+  test("bucketed co-located join has no Exchange on the join key") {
+    val p = plan("j9_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"),
+      "bucketed scan must satisfy the join distribution — shuffle means bucketing was lost")
+  }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val p = plan("range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must go through the bin equi-key")
+  }
+
   test("lang-id evaluates split exactly once (token array materialized)") {
     val p = plan("text_lang_id")
     val n = "split\\(".r.findAllIn(p).length
