@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents labels chains and separate clusters with the min id") {
+    // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds) and a
+    // separate pair 10-11
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("shingleIndex emits distinct word trigrams, none for short docs") {
     val df = Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"
