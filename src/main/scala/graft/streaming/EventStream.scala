@@ -47,6 +47,24 @@ object EventStream {
   def streamingTumbling(events: DataFrame, width: String, watermark: String): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), width)
 
+  /** Stream-stream inner join with event-time bounds: views enriched with
+    * the purchase that followed within `horizon`. Both sides carry
+    * watermarks so the join state is bounded (rows older than watermark +
+    * horizon are evicted) — the streaming twin of the batch range join
+    * ([[graft.operators.RangeJoin]]). Works identically on batch frames;
+    * the streaming path over MemoryStream is exercised in StreamingSpec. */
+  def viewToPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                         horizon: String, watermark: String): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, col("v_user") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String)
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -46,6 +46,15 @@ class EntrySpec extends SparkSpec {
     assert(graft.cli.Main.run(Array.empty) === 1)
   }
 
+  test("CLI analytics and warehouse stages run end-to-end (exit 0)") {
+    assert(graft.cli.Main.run(Array("analytics", "--input", sf001,
+      "--query", "a1_kpi_global", "--output", "target/tmp/cli_e2e")) === 0)
+    assert(spark.read.parquet("target/tmp/cli_e2e/a1_kpi_global").count() === 1)
+    assert(graft.cli.Main.run(Array("warehouse", "--input", sf001,
+      "--output", "target/tmp/cli_e2e_dw")) === 0)
+    assert(spark.read.parquet("target/tmp/cli_e2e_dw/dim_date").count() > 0)
+  }
+
   test("retention gate statuses follow FAIL<0.80<=WARN<0.90<=PASS") {
     assert(Gates.retentionStatus(0.79) === "FAIL")
     assert(Gates.retentionStatus(0.80) === "WARN")

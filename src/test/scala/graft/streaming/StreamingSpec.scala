@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpec {
     assert(ks.toSeq === Seq(1L, 2L))
   }
 
+  test("stream-stream join bounds state with watermarks and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStream.viewToPurchaseJoin(
+      views.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      horizon = "1 HOUR", watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    views.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    purchases.addData(
+      (1L, ts("2024-01-01 10:30:00"), 9.0),  // within horizon -> joins
+      (2L, ts("2024-01-01 12:30:00"), 5.0))  // past horizon -> no join
+    q.processAllAvailable()
+    val out = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    q.stop()
+    assert(out.toSeq === Seq((1L, 9.0)))
+    // same function over batch frames gives the same single match
+    val batch = EventStream.viewToPurchaseJoin(
+      Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+        .toDF("user_id", "ts"),
+      Seq((1L, ts("2024-01-01 10:30:00"), 9.0), (2L, ts("2024-01-01 12:30:00"), 5.0))
+        .toDF("user_id", "ts", "value"),
+      horizon = "1 HOUR", watermark = "2 hours")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(batch.toSeq === Seq((1L, 9.0)))
+  }
+
   test("frame sampling picks every k-th index and handles edge sizes") {
     import graft.operators.Multimodal.sampleFrameIndexes
     assert(sampleFrameIndexes(10, 3) === Seq(0, 3, 6, 9))
