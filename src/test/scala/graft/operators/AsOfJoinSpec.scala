@@ -73,6 +73,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native(15L) === None)
   }
 
+  test("native exec handles string keys (UTF8String buffer reuse) and multi-value carry") {
+    // many interleaved string keys per partition force the exec to hold a
+    // matched key across right-row advances — a stale UTF8String reference
+    // into the reused row buffer would corrupt the comparison
+    val syms = ('a' to 'z').map(_.toString)
+    val quotes = syms.zipWithIndex.flatMap { case (s, i) =>
+      (0 until 5).map(j => (s, ts(f"2024-01-01 ${8 + j}%02d:00:00"), i * 10.0 + j, j.toLong))
+    }.toDF("sym", "ts", "px", "seq")
+    val trades = syms.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s, ts("2024-01-01 10:30:00")) // latest quote at 10:00 -> j=2
+    }.toDF("trade_id", "sym", "ts")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "px", "seq").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val composed = res(AsOfJoin.asOfBackward(trades, quotes, "sym", "ts", Seq("px", "seq")))
+    val native = res(AsOfJoin.asOfBackwardNative(trades, quotes, "sym", "ts", Seq("px", "seq")))
+    assert(native === composed)
+    assert(native.forall(_._3 === 2L), "every trade must see the 10:00 quote (j=2)")
+  }
+
   test("native exec matches composed on the events feed (self-as-of, real data)") {
     val ev = graft.Tables(spark, sf001).events
     import org.apache.spark.sql.functions.col
