@@ -18,7 +18,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "p9_range_limit", "j1_broadcast_dim", "j4_star_join", "t3_topk_rank",
       "a5_two_key_group", "dedup_minhash_pairs", "ann_cosine_topk",
-      "dedup_jaccard_pairs", "w2_running_sum")
+      "dedup_jaccard_pairs", "w2_running_sum",
+      "asof_join_native", "j9_bucketed_join", "range_join_binned")
     val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n########## $n ##########")
