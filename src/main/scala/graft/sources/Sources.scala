@@ -49,6 +49,24 @@ object Sources {
       .mode("overwrite")
       .parquet(path)
 
+  /** Output-file sizing: cap rows per file so a 100-TB write lands as
+    * healthy ~128 MB-ish objects instead of one giant file per task (or a
+    * small-files storm after AQE coalescing). `maxRecordsPerFile` splits
+    * oversize tasks at write time with no extra shuffle; pair with
+    * `repartitionByRange(sortCols)` + `sortWithinPartitions` when parquet
+    * min/max data-skipping on those columns matters downstream. */
+  def sizedWrite(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                 sortCols: Seq[String] = Nil): Unit = {
+    val arranged =
+      if (sortCols.isEmpty) df
+      else df.repartitionByRange(sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    arranged.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val multiPathQ: Q = (s, dir) =>
@@ -107,6 +125,22 @@ object Sources {
       .orderBy("r_regionkey")
   }
 
+  /** S1 — graded retrieval roundtrip: fetch the region file into the raw
+    * zone through [[Retrieval.fetchIfAbsent]] (file:// scheme — the
+    * container has no egress), re-fetch to prove the idempotent skip, then
+    * scan what landed. Oracle = the origin table, so the fetch must be
+    * byte-faithful. */
+  private val retrievalQ: Q = (s, dir) => {
+    val dest = Retrieval.monthPath("target/tmp/rawzone", "region", 2024, 1)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dest))
+    val src = new java.io.File(s"$dir/region.parquet").toURI
+    val first = Retrieval.fetchIfAbsent(src, dest)
+    val second = Retrieval.fetchIfAbsent(src, dest)
+    require(first.isInstanceOf[Retrieval.Fetched], s"expected a fetch, got $first")
+    require(second == Retrieval.Skipped, s"expected idempotent skip, got $second")
+    s.read.parquet(dest).select("r_regionkey", "r_name").orderBy("r_regionkey")
+  }
+
   /** S4 — path-existence probe over the expected table inventory. */
   private val pathProbeQ: Q = (s, dir) => {
     import s.implicits._
@@ -117,6 +151,7 @@ object Sources {
   }
 
   val entries: Map[String, Q] = Map(
+    "s1_retrieval_fetch" -> retrievalQ,
     "s3_multipath_scan" -> multiPathQ,
     "s8_csv_roundtrip" -> csvRoundtripQ,
     "s11_json_roundtrip" -> jsonRoundtripQ,
@@ -126,6 +161,8 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    "s1_retrieval_fetch" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s3_multipath_scan" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

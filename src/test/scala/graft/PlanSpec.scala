@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
     assert(p.split("hashpartitioning\\(user_id").length >= 3, "both sides clustered by key")
   }
 
+  test("partitioned sink read-back prunes partitions on the partition key") {
+    // materialize the year-partitioned layout once, then read one year back
+    SparkEntry.queries("s5_partitioned_sink")(spark, sf001).collect()
+    val read = spark.read
+      .parquet(new java.io.File("target/tmp/pq_orders_by_year").getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("o_year") === 1995)
+    val p = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_year") && pf.contains("1995"),
+      s"expected partition pruning on o_year=1995, got: $pf")
+  }
+
   test("bucketed co-located join has no Exchange on the join key") {
     val p = plan("j9_bucketed_join")
     assert(p.contains("SortMergeJoin"))

@@ -8,6 +8,21 @@ import java.nio.file.{Files, Paths}
 
 class SourcesSpec extends SparkSpec {
 
+  test("sizedWrite caps rows per output file and preserves the data") {
+    val t = graft.Tables(spark, sf001)
+    val out = "target/tmp/sized_orders"
+    Sources.sizedWrite(t.orders, out, maxRecordsPerFile = 500L,
+      sortCols = Seq("o_orderdate"))
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // every file respects the cap, and nothing was lost or duplicated
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 500L, f.getName)
+    }
+    assert(spark.read.parquet(out).count() === t.orders.count())
+  }
+
   test("fetchIfAbsent downloads once and skips on re-run (S1 idempotence)") {
     val src = Files.createTempFile(Paths.get("target"), "src-", ".bin")
     Files.write(src, Array.fill[Byte](1024)(7))
