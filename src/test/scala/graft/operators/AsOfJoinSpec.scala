@@ -93,6 +93,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.forall(_._3 === 2L), "every trade must see the 10:00 quote (j=2)")
   }
 
+  test("native as-of over bucketed tables plans with no exchange on the key") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    val ev = graft.Tables(spark2, sf001).events
+    val wh = spark2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("views_bkt", "purch_bkt").foreach { tbl =>
+      spark2.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+    }
+    ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts").coalesce(1)
+      .write.bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("views_bkt")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase")).coalesce(1)
+      .write.bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("purch_bkt")
+    val native = AsOfJoin.asOfBackwardNative(
+      spark2.table("views_bkt"), spark2.table("purch_bkt"),
+      "user_id", "ts", Seq("last_purchase"))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+    // the write-once/join-many claim: bucketed scans satisfy the exec's
+    // required distribution, so EnsureRequirements inserts NO shuffle
+    assert(!plan.contains("Exchange hashpartitioning(user_id"),
+      s"bucketed inputs must not be re-shuffled:\n${plan.take(1200)}")
+    // and the result matches the composed form on the same data
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "last_purchase").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    val composed = res(AsOfJoin.asOfBackward(
+      ev.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase")),
+      "user_id", "ts", Seq("last_purchase")))
+    assert(res(native) === composed)
+  }
+
   test("native exec matches composed on the events feed (self-as-of, real data)") {
     val ev = graft.Tables(spark, sf001).events
     import org.apache.spark.sql.functions.col
