@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GraftDot, GraftSimHash, MinHashAgg}
+import graft.functions.{GraftDot, GraftRollingHash, GraftSimHash, MinHashAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
       GraftSimHash.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[GraftRollingHash].getName, "graft_rolling_hash"),
+      GraftRollingHash.builder))
     // tier (c): the native as-of join operator (AsOfJoinPlan -> AsOfJoinExec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -138,8 +138,18 @@ object TextOps {
   /** Order-sensitive rolling fingerprint over tokens (brief: "document
     * fingerprinting (rolling hash)"): fold acc = rotl(acc, 5) XOR hash(tok).
     * xxhash64-seeded => engine-local (rows-only); determinism and order
-    * sensitivity are asserted in the suite. */
-  def rollingHash(text: Column): Column =
+    * sensitivity are asserted in the suite. Evaluated by the native
+    * [[GraftRollingHash]] kernel — one JVM loop per row instead of an
+    * interpreted lambda frame per token; bit-equality with the HOF form is
+    * asserted in DedupSpec. */
+  def rollingHash(text: Column): Column = {
+    GraftRollingHash.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_rolling_hash", tokens(text))
+  }
+
+  /** The SQL-HOF twin of [[rollingHash]], kept as the executable spec the
+    * native kernel is tested against. */
+  def rollingHashHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
       (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))).bitwiseXOR(xxhash64(t)))
 

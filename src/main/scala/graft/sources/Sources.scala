@@ -98,6 +98,17 @@ object Sources {
     s.read.schema(schema).json(out).orderBy("s_suppkey")
   }
 
+  /** S12 — ORC sink + source roundtrip (the second columnar format Spark
+    * ships natively; a lakehouse ingests both). Oracle compares the
+    * read-back against the original parquet table, so the roundtrip is
+    * value-faithful across formats. */
+  private val orcRoundtripQ: Q = (s, dir) => {
+    val out = tmpDir("orc_customer")
+    Tables(s, dir).customer.select("c_custkey", "c_name", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("c_custkey")
+  }
+
   /** S5 — partitioned overwrite roundtrip: orders partitioned by year,
     * written twice (idempotence), read back through partition pruning. */
   private val partitionedSinkQ: Q = (s, dir) => {
@@ -155,6 +166,7 @@ object Sources {
     "s3_multipath_scan" -> multiPathQ,
     "s8_csv_roundtrip" -> csvRoundtripQ,
     "s11_json_roundtrip" -> jsonRoundtripQ,
+    "s12_orc_roundtrip" -> orcRoundtripQ,
     "s5_partitioned_sink" -> partitionedSinkQ,
     "s6_jdbc_roundtrip" -> jdbcRoundtripQ,
     "s4_path_probe" -> pathProbeQ, // environment probe => rows-only
@@ -171,6 +183,8 @@ object Sources {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s11_json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "s12_orc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
     "s5_partitioned_sink" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

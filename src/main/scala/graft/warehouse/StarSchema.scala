@@ -61,6 +61,40 @@ object StarSchema {
       .join(existing.select(naturalKey.map(col): _*).distinct(),
         naturalKey, "left_anti")
 
+  /** SCD Type-2 apply: version a dimension instead of overwriting it.
+    * `current` carries (key, attrs, valid_from, valid_to=NULL for the open
+    * version); `changes` carries (key, attrs, effCol). Semantics:
+    *
+    *  - a change whose attrs equal the open version (null-safe) is a no-op
+    *    (idempotent re-delivery of the same snapshot creates no versions);
+    *  - a genuine change closes the open row (valid_to = effective date)
+    *    and appends a new open version;
+    *  - an unseen key just appends its first open version.
+    *
+    * Pure joins on the dimension key — dimensions are small relative to
+    * facts, and at scale this runs as one broadcast/shuffle join pass, the
+    * same cost class as the reference's dim upserts
+    * (`dw_load_incremental.sql:22-32` overwrites and loses history). */
+  def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
+                attrCols: Seq[String], effCol: String): DataFrame = {
+    val open = current.filter(col("valid_to").isNull)
+    val o = open.select(col(key).as("__k") +:
+      attrCols.map(a => col(a).as(s"__o_$a")): _*)
+    val differs = attrCols.map(a => !(col(a) <=> col(s"__o_$a"))).reduce(_ || _)
+    val newVersions = changes.join(o, col(key) === col("__k"), "left")
+      .filter(col("__k").isNull || differs)
+      .select(col(key) +: attrCols.map(col) :+
+        col(effCol).cast(DateType).as("valid_from") :+
+        lit(null).cast(DateType).as("valid_to"): _*)
+    val closing = newVersions.select(col(key).as("__k"), col("valid_from").as("__eff"))
+    val closed = open.join(closing, col(key) === col("__k"))
+      .select((key +: attrCols.map(identity) :+ "valid_from").map(col) :+
+        col("__eff").as("valid_to"): _*)
+    val untouchedOpen = open.join(closing.select(col("__k").as(key)), Seq(key), "left_anti")
+    val history = current.filter(col("valid_to").isNotNull)
+    history.unionByName(untouchedOpen).unionByName(closed).unionByName(newVersions)
+  }
+
   /** Backfill loop: the Airflow `@monthly catchup` twin
     * (full_pipeline_dag.py:82-94) as a plain function — each month is an
     * independent idempotent unit (half-open window + partition overwrite),
@@ -135,9 +169,28 @@ object StarSchema {
       .orderBy("loc_id")
   }
 
+  /** SCD2 over the nation dim: one rename (versions), one identical
+    * re-delivery (suppressed), one new key (first version). */
+  private val scd2Q: Q = (s, dir) => {
+    import s.implicits._
+    val current = Tables(s, dir).nation
+      .select(col("n_nationkey").as("nation_key"), col("n_name").as("name"),
+        col("n_regionkey").as("region_key"),
+        lit("2024-01-01").cast(DateType).as("valid_from"),
+        lit(null).cast(DateType).as("valid_to"))
+    val changes = Seq(
+      (5, "NATION_5_RENAMED", 1, "2024-06-01"),
+      (10, "NATION_10", 0, "2024-06-01"),  // identical to open version
+      (99, "NATION_99", 2, "2024-06-01"),
+    ).toDF("nation_key", "name", "region_key", "eff")
+    scd2Apply(current, changes, "nation_key", Seq("name", "region_key"), "eff")
+      .orderBy("nation_key", "valid_from")
+  }
+
   val entries: Map[String, Q] = Map(
     "j3_time_join" -> j3TimeJoinQ,
     "dim_lookup_enriched" -> dimLookupEnrichedQ,
+    "dim_scd2_apply" -> scd2Q,
     "dim_date_build" -> dimDateQ,
     "dim_time_build" -> dimTimeQ,
     "s9_literal_dim" -> seededDimQ,
@@ -145,6 +198,35 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
+    "dim_scd2_apply" ->
+      """WITH cur AS (
+        |  SELECT n_nationkey AS nation_key, n_name AS name,
+        |         n_regionkey AS region_key,
+        |         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM nation),
+        |chg(nation_key, name, region_key, eff) AS (VALUES
+        |  (5, 'NATION_5_RENAMED', 1, DATE '2024-06-01'),
+        |  (10, 'NATION_10', 0, DATE '2024-06-01'),
+        |  (99, 'NATION_99', 2, DATE '2024-06-01')),
+        |open_v AS (SELECT * FROM cur WHERE valid_to IS NULL),
+        |newv AS (
+        |  SELECT c.nation_key, c.name, c.region_key,
+        |         c.eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM chg c LEFT JOIN open_v o ON c.nation_key = o.nation_key
+        |  WHERE o.nation_key IS NULL
+        |     OR NOT (c.name IS NOT DISTINCT FROM o.name
+        |             AND c.region_key IS NOT DISTINCT FROM o.region_key)),
+        |closed AS (
+        |  SELECT o.nation_key, o.name, o.region_key, o.valid_from,
+        |         n.valid_from AS valid_to
+        |  FROM open_v o JOIN newv n ON o.nation_key = n.nation_key),
+        |untouched AS (
+        |  SELECT o.* FROM open_v o
+        |  WHERE o.nation_key NOT IN (SELECT nation_key FROM newv))
+        |SELECT * FROM untouched
+        |UNION ALL SELECT * FROM closed
+        |UNION ALL SELECT * FROM newv
+        |ORDER BY nation_key, valid_from""".stripMargin,
     "dim_lookup_enriched" ->
       """WITH ids AS (
         |  SELECT c_nationkey AS loc_id FROM customer

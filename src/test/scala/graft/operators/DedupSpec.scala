@@ -75,6 +75,17 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) !== fp(2L)) // reordered tokens change it (rolling, not bag)
   }
 
+  test("native rolling-hash kernel is bit-identical to the HOF form") {
+    import graft.functions.TextOps
+    val docs = Tables(spark, sf001).documents.limit(100)
+    val pairs = docs.select(
+      TextOps.rollingHash($"text").as("native"),
+      TextOps.rollingHashHof($"text").as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a == b })
+  }
+
   test("exact dedup groups: md5 groups count every doc exactly once") {
     val docs = Tables(spark, sf001).documents
     val total = Dedup.exactGroups(docs, "doc_id", "text")

@@ -9,6 +9,32 @@ import org.apache.spark.sql.functions._
 
 class WarehouseSpec extends SparkSpec {
 
+  test("SCD2 apply versions changes, suppresses no-ops, and is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DateType
+    val current = Seq(
+      (1, "alpha", 10), (2, "beta", 20),
+    ).toDF("k", "name", "grp")
+      .withColumn("valid_from", lit("2024-01-01").cast(DateType))
+      .withColumn("valid_to", lit(null).cast(DateType))
+    val changes = Seq(
+      (1, "alpha-v2", 10, "2024-06-01"), // changed -> close + new version
+      (2, "beta", 20, "2024-06-01"),     // identical -> suppressed
+      (3, "gamma", 30, "2024-06-01"),    // new key -> first version
+    ).toDF("k", "name", "grp", "eff")
+    val applied = StarSchema.scd2Apply(current, changes, "k", Seq("name", "grp"), "eff")
+    val rows = applied.orderBy("k", "valid_from").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getDate(4)).map(_.toString)))
+    assert(rows.toSeq === Seq(
+      (1, "alpha", Some("2024-06-01")),   // closed old version
+      (1, "alpha-v2", None),              // new open version
+      (2, "beta", None),                  // untouched (no-op change)
+      (3, "gamma", None)))                // first version of new key
+    // re-delivering the same change batch creates nothing new
+    val again = StarSchema.scd2Apply(applied, changes, "k", Seq("name", "grp"), "eff")
+    assert(again.count() === applied.count())
+  }
+
   test("dim_time keys are consistent between builder and fact-side encoding") {
     val ev = Tables(spark, sf001).events
     val dt = StarSchema.dimTime(ev, "ts")
