@@ -25,7 +25,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Right rows with NULL key or NULL ts can never match and are skipped.
   * Matched-value state is copied (UnsafeRow reuse) only when the right key
-  * equals a key the left side will still emit.
+  * equals a key the left side will still emit. When several right rows
+  * share an exact (key, ts), the last one in sort order wins — the same
+  * "any of the tied rows" contract as DuckDB ASOF; the composed form adds
+  * a payload tiebreak, so outputs can differ only on exact-tie inputs.
   */
 case class AsOfJoinExec(
     leftKey: Attribute,

@@ -137,6 +137,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === Seq((1L, 9.0)))
   }
 
+  test("foreachBatch sink lands micro-batches through the idempotent writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = "target/tmp/febatch_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    // the production sink shape: each micro-batch goes through the same
+    // dynamic-partition-overwrite writer the batch pipeline uses, so a
+    // replayed batch overwrites its own partitions instead of duplicating
+    val q = input.toDF().toDF("ts", "user_id", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.Sources.partitionedOverwrite(
+          batch.withColumn("day", to_date(col("ts"))), outDir, Seq("day"))
+      }.start()
+    input.addData((ts("2024-01-01 10:00:00"), 1L, 5.0), (ts("2024-01-02 10:00:00"), 2L, 7.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-02 11:00:00"), 3L, 9.0)) // same day -> overwrites day=2024-01-02
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir).select("user_id").collect().map(_.getLong(0)).sorted
+    // day 01-01 survives batch 1; day 01-02 holds only batch 2's row
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
   test("frame sampling picks every k-th index and handles edge sizes") {
     import graft.operators.Multimodal.sampleFrameIndexes
     assert(sampleFrameIndexes(10, 3) === Seq(0, 3, 6, 9))
