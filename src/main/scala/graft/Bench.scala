@@ -22,6 +22,7 @@ object Bench {
     "skew_salted_join", "s7_sql_views", "pipeline_clean_ingest",
     "asof_join_backward", "a16_rollup",
     "asof_join_native", "dedup_jaccard_capped", "ann_lsh_topk",
+    "range_join_binned", "j9_bucketed_join",
   )
 
   def main(args: Array[String]): Unit = {
