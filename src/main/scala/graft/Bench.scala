@@ -53,7 +53,7 @@ object Bench {
     // for a 47 s suite because the driver's single pass overlapped host
     // load. One contended execution can no longer pollute the artifact;
     // loadavg is emitted alongside so a reader can judge the host.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
       val times = Seq.newBuilder[Double]
@@ -80,7 +80,10 @@ object Bench {
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     def jmap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val medians = ok.map { case (n, ts) => n -> ts(ts.length / 2) }
+    // lower median: for an even run count this reports the smaller middle
+    // value — never the max (which would re-admit the contention pollution
+    // the repeats exist to remove)
+    val medians = ok.map { case (n, ts) => n -> ts((ts.length - 1) / 2) }
     val mins = ok.map { case (n, ts) => n -> ts.head }
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum

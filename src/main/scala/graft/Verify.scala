@@ -20,9 +20,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Stale-output guard (ADVICE r3): a query that throws must not leave the
     // PREVIOUS run's parquet dump behind for the checker to validate — wipe
-    // the whole outDir so absence == failure.
+    // the whole outDir so absence == failure. Scoped to full sweeps only:
+    // a filtered dev run must not destroy the other queries' dumps.
     val root = Paths.get(outDir)
-    if (Files.exists(root)) {
+    if (nameFilter.isEmpty && Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

@@ -112,8 +112,12 @@ object Main {
       }
       0
     } catch {
-      case e: Throwable =>
-        System.err.println(s"[graft] $cmd failed: ${e.getMessage}"); 1
+      case scala.util.control.NonFatal(e) =>
+        // full diagnostics: getMessage alone is null for NPEs and the
+        // operator of a failed production run needs the trace
+        System.err.println(s"[graft] $cmd failed: $e")
+        e.printStackTrace()
+        1
     }
   }
 }

@@ -28,9 +28,11 @@ case class GraftRollingHash(child: Expression)
     var i = 0
     while (i < n) {
       val tok = arr.getUTF8String(i)
-      if (tok != null) {
-        acc = ((acc << 5) | (acc >>> 59)) ^ XxHash64Function.hash(tok, StringType, 42L)
-      }
+      // bit-parity with the HOF twin for null elements too: SQL xxhash64 of
+      // a null value passes the seed (42) through, so the fold still
+      // rotates and xors — skipping the element entirely would diverge
+      val h = if (tok != null) XxHash64Function.hash(tok, StringType, 42L) else 42L
+      acc = ((acc << 5) | (acc >>> 59)) ^ h
       i += 1
     }
     acc

@@ -205,6 +205,15 @@ object Dedup {
       round += 1
     }
     sym.unpersist()
+    // Wrong labels are worse than a loud failure: an unconverged exit would
+    // silently report one cluster as several. Near-dup graphs are
+    // quasi-cliques (diameter ~1-2); anything deeper than maxRounds is a
+    // pathological input the caller should see.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(graph diameter exceeds the round budget — raise maxRounds)")
+    // NOTE: the returned frame is backed by the final round's cache; a
+    // long-lived session can release it with .unpersist() after consuming.
     labels
   }
 

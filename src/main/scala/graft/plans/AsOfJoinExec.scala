@@ -68,7 +68,12 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val valueProj = UnsafeProjection.create(valueExprs, rOut)
-        val resultProj = UnsafeProjection.create(outAttrs: Seq[Expression], lOut ++ valueAttrs)
+        // bind against NULLABLE value attrs: the null-padded row for
+        // unmatched left rows must be read with isNullAt checks even when
+        // the right column was declared non-nullable (else a long/double
+        // unboxes to 0 and a string NPEs)
+        val resultProj = UnsafeProjection.create(outAttrs: Seq[Expression],
+          lOut ++ valueAttrs.map(_.withNullability(true)))
         val nullValues = new GenericInternalRow(valueAttrs.length)
         val joined = new JoinedRow
         val rBuf = rIter.buffered

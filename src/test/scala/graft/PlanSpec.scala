@@ -91,7 +91,11 @@ class PlanSpec extends SparkSpec {
     // construction are exercised elsewhere; everything lazy is checked here
     val eager = Set("ml_gbt_metrics", "t4_top_errors_labeled", "ann_ivf_topk",
       "pipeline_clean_ingest", "s5_partitioned_sink", "s6_jdbc_roundtrip",
-      "s8_csv_roundtrip", "s11_json_roundtrip", "s4_path_probe")
+      "s8_csv_roundtrip", "s11_json_roundtrip", "s4_path_probe",
+      // round-4 entries that run driver-side actions during construction
+      "ml_batch_inference", "dedup_components", "j9_bucketed_join",
+      "q_sla_gate", "s1_retrieval_fetch", "s12_orc_roundtrip",
+      "dim_lookup_enriched")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a

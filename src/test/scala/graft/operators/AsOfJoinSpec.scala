@@ -93,6 +93,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.forall(_._3 === 2L), "every trade must see the 10:00 quote (j=2)")
   }
 
+  test("native exec returns NULL (not 0) for unmatched rows with non-nullable value columns") {
+    // Seq(...).toDF produces NON-nullable px/seq; an unmatched left row must
+    // still read NULL — a projection bound against the raw nullability
+    // would unbox the null pad to 0.0/0L instead
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0, 7L))
+      .toDF("user_id", "ts", "px", "seq")
+    assert(!quotes.schema("px").nullable, "precondition: non-nullable value column")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 11:00:00")), // matched -> 100.0, 7
+      (11L, 2L, ts("2024-01-01 11:00:00")), // no quotes for key -> NULL, NULL
+    ).toDF("trade_id", "user_id", "ts")
+    val got = AsOfJoin.asOfBackwardNative(trades, quotes, "user_id", "ts", Seq("px", "seq"))
+      .select("trade_id", "px", "seq").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (10L, Some(100.0), Some(7L)),
+      (11L, None, None)))
+  }
+
   test("native as-of over bucketed tables plans with no exchange on the key") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
