@@ -158,6 +158,83 @@ object TextOps {
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** Heavy-hitter tokens by document frequency: tokens present in at least
+    * `minDocShare` of all docs — the boilerplate/stopword-mining pass of a
+    * corpus pipeline. One explode + one groupBy on the token: at 100 TB this
+    * is a single hash shuffle with map-side partial counts; the output is
+    * tiny by construction. */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   minDocShare: Double): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("__n") * minDocShare)
+      .select(col("token"), col("df"))
+  }
+
+  private val heavyHittersQ: Q = (s, dir) =>
+    heavyHitters(Tables(s, dir).documents, "doc_id", "text", 0.2)
+      .orderBy(desc("df"), asc("token"))
+
+  /** Per-document top-k tokens by TF-IDF (tf * ln(N/df)) — the salience
+    * scoring stage of a keyword-extraction / dedup-explain pipeline. Both
+    * aggregations and the final window are keyed (doc_id, token) resp.
+    * doc_id, so every stage is hash-partitionable; the doc-frequency side is
+    * corpus-wide but collapses to one row per distinct token. Ranking uses
+    * the ROUNDED score so the order is stable against last-ulp `ln`
+    * differences across engines. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast(DoubleType) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+  }
+
+  private val tfidfQ: Q = (s, dir) =>
+    tfidfTopK(Tables(s, dir).documents, "doc_id", "text", 3)
+      .orderBy("doc_id", "rank")
+
+  /** Deterministic text normalization (the cleanup step before shingling /
+    * fingerprinting): lower-case, strip everything outside [a-z0-9 ],
+    * collapse runs of spaces, trim. Pure per-row codegen'd projection. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  private val normalizeQ: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), normalize(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+
+  /** Corpus bigram frequencies, top `limit` by (count desc, bigram asc) —
+    * the n-gram LM / collocation table. Non-distinct within a doc (unlike
+    * the dedup shingle index): frequency is the point. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = col("__toks")
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    ).otherwise(array())
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .select(explode(grams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+  }
+
+  private val bigramQ: Q = (s, dir) =>
+    bigramCounts(Tables(s, dir).documents, "text")
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
@@ -165,6 +242,10 @@ object TextOps {
     "text_lang_id" -> langIdQ,
     "text_bpe_tokens" -> bpeTokensQ,
     "text_rolling_hash" -> rollingHashQ, // xxhash64-based => rows-only
+    "text_heavy_hitters" -> heavyHittersQ,
+    "text_tfidf_topk" -> tfidfQ,
+    "text_normalize" -> normalizeQ,
+    "text_bigram_freq" -> bigramQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -217,5 +298,44 @@ object TextOps {
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
         |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS df FROM tok
+        |GROUP BY token
+        |HAVING count(*) >= 0.2 * (SELECT count(*) FROM documents)
+        |ORDER BY df DESC, token""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |         round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, token) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                           ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bigram_freq" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |                               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |  FROM tok WHERE len(ts) >= 2)
+        |SELECT bigram, count(*) AS n FROM grams
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
   )
 }

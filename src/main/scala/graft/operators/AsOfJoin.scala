@@ -34,7 +34,20 @@ object AsOfJoin {
     * @param tsCol     event-time column (same name both sides)
     * @param valueCols right-side value columns to attach to left rows */
   def asOfBackward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-                   valueCols: Seq[String]): DataFrame = {
+                   valueCols: Seq[String]): DataFrame =
+    asOfComposed(left, right, key, tsCol, valueCols, backward = true)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the same key group (next-event lookup —
+    * time-to-conversion features, next-maintenance windows). Same one
+    * shuffle + one sort shape with the window frame reversed. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                  valueCols: Seq[String]): DataFrame =
+    asOfComposed(left, right, key, tsCol, valueCols, backward = false)
+
+  private def asOfComposed(left: DataFrame, right: DataFrame, key: String,
+                           tsCol: String, valueCols: Seq[String],
+                           backward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
     // ADVICE r3: carrying raw values with last(v, ignoreNulls) skips a right
@@ -44,24 +57,34 @@ object AsOfJoin {
     // "matched row with NULL value" (struct present, field null).
     val payloadType = StructType(StructField("__m", IntegerType, nullable = false) +:
       valueCols.map(v => StructField(v, right.schema(v).dataType)))
-    val l = left.withColumn("__tag", lit(1))
+    // Tag order at equal ts: backward wants the right row BEFORE the left
+    // row in the sort (inclusive <=); forward wants the left row first so
+    // the current-row..following frame still sees an equal-ts right row
+    // (inclusive >=).
+    val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
+    val l = left.withColumn("__tag", lit(lTag))
       .withColumn("__p", lit(null).cast(payloadType))
     val r = leftCols.filterNot(c => c == key || c == tsCol)
       .foldLeft(right.select((key +: tsCol +: valueCols).map(col): _*)
-        .withColumn("__tag", lit(0))
+        .withColumn("__tag", lit(rTag))
         .withColumn("__p", struct(lit(1).as("__m") +: valueCols.map(col): _*))
         .drop(valueCols: _*)) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     val unioned = l.select((leftCols :+ "__tag" :+ "__p").map(col): _*)
       .unionByName(r.select((leftCols :+ "__tag" :+ "__p").map(col): _*))
-    // Ordering (ts, tag, payload): tag puts an equal-ts right row BEFORE the
-    // left row (inclusive <= semantics); the payload tiebreak makes the
-    // matched-row choice deterministic when right rows share (key, ts).
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), col("__p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
-    carried.filter(col("__tag") === 1)
+    // Ordering (ts, tag, payload): the payload tiebreak makes the matched-row
+    // choice deterministic when right rows share (key, ts).
+    val w0 = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), col("__p"))
+    val (w, pick) =
+      if (backward)
+        (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__p"), ignoreNulls = true))
+      else
+        (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__p"), ignoreNulls = true))
+    val carried = unioned.withColumn("__c", pick.over(w))
+    carried.filter(col("__tag") === lTag)
       .select(leftCols.map(col) ++
         valueCols.map(v => col("__c").getField(v).as(v)): _*)
   }
@@ -120,9 +143,22 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Next purchase at or after each view — the forward twin. */
+  private val asOfForwardQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("next_purchase"))
+    asOfForward(views, purchases, "user_id", "ts", Seq("next_purchase"))
+      .select("event_id", "user_id", "next_purchase")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "asof_join_backward" -> asOfQ,
     "asof_join_native" -> asOfNativeQ,
+    "asof_join_forward" -> asOfForwardQ,
   )
 
   private val asOfOracle =
@@ -136,5 +172,12 @@ object AsOfJoin {
   val oracles: Map[String, String] = Map(
     "asof_join_backward" -> asOfOracle,
     "asof_join_native" -> asOfOracle,
+    "asof_join_forward" ->
+      """SELECT v.event_id, v.user_id, p.value AS next_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts
+        |ORDER BY v.event_id""".stripMargin,
   )
 }

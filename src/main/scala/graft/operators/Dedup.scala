@@ -64,7 +64,9 @@ object Dedup {
       case Some(cap) =>
         val rare = index.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("shingle")
-        index.join(rare, "shingle")
+        // the capped index feeds both self-join sides AND sizes: persist it,
+        // or the doc-frequency aggregation + filter-join re-runs 3x
+        index.join(rare, "shingle").persist()
       case None => index
     }
     val a = idx.select(col("id").as("id_a"), col("shingle"))
@@ -269,6 +271,17 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
 
+  /** Cluster-collapse accounting: per duplicate cluster, member count and
+    * how many docs a keep-one policy removes (the cluster label is already
+    * the canonical min doc id). The follow-on aggregation is keyed by the
+    * component label — one more hash shuffle of (cluster, 1) pairs. */
+  private val clusterStatsQ: Q = (s, dir) =>
+    connectedComponents(
+      jaccardPairs(shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(), 0.8))
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"), (count(lit(1)) - 1).as("n_removable"))
+      .orderBy("component")
+
   val entries: Map[String, Q] = Map(
     "dedup_exact_groups" -> exactGroupsQ,
     "dedup_exact_keep_first" -> exactKeepFirstQ,
@@ -278,6 +291,7 @@ object Dedup {
     "dedup_simhash" -> simhashQ,         // xxhash64 is Spark-specific => rows-only
     "dedup_simhash_pairs" -> simhashPairsQ, // rows-only
     "dedup_components" -> componentsQ,
+    "dedup_cluster_stats" -> clusterStatsQ,
   )
 
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
@@ -313,8 +327,9 @@ object Dedup {
   }
 
   /** Transitive closure in SQL (recursive CTE) over the same 0.8-Jaccard
-    * pair list — the oracle twin of the iterative label propagation. */
-  private val componentsOracle: String =
+    * pair list — the oracle twin of the iterative label propagation. Shared
+    * CTE prefix; two final selects (per-doc labels / per-cluster stats). */
+  private val componentsCte: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |sh AS (
@@ -337,12 +352,21 @@ object Dedup {
       |reach(id, label) AS (
       |  SELECT id, id FROM nodes
       |  UNION
-      |  SELECT s.id_a, r.label FROM sym s JOIN reach r ON s.id_b = r.id)
-      |SELECT id AS doc_id, min(label) AS component
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT s.id_a, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+      |lab AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private val componentsOracle: String =
+    s"""$componentsCte
+       |SELECT id AS doc_id, component FROM lab ORDER BY doc_id""".stripMargin
+
+  private val clusterStatsOracle: String =
+    s"""$componentsCte
+       |SELECT component, count(*) AS n_docs, count(*) - 1 AS n_removable
+       |FROM lab GROUP BY 1 ORDER BY component""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> componentsOracle,
+    "dedup_cluster_stats" -> clusterStatsOracle,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |       min(doc_id) AS keeper_id

@@ -188,6 +188,21 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-label centroid (prototype) vectors in long form (label, pos, m) —
+    * the class-prototype / cluster-summary aggregation of an embedding
+    * pipeline (nearest-centroid classification, drift monitoring, IVF
+    * seeding). posexplode keys the shuffle by (label, dimension): at 100 TB
+    * this is ONE hash shuffle of rows×dim scalars with map-side partial
+    * aggregation, never a driver-side vector. The per-dimension mean runs
+    * through a DECIMAL sum (the Ops.dsum discipline) so the result is
+    * independent of row order — a double sum would drift between engines. */
+  def labelCentroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    corpus.select(col(labelCol).as("label"),
+        posexplode(toDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("v").cast(DecimalType(30, 15))).cast(DoubleType)
+        / count(lit(1)), 6).as("m"))
+
   // ---------------------------------------------------------------- entries
 
   private val bruteTopK: Q = (s, dir) => {
@@ -214,11 +229,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val centroidsQ: Q = (s, dir) =>
+    labelCentroids(Tables(s, dir).embeddings, "label", "embedding")
+      .orderBy("label", "pos")
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
     "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
     "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
+    "emb_label_centroids" -> centroidsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +255,15 @@ object Similarity {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "emb_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |       round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
+        |             / count(*), 6) AS m
+        |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
   )
 }

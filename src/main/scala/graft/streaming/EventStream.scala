@@ -65,6 +65,18 @@ object EventStream {
       col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    * streaming twin of [[graft.operators.Dedup.exactGroups]]. Unlike plain
+    * `dropDuplicates`, the per-key state is EVICTED once the watermark
+    * passes it, so state stays bounded on an unbounded stream — the only
+    * formulation that survives at 100 TB/day ingest. Batch-checked against
+    * dropDuplicates and stream-exercised over MemoryStream in the suite. */
+  def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
+                     keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class UserEvent(user_id: Long, event_type: String)
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -92,9 +92,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup with watermark drops in-stream duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
-    val deduped = input.toDF().toDF("ts", "k")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("k")
+    val deduped = EventStream.streamingDedup(
+      input.toDF().toDF("ts", "k"), "ts", "1 hour", Seq("k"))
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("stream_dedup").start()
     input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L),
