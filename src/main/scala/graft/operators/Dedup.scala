@@ -50,6 +50,18 @@ object Dedup {
   private def sizes(index: DataFrame): DataFrame =
     index.groupBy("id").agg(count(lit(1)).as("sz"))
 
+  /** Shared scoring tail: (id_a, id_b, common) + per-doc sizes -> thresholded
+    * jaccard pairs. */
+  private def scorePairs(common: DataFrame, sz: DataFrame,
+                         threshold: Double): DataFrame =
+    common
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
   /** Exact pairwise Jaccard >= threshold via the inverted index:
     * self-join on shingle (id_a < id_b), count common shingles, join sizes.
     * At scale, ultra-common shingles dominate the join — cap with
@@ -73,14 +85,28 @@ object Dedup {
     val b = idx.select(col("id").as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val sz = sizes(idx)
-    common
-      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    scorePairs(common, sizes(idx), threshold)
+  }
+
+  /** Incremental exact-Jaccard dedup: pairs involving at least one NEW doc
+    * (those matching `batchPred` over the `id` column) — the production
+    * shape for a corpus that grows by batches. The inverted-index self-join
+    * becomes full-index ⋈ batch-index: cost |idx_batch|-proportional instead
+    * of |idx_full|² — at 100 TB the corpus side is never re-paired against
+    * itself, only probed by the day's increment. Batch-batch pairs surface
+    * twice (once per orientation), so candidates are normalized to
+    * (min, max) and de-duplicated before counting. */
+  def jaccardPairsIncremental(index: DataFrame, batchPred: Column,
+                              threshold: Double): DataFrame = {
+    val a = index.select(col("id").as("id_a"), col("shingle"))
+    val b = index.filter(batchPred).select(col("id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("shingle"))
+      .distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    scorePairs(common, sizes(index), threshold)
   }
 
   /** MinHash signatures: k min-hashes per doc from the rotl-xor family
@@ -130,14 +156,7 @@ object Dedup {
     val b = index.select(col("id").as("id_b"), col("shingle"))
     val common = cand.join(a, "id_a").join(b, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val sz = sizes(index)
-    common
-      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    scorePairs(common, sizes(index), threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
@@ -251,6 +270,15 @@ object Dedup {
     minhashDedupPairs(Tables(s, dir).documents, "doc_id", "text", 0.8)
       .orderBy("id_a", "id_b")
 
+  /** "New batch" = every 5th doc (sf-independent 20% slice): all duplicate
+    * pairs touching the batch, without re-pairing the corpus against
+    * itself. */
+  private val jaccardIncrementalQ: Q = (s, dir) =>
+    jaccardPairsIncremental(
+      shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(),
+      col("id") % 5 === 0, 0.8)
+      .orderBy("id_a", "id_b")
+
   private val simhashQ: Q = (s, dir) => {
     graft.functions.GraftSimHash.register(s)
     Tables(s, dir).documents
@@ -292,12 +320,14 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsQ, // rows-only
     "dedup_components" -> componentsQ,
     "dedup_cluster_stats" -> clusterStatsQ,
+    "dedup_jaccard_incremental" -> jaccardIncrementalQ,
   )
 
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
     * With a doc-frequency cap, the capped index feeds BOTH pair counts and
     * sizes — the same rare-shingle-set semantics as [[jaccardPairs]]. */
-  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int] = None): String = {
+  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int] = None,
+                            pairPred: String = ""): String = {
     val capFilter = maxDocFreq.map(cap =>
       s"""capped AS (
          |  SELECT sh.* FROM sh JOIN (
@@ -322,7 +352,7 @@ object Dedup {
        |FROM pairs
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= $threshold
+       |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= $threshold$pairPred
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -377,5 +407,7 @@ object Dedup {
     "dedup_jaccard_pairs" -> jaccardOracle(0.8),
     "dedup_jaccard_capped" -> jaccardOracle(0.8, maxDocFreq = Some(JaccardCap)),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
+    "dedup_jaccard_incremental" ->
+      jaccardOracle(0.8, pairPred = " AND (id_a % 5 = 0 OR id_b % 5 = 0)"),
   )
 }

@@ -53,6 +53,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental jaccard equals full pairs restricted to the batch slice") {
+    val idx = Dedup.shingleIndex(Tables(spark, sf001).documents, "doc_id", "text").persist()
+    val batch = col("id") % 5 === 0
+    val inc = Dedup.jaccardPairsIncremental(idx, batch, 0.8)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = Dedup.jaccardPairs(idx, 0.8)
+      .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    idx.unpersist()
+    assert(inc.nonEmpty && inc.toSeq === full.toSeq)
+  }
+
   test("simhash is deterministic and near-identical docs collide within hamming 3") {
     graft.functions.GraftSimHash.register(spark)
     val df = Seq(
