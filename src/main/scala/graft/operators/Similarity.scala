@@ -203,6 +203,24 @@ object Similarity {
       .agg(round(sum(col("v").cast(DecimalType(30, 15))).cast(DoubleType)
         / count(lit(1)), 6).as("m"))
 
+  /** Symmetric int8 scalar quantization in long form (vec_id, pos, q,
+    * scale): per-vector scale = max|v|/127, q = round(v/scale) ∈ [-127,127]
+    * — the storage-compression step of an embedding pipeline (4x smaller
+    * than float32, reconstruction v̂ = q·scale with |v−v̂| ≤ scale/2).
+    * Integer output keeps the cross-engine comparison exact; the scale is
+    * materialized once per row before the per-element transform (the HOF
+    * multi-reference discipline). Zero vectors quantize to all-zero. */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .withColumn("__v", toDouble(col(vecCol)))
+      .withColumn("__s", array_max(transform(col("__v"), v => abs(v))) / 127.0)
+      .select(col(idCol).as("vec_id"),
+        posexplode(transform(col("__v"),
+          v => when(col("__s") === 0.0, lit(0))
+            .otherwise(round(v / col("__s")).cast(IntegerType)))).as(Seq("pos", "q")),
+        round(col("__s"), 6).as("scale"))
+      .select("vec_id", "pos", "q", "scale")
+
   // ---------------------------------------------------------------- entries
 
   private val bruteTopK: Q = (s, dir) => {
@@ -233,12 +251,17 @@ object Similarity {
     labelCentroids(Tables(s, dir).embeddings, "label", "embedding")
       .orderBy("label", "pos")
 
+  private val quantizeQ: Q = (s, dir) =>
+    quantizeInt8(Tables(s, dir).embeddings, "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
     "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
     "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
     "emb_label_centroids" -> centroidsQ,
+    "emb_quantize_int8" -> quantizeQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -265,5 +288,15 @@ object Similarity {
         |       round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
         |             / count(*), 6) AS m
         |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS s
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
+        |       CAST(CASE WHEN s = 0 THEN 0 ELSE round(unnest(v) / s) END AS INT) AS q,
+        |       round(s, 6) AS scale
+        |FROM e ORDER BY vec_id, pos""".stripMargin,
   )
 }

@@ -19,6 +19,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(c => math.abs(c - 0.6) < 1e-12) === 2)
   }
 
+  test("int8 quantization stays in range and reconstructs within scale/2") {
+    val e = Tables(spark, sf001).embeddings
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    // recompute the exact (unrounded) scale: the emitted one is rounded to
+    // 6 decimals for the oracle, which shifts q*scale by up to 127*5e-7
+    val exact = e
+      .withColumn("__v", Similarity.toDouble(col("embedding")))
+      .withColumn("s_exact", array_max(transform(col("__v"), v => abs(v))) / 127.0)
+      .select(col("vec_id"), col("s_exact"),
+        posexplode(col("__v")).as(Seq("pos", "v")))
+    val joined = q.join(exact, Seq("vec_id", "pos"))
+    val bad = joined.filter(
+      abs(col("q")) > 127 ||
+        abs(col("v") - col("q") * col("s_exact")) > col("s_exact") / 2 + 1e-9).count()
+    assert(bad === 0)
+    // a max-magnitude element must hit ±127 (symmetric scale is tight)
+    assert(q.filter(abs(col("q")) === 127).count() > 0)
+  }
+
+  test("per-label centroids average in long form: centroid of one label is exact") {
+    val df = Seq(
+      (1L, Seq(1.0f, 3.0f), 7), (2L, Seq(3.0f, 5.0f), 7), (3L, Seq(10.0f, 0.0f), 8),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((7, 0, 2.0), (7, 1, 4.0), (8, 0, 10.0), (8, 1, 0.0)))
+  }
+
   test("brute-force top-k returns k ranked neighbors per query, no self-match") {
     val e = Tables(spark, sf001).embeddings
     val topk = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
