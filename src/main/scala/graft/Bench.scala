@@ -24,7 +24,7 @@ object Bench {
     "asof_join_native", "dedup_jaccard_capped", "ann_lsh_topk",
     "range_join_binned", "j9_bucketed_join",
     "text_tfidf_topk", "text_heavy_hitters", "text_bigram_freq",
-    "dedup_components",
+    "dedup_components", "dedup_jaccard_incremental", "emb_quantize_int8",
   )
 
   def main(args: Array[String]): Unit = {

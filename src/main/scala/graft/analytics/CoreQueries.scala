@@ -498,6 +498,18 @@ object CoreQueries {
       .orderBy("part")
   }
 
+  /** R3+ — seeded stratified sample (`sampleBy`): per-stratum Bernoulli
+    * fractions, the class-rebalancing sampler of a training-data pipeline
+    * (down-sample the dominant class, keep the rare one). Seed semantics
+    * are engine-specific => rows-only; the per-stratum proportions are
+    * asserted in the suite. Scale: a single filtered scan — the stratum
+    * fraction is applied per-row with no shuffle at all. */
+  private val r3Stratified: Q = (s, dir) =>
+    Tables(s, dir).orders.stat.sampleBy("o_orderpriority",
+      Map("1-URGENT" -> 0.5, "3-MEDIUM" -> 0.1, "5-LOW" -> 0.02), seed = 42L)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   // ---------------------------------------------------------------- registry
 
   val entries: Map[String, Q] = Map(
@@ -545,6 +557,7 @@ object CoreQueries {
     "f5_string_funcs" -> f5StringFuncs,
     "r1_sample" -> r1Sample,
     "r2_split" -> r2Split,
+    "r3_stratified_sample" -> r3Stratified,
   )
 
   /** DuckDB oracle SQL per entry. Sums go through DECIMAL in lockstep with

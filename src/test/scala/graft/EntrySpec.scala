@@ -41,6 +41,21 @@ class EntrySpec extends SparkSpec {
     assert(s("max").toDouble === typed.getAs[Double]("max_v"))
   }
 
+  test("stratified sample honors per-stratum fractions and drops unlisted strata") {
+    val orders = Tables(spark, sf001).orders
+    val totals = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("r3_stratified_sample")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet === Set("1-URGENT", "3-MEDIUM", "5-LOW"))
+    val expected = Map("1-URGENT" -> 0.5, "3-MEDIUM" -> 0.1, "5-LOW" -> 0.02)
+    expected.foreach { case (k, f) =>
+      val exp = totals(k) * f
+      assert(sampled(k) > exp * 0.4 && sampled(k) < exp * 1.9,
+        s"$k: got ${sampled(k)}, expected ~$exp")
+    }
+  }
+
   test("CLI availability short-circuit: missing input exits 2, bad command exits 1") {
     assert(graft.cli.Main.run(Array("analytics", "--input", "/root/testdata/__absent__")) === 2)
     assert(graft.cli.Main.run(Array("frobnicate", "--input", sf001)) === 1)
