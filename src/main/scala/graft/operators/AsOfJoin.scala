@@ -96,7 +96,17 @@ object AsOfJoin {
     * an O(1)-state streaming merge — vs the composed form's union
     * materialization and window buffer. Same DuckDB ASOF oracle. */
   def asOfBackwardNative(left: DataFrame, right: DataFrame, key: String,
-                         tsCol: String, valueCols: Seq[String]): DataFrame = {
+                         tsCol: String, valueCols: Seq[String]): DataFrame =
+    asOfNative(left, right, key, tsCol, valueCols, backward = true)
+
+  /** Forward twin of [[asOfBackwardNative]] — same exec, reversed lookup. */
+  def asOfForwardNative(left: DataFrame, right: DataFrame, key: String,
+                        tsCol: String, valueCols: Seq[String]): DataFrame =
+    asOfNative(left, right, key, tsCol, valueCols, backward = false)
+
+  private def asOfNative(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String, valueCols: Seq[String],
+                         backward: Boolean): DataFrame = {
     val spark = left.sparkSession
     org.apache.spark.sql.graft.PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     // re-alias every right column: left and right often derive from the SAME
@@ -112,7 +122,7 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(lPlan, tsCol),
       attr(rPlan, key), attr(rPlan, tsCol),
-      valueCols.map(attr(rPlan, _)))
+      valueCols.map(attr(rPlan, _)), backward)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
   }
 
@@ -155,10 +165,23 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Forward lookup through the native exec — same forward oracle. */
+  private val asOfForwardNativeQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("next_purchase"))
+    asOfForwardNative(views, purchases, "user_id", "ts", Seq("next_purchase"))
+      .select("event_id", "user_id", "next_purchase")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "asof_join_backward" -> asOfQ,
     "asof_join_native" -> asOfNativeQ,
     "asof_join_forward" -> asOfForwardQ,
+    "asof_join_forward_native" -> asOfForwardNativeQ,
   )
 
   private val asOfOracle =
@@ -169,15 +192,18 @@ object AsOfJoin {
       |  ON v.user_id = p.user_id AND v.ts >= p.ts
       |ORDER BY v.event_id""".stripMargin
 
+  private val asOfForwardOracle =
+    """SELECT v.event_id, v.user_id, p.value AS next_purchase
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND v.ts <= p.ts
+      |ORDER BY v.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "asof_join_backward" -> asOfOracle,
     "asof_join_native" -> asOfOracle,
-    "asof_join_forward" ->
-      """SELECT v.event_id, v.user_id, p.value AS next_purchase
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
-        |ASOF LEFT JOIN
-        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-        |  ON v.user_id = p.user_id AND v.ts <= p.ts
-        |ORDER BY v.event_id""".stripMargin,
+    "asof_join_forward" -> asOfForwardOracle,
+    "asof_join_forward_native" -> asOfForwardOracle,
   )
 }

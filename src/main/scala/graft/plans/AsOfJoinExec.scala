@@ -26,9 +26,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Right rows with NULL key or NULL ts can never match and are skipped.
   * Matched-value state is copied (UnsafeRow reuse) only when the right key
   * equals a key the left side will still emit. When several right rows
-  * share an exact (key, ts), the last one in sort order wins — the same
-  * "any of the tied rows" contract as DuckDB ASOF; the composed form adds
-  * a payload tiebreak, so outputs can differ only on exact-tie inputs.
+  * share an exact (key, ts), the last one in sort order wins backward and
+  * the first one forward — the same "any of the tied rows" contract as
+  * DuckDB ASOF; the composed form adds a payload tiebreak, so outputs can
+  * differ only on exact-tie inputs.
+  *
+  * `backward = false` flips the lookup to the EARLIEST right row with
+  * `right.ts >= left.ts`: dead right rows (behind the ascending left
+  * cursor) are discarded, and the match is the un-consumed stream head —
+  * still one forward pass, still O(1) state.
   */
 case class AsOfJoinExec(
     leftKey: Attribute,
@@ -36,6 +42,7 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     rightTs: Attribute,
     valueAttrs: Seq[Attribute],
+    backward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -82,8 +89,8 @@ case class AsOfJoinExec(
         var matchedKey: Any = null
         var matchedValues: InternalRow = null
 
-        // consume right rows with (rk < k) or (rk == k && rt <= t); left keys
-        // ascend, so consumed rows of smaller keys are dead forever
+        // BACKWARD: consume right rows with (rk < k) or (rk == k && rt <= t);
+        // left keys ascend, so consumed rows of smaller keys are dead forever
         def advance(k: Any, t: Any): Unit = {
           var done = false
           while (!done && rBuf.hasNext) {
@@ -103,14 +110,40 @@ case class AsOfJoinExec(
           }
         }
 
+        // FORWARD: discard right rows that can never match this or any later
+        // left row ((rk < k), or (rk == k && rt < t) — later left rows only
+        // have larger t); the match, if any, is then the UNCONSUMED head
+        // (a future left row with a smaller-or-equal ts may match it too).
+        def discardDead(k: Any, t: Any): Unit = {
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val rt = rTsB.eval(head)
+            if (rk == null || rt == null) { rBuf.next(); () }
+            else {
+              val c = keyOrd.compare(rk, k)
+              if (c < 0 || (c == 0 && tsOrd.compare(rt, t) < 0)) { rBuf.next(); () }
+              else done = true
+            }
+          }
+        }
+
         lIter.map { l =>
           val k = lKeyB.eval(l)
           val t = lTsB.eval(l)
           val values =
             if (k == null || t == null) nullValues
-            else {
+            else if (backward) {
               advance(k, t)
               if (matchedKey != null && keyOrd.compare(matchedKey, k) == 0) matchedValues
+              else nullValues
+            } else {
+              discardDead(k, t)
+              if (rBuf.hasNext && {
+                val rk = rKeyB.eval(rBuf.head)
+                rk != null && keyOrd.compare(rk, k) == 0
+              }) valueProj(rBuf.head)
               else nullValues
             }
           resultProj(joined(l, values))
@@ -128,7 +161,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.valueAttrs,
-        planLater(p.left), planLater(p.right)) :: Nil
+        p.backward, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }

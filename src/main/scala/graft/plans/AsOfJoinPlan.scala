@@ -3,8 +3,10 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
-/** Logical backward as-of join: for each left row, attach `valueAttrs` from
-  * the latest right row with the same key and `right.ts <= left.ts`.
+/** Logical as-of join: for each left row, attach `valueAttrs` from the
+  * latest right row with the same key and `right.ts <= left.ts` (backward,
+  * the default) or the earliest right row with `right.ts >= left.ts`
+  * (forward — next-event lookup).
   *
   * This is the builder brief's tier (c): an operator Spark lacks, expressed
   * as a first-class plan node (this file) + a planner strategy + a physical
@@ -26,7 +28,8 @@ case class AsOfJoinPlan(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    valueAttrs: Seq[Attribute])
+    valueAttrs: Seq[Attribute],
+    backward: Boolean = true)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =

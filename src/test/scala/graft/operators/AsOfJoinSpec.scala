@@ -73,6 +73,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native(15L) === None)
   }
 
+  test("forward as-of picks earliest right row at-or-after, composed == native") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double]),
+      (1L, ts("2024-01-01 12:00:00"), Some(120.0)),
+      (2L, ts("2024-01-01 11:00:00"), Some(200.0)),
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")), // -> earliest future = 100
+      (11L, 1L, ts("2024-01-01 11:00:00")), // equal ts inclusive -> NULL-valued match
+      (12L, 1L, ts("2024-01-01 11:30:00")), // -> 120
+      (13L, 1L, ts("2024-01-01 13:00:00")), // nothing after -> null
+      (14L, 2L, ts("2024-01-01 10:00:00")), // other key -> 200
+      (15L, 3L, ts("2024-01-01 10:00:00")), // no quotes for key -> null
+    ).toDF("trade_id", "user_id", "ts")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val expected = Map(
+      10L -> Some(100.0), 11L -> None, 12L -> Some(120.0),
+      13L -> None, 14L -> Some(200.0), 15L -> None)
+    assert(res(AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", Seq("px"))) === expected)
+    assert(res(AsOfJoin.asOfForwardNative(trades, quotes, "user_id", "ts", Seq("px"))) === expected)
+  }
+
+  test("forward native matches composed on the events feed (self-as-of, real data)") {
+    val ev = graft.Tables(spark, sf001).events
+    val views = ev.filter($"event_type" === "view").select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("nxt"))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "nxt").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val composed = res(AsOfJoin.asOfForward(views, purchases, "user_id", "ts", Seq("nxt")))
+    val native = res(AsOfJoin.asOfForwardNative(views, purchases, "user_id", "ts", Seq("nxt")))
+    assert(native.nonEmpty && native === composed)
+  }
+
   test("native exec handles string keys (UTF8String buffer reuse) and multi-value carry") {
     // many interleaved string keys per partition force the exec to hold a
     // matched key across right-row advances — a stale UTF8String reference
