@@ -95,6 +95,61 @@ object EventStream {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n: Long)
+  // public: the state Encoder's generated code constructs it reflectively
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Sessionizer with EVENT-TIME TIMEOUT: per-user sessions close and emit
+    * when the WATERMARK passes session_end + gap — the state machine form of
+    * [[sessionAgg]] for unbounded streams. `session_window` already covers
+    * the built-in path; this is the `flatMapGroupsWithState` escape hatch
+    * for semantics the built-ins can't express (e.g. emit-on-close side
+    * effects, session caps), with state eviction tied to the watermark so
+    * it stays bounded. Within a micro-batch events may arrive unordered;
+    * they are sorted per (user, batch) — cross-batch disorder beyond the
+    * watermark is dropped upstream by `withWatermark`. */
+  def timeoutSessions(events: Dataset[SessionEvent], gap: String,
+                      watermark: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val evs = batch.map(_.ts.getTime).toArray.sorted
+            var completed = List.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  completed ::= SessionOut(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            completed.reverseIterator
+          }
+      }
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val tumblingQ: Q = (s, dir) =>

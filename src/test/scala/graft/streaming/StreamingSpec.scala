@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSpec {
     assert(ks.toSeq === Seq(1L, 2L))
   }
 
+  test("event-time-timeout sessionizer emits sessions closed by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.timeoutSessions(input.toDS(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sessions").start()
+    // user 1: two events 10 min apart (one session); user 2: one event
+    input.addData(
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:00:00")),
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:10:00")),
+      EventStream.SessionEvent(2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // nothing closed yet: watermark still behind session_end + gap
+    assert(spark.table("timeout_sessions").count() === 0)
+    // an event far in the future advances the watermark past both sessions
+    input.addData(EventStream.SessionEvent(3L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // one more batch so the timeout fires after the watermark update
+    input.addData(EventStream.SessionEvent(3L, ts("2024-01-01 13:01:00")))
+    q.processAllAvailable()
+    val out = spark.table("timeout_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(_._1)
+    q.stop()
+    assert(out.toSeq === Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+      (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L)))
+  }
+
   test("stream-stream join bounds state with watermarks and matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp)]
