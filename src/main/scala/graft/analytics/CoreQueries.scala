@@ -472,6 +472,21 @@ object CoreQueries {
       get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .orderBy("event_id")
 
+  /** F6 — semi-structured VARIANT processing (Spark 4): parse the JSON
+    * payload once into a VariantType value, extract typed fields with
+    * `variant_get`, aggregate. At 100 TB the parse happens once per row in
+    * the scan stage and the binary variant encoding is far cheaper to
+    * re-extract than re-parsing JSON strings per field — the reason the
+    * type exists. Integer sums stay exact => oracle-safe. */
+  private val f6Variant: Q = (s, dir) =>
+    Tables(s, dir).events
+      .withColumn("__v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(__v, '$.k', 'int')"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k").cast(LongType)).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
   /** F5 — string function family (upper/substr/length/concat). */
   private val f5StringFuncs: Q = (s, dir) =>
     Tables(s, dir).customer.select(
@@ -555,6 +570,7 @@ object CoreQueries {
     "f3_null_funcs" -> f3NullFuncs,
     "f4_json_extract" -> f4JsonExtract,
     "f5_string_funcs" -> f5StringFuncs,
+    "f6_variant_agg" -> f6Variant,
     "r1_sample" -> r1Sample,
     "r2_split" -> r2Split,
     "r3_stratified_sample" -> r3Stratified,
@@ -803,5 +819,11 @@ object CoreQueries {
         |       upper(c_name) AS name_up, substr(c_name, 1, 8) AS name_pre,
         |       c_mktsegment || '_' || c_name AS seg_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f6_variant_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -59,6 +59,29 @@ object Gates {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Attach ZERO-COST pipeline observability to a frame: `Dataset.observe`
+    * computes the named aggregates inside the existing job (no second scan —
+    * the accumulator rides the rows already flowing) and exposes them via
+    * the completed QueryExecution. The production pattern for "log row
+    * counts and null rates of every batch you write" at 100 TB, where a
+    * separate metrics query would double the read. Read the result with
+    * [[observedMetrics]] after an action has run. */
+  def withObservedMetrics(df: DataFrame, name: String, keep: Column): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+
+  /** Pull one observation's metrics row out of a materialized frame.
+    * The action must have run through THIS frame's own execution
+    * (`collect`/`toLocalIterator`) — `df.write` and `df.rdd` plan a fresh
+    * QueryExecution, so for write jobs read the metrics via a
+    * `QueryExecutionListener` (the streaming path delivers them through
+    * `StreamingQueryListener` the same way). */
+  def observedMetrics(df: DataFrame, name: String): Map[String, Any] = {
+    val row = df.queryExecution.observedMetrics(name)
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
   /** SLA report over (task, measured duration, sla) triples. */
   def slaGate(spark: SparkSession, tasks: Seq[(String, Double, Double)]): DataFrame = {
     import spark.implicits._

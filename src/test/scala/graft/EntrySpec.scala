@@ -1,6 +1,7 @@
 package graft
 
 import graft.quality.Gates
+import org.apache.spark.sql.functions.col
 
 /** Driver-contract smoke + gate-logic tests. */
 class EntrySpec extends SparkSpec {
@@ -69,6 +70,19 @@ class EntrySpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("warehouse", "--input", sf001,
       "--output", "target/tmp/cli_e2e_dw")) === 0)
     assert(spark.read.parquet("target/tmp/cli_e2e_dw/dim_date").count() > 0)
+  }
+
+  test("observe() metrics ride the job: counts match without a second scan") {
+    val ev = Tables(spark, sf001).events
+    val observed = Gates.withObservedMetrics(ev, "clean_batch", col("value") >= 50)
+    // the action must run through the observed frame's own QueryExecution
+    // (collect does; .rdd / .write plan a fresh execution)
+    observed.collect()
+    val m = Gates.observedMetrics(observed, "clean_batch")
+    val total = ev.count()
+    val kept = ev.filter(col("value") >= 50).count()
+    assert(m("n_rows") === total && m("n_kept") === kept)
+    assert(kept > 0 && kept < total)
   }
 
   test("retention gate statuses follow FAIL<0.80<=WARN<0.90<=PASS") {
