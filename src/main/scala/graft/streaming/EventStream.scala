@@ -95,6 +95,43 @@ object EventStream {
       }
   }
 
+  case class ValueEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, total: Double)
+
+  /** Spark 4 `transformWithState` processor: per-user running value total in
+    * a named [[org.apache.spark.sql.streaming.ValueState]]. The v2 arbitrary
+    *-state API — typed state cells with independent lifecycles (+ optional
+    * TTL), timers decoupled from output mode, RocksDB-backed — vs the single
+    * opaque state object of `flatMapGroupsWithState` above. */
+  class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValueEvent, UserTotal] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    @transient private var total: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ValueEvent],
+                                 timerValues: TimerValues): Iterator[UserTotal] = {
+      val t = (if (total.exists()) total.get() else 0.0) + rows.map(_.value).sum
+      total.update(t)
+      Iterator.single(UserTotal(key, t))
+    }
+  }
+
+  /** Running per-user totals through `transformWithState` (requires the
+    * RocksDB state store provider — set on the session by the caller or
+    * test harness). Emits the updated total for each user seen in a
+    * micro-batch. */
+  def runningUserTotals(events: Dataset[ValueEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n: Long)

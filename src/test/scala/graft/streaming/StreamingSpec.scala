@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpec {
     assert(ks.toSeq === Seq(1L, 2L))
   }
 
+  test("transformWithState keeps running totals in RocksDB ValueState") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.ValueEvent]
+      val q = EventStream.runningUserTotals(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_totals").start()
+      input.addData(EventStream.ValueEvent(1L, 5.0), EventStream.ValueEvent(1L, 7.0),
+        EventStream.ValueEvent(2L, 3.0))
+      q.processAllAvailable()
+      input.addData(EventStream.ValueEvent(1L, 8.0))
+      q.processAllAvailable()
+      val out = spark.table("tws_totals").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      q.stop()
+      // batch 1: user1 -> 12, user2 -> 3; batch 2: user1 -> 20 (state carried)
+      assert(out.contains((1L, 12.0)) && out.contains((2L, 3.0)) && out.contains((1L, 20.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time-timeout sessionizer emits sessions closed by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.SessionEvent]
@@ -163,6 +191,31 @@ class StreamingSpec extends SparkSpec {
       horizon = "1 HOUR", watermark = "2 hours")
       .collect().map(r => (r.getLong(0), r.getDouble(4)))
     assert(batch.toSeq === Seq((1L, 9.0)))
+  }
+
+  test("Trigger.AvailableNow drains the backlog then stops on its own") {
+    val srcDir = new java.io.File("target/tmp/avail_now_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+    srcDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      srcDir.toPath.resolve("part-0.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // still drains everything: AvailableNow
+      .parquet(srcDir.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the batch-catchup trigger: process all data available NOW in bounded
+    // micro-batches, then terminate — the scheduled-backfill shape (the
+    // reference's monthly catch-up DAG) without leaving a daemon running
+    val q = EventStream.streamingTumbling(stream, "1 hour", "1 hour")
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("avail_now").start()
+    assert(q.awaitTermination(120000)) // stops by itself
+    val total = spark.table("avail_now").agg(sum("n")).head.getLong(0)
+    assert(total === graft.Tables(spark, sf001).events.count())
   }
 
   test("foreachBatch sink lands micro-batches through the idempotent writer") {
