@@ -19,7 +19,9 @@ object ExplainAudit {
       "p9_range_limit", "j1_broadcast_dim", "j4_star_join", "t3_topk_rank",
       "a5_two_key_group", "dedup_minhash_pairs", "ann_cosine_topk",
       "dedup_jaccard_pairs", "w2_running_sum",
-      "asof_join_native", "j9_bucketed_join", "range_join_binned")
+      "asof_join_native", "j9_bucketed_join", "range_join_binned",
+      "text_tfidf_topk", "dedup_jaccard_incremental", "emb_label_centroids",
+      "f6_variant_agg")
     val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n########## $n ##########")

@@ -46,6 +46,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("tfidf top-k: dfreq broadcast, partial WindowGroupLimit before the shuffle") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), "token df side should broadcast")
+    assert(p.contains("WindowGroupLimit"), "per-doc top-k should pre-limit before the Exchange")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join expected on the token join")
+  }
+
+  test("label centroids aggregate partially before the (label, pos) shuffle") {
+    val p = plan("emb_label_centroids")
+    // partial HashAggregate -> Exchange -> final HashAggregate: map-side
+    // combine means rows x dim scalars shrink before they shuffle
+    val i = p.indexOf("HashAggregate")
+    val j = p.indexOf("Exchange")
+    assert(i >= 0 && j >= 0, "expected hash aggregate + exchange")
+    assert(p.split("HashAggregate").length >= 3, "expected partial+final aggregate pair")
+  }
+
   test("native as-of join plans through the tier-c AsOfJoinExec") {
     val p = plan("asof_join_native")
     assert(p.contains("AsOfJoin"), p.linesIterator.take(15).mkString("\n"))

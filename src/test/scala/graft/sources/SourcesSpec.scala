@@ -23,6 +23,21 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === t.orders.count())
   }
 
+  test("mergeSchema read unifies evolving parquet schemas (schema evolution)") {
+    import spark.implicits._
+    val dir = new java.io.File("target/tmp/evolving").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // month 1 wrote (id, a); month 2 added column b — the standard additive
+    // schema evolution of a long-lived feed
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/m=1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "b").write.parquet(s"$dir/m=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "id", "m"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("b") == null)  // old files null-pad the new col
+    assert(rows(1).getAs[Double]("b") === 9.5)
+  }
+
   test("fetchIfAbsent downloads once and skips on re-run (S1 idempotence)") {
     val src = Files.createTempFile(Paths.get("target"), "src-", ".bin")
     Files.write(src, Array.fill[Byte](1024)(7))
