@@ -25,6 +25,7 @@ object Bench {
     "range_join_binned", "j9_bucketed_join",
     "text_tfidf_topk", "text_heavy_hitters", "text_bigram_freq",
     "dedup_components", "dedup_jaccard_incremental", "emb_quantize_int8",
+    "dedup_minhash_incremental",
   )
 
   def main(args: Array[String]): Unit = {
