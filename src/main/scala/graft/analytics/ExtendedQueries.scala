@@ -168,6 +168,23 @@ object ExtendedQueries {
       approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
       approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
 
+  /** A23 — MERGEABLE distinct sketches (Datasketches HLL): per-group
+    * sketches unioned into a global estimate. This is the cross-batch
+    * pattern a19's one-shot approx_count_distinct can't do — at 100 TB you
+    * persist one small sketch per partition/day and union them at query
+    * time instead of rescanning history. Sketch bytes are engine-local =>
+    * rows-only; accuracy and union-consistency are pinned in the suite. */
+  private val hllMergeQ: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+    val perGroup = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"))
+    val direct = o
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("n_direct"))
+    merged.crossJoin(direct)
+  }
+
   /** W5 — relative-rank window family (percent_rank / cume_dist). */
   private val percentRankQ: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
@@ -227,6 +244,7 @@ object ExtendedQueries {
     "a20_collect_set" -> collectSetQ,
     "a18_count_distinct" -> distinctCountsQ,
     "a19_approx_distinct" -> approxDistinctQ,
+    "a23_hll_mergeable" -> hllMergeQ,   // sketch bytes engine-local => rows-only
     "s7_sql_views" -> sqlViewsQ,
     "pipeline_clean_ingest" -> cleanIngestQ,
     "a16_rollup" -> rollupQ,

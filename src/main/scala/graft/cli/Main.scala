@@ -40,7 +40,7 @@ object Main {
     * owns that, so tests can call this against their shared session. */
   def run(args: Array[String]): Int = {
     if (args.isEmpty) {
-      System.err.println("usage: <ingest|warehouse|analytics|ml> --input DIR ...")
+      System.err.println("usage: <ingest|warehouse|analytics|ml|dedup> --input DIR ...")
       return 1
     }
     val cmd = args.head
@@ -106,6 +106,23 @@ object Main {
             ModelRegistry.Metrics(metrics("rmse"), metrics("mae"), metrics("r2")),
             testMonth)
           println(s"[graft] ml metrics=$metrics promoted=$promoted")
+
+        case "dedup" =>
+          // end-to-end near-dup pass over the documents table: MinHash-LSH
+          // candidates, exact verify, cluster labels, collapse accounting
+          val out = opt.getOrElse("output", "target/tmp/cli_dedup")
+          val threshold = opt.getOrElse("threshold", "0.8").toDouble
+          val docs = Tables(spark, input).documents
+          val pairs = graft.operators.Dedup
+            .minhashDedupPairs(docs, "doc_id", "text", threshold).persist()
+          pairs.write.mode("overwrite").parquet(s"$out/pairs")
+          val labels = graft.operators.Dedup.connectedComponents(pairs)
+          labels.write.mode("overwrite").parquet(s"$out/clusters")
+          val nPairs = pairs.count()
+          val nClustered = labels.count()
+          pairs.unpersist()
+          println(s"[graft] dedup threshold=$threshold pairs=$nPairs " +
+            s"clustered_docs=$nClustered -> $out")
 
         case other =>
           System.err.println(s"[graft] unknown command: $other"); return 1

@@ -70,6 +70,23 @@ class EntrySpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("warehouse", "--input", sf001,
       "--output", "target/tmp/cli_e2e_dw")) === 0)
     assert(spark.read.parquet("target/tmp/cli_e2e_dw/dim_date").count() > 0)
+    assert(graft.cli.Main.run(Array("dedup", "--input", sf001,
+      "--output", "target/tmp/cli_e2e_dedup")) === 0)
+    val pairs = spark.read.parquet("target/tmp/cli_e2e_dedup/pairs")
+    val clusters = spark.read.parquet("target/tmp/cli_e2e_dedup/clusters")
+    assert(pairs.count() > 0 && clusters.count() > 0)
+  }
+
+  test("HLL sketches: union of per-group sketches agrees with the direct sketch") {
+    val row = SparkEntry.queries("a23_hll_mergeable")(spark, sf001).head()
+    val (merged, direct) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    val exact = Tables(spark, sf001).orders
+      .select("o_custkey").distinct().count().toDouble
+    // HLL lgK default 12 => ~1.6% rse; allow 5%
+    assert(math.abs(merged - exact) / exact < 0.05, s"merged=$merged exact=$exact")
+    assert(math.abs(direct - exact) / exact < 0.05)
+    // mergeability: union-of-parts equals the one-shot sketch's estimate
+    assert(math.abs(merged - direct) / direct < 0.01)
   }
 
   test("observe() metrics ride the job: counts match without a second scan") {
