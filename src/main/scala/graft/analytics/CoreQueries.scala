@@ -338,6 +338,24 @@ object CoreQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** J10 — null-safe equi join (`<=>`): NULL keys match each other instead
+    * of disappearing, the semantics dedup/reconciliation jobs need when the
+    * join key itself can be absent. Keys are derived (nullif of a modulus)
+    * so both engines see identical nullable values; the null bucket would
+    * be a mega-hot key at scale — exactly the case [[graft.operators.Skew]]
+    * salting exists for — so the aggregate keeps it as its own group. */
+  private val j10NullSafeJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val a = t.supplier.select(col("s_suppkey"),
+      nullif(col("s_suppkey") % 7, lit(0)).as("k"))
+    val b = t.supplier.select(col("s_suppkey").as("b_suppkey"),
+      nullif(col("s_suppkey") % 7, lit(0)).as("k2"))
+    a.join(b, col("k") <=> col("k2"))
+      .groupBy(coalesce(col("k"), lit(-1)).as("key_group"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("key_group")
+  }
+
   // ----------------------------------------------------- sorts / top-k / rank
 
   /** T3 + W1 — top-10 by aggregate with rank column (app.py:403-421):
@@ -375,6 +393,19 @@ object CoreQueries {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
       .select("user_id", "event_id", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W7 — value-window family: first/last/nth event value per user over the
+    * full frame (unbounded both ways so last_value is the true last). */
+  private val w7ValueWindows: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir).events
+      .withColumn("first_v", first(col("value")).over(w))
+      .withColumn("last_v", last(col("value")).over(w))
+      .withColumn("second_v", nth_value(col("value"), 2).over(w))
+      .select("user_id", "event_id", "first_v", "last_v", "second_v")
       .orderBy("user_id", "event_id")
   }
 
@@ -557,10 +588,12 @@ object CoreQueries {
     "j5_anti_join" -> j5AntiJoin,
     "j6_semi_join" -> j6SemiJoin,
     "j7_left_outer" -> j7LeftOuter,
+    "j10_nullsafe_join" -> j10NullSafeJoin,
     "t3_topk_rank" -> t3TopkRank,
     "w2_running_sum" -> w2RunningSum,
     "w3_lag_gap" -> w3LagGap,
     "w4_ntile" -> w4Ntile,
+    "w7_value_windows" -> w7ValueWindows,
     "u1_union_distinct" -> u1UnionDistinct,
     "u2_union_all" -> u2UnionAll,
     "u3_intersect" -> u3Intersect,
@@ -775,6 +808,21 @@ object CoreQueries {
         |       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
         |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w7_value_windows" ->
+      """SELECT user_id, event_id,
+        |       first_value(value) OVER w AS first_v,
+        |       last_value(value) OVER w AS last_v,
+        |       nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "j10_nullsafe_join" ->
+      """WITH a AS (SELECT s_suppkey, nullif(s_suppkey % 7, 0) AS k FROM supplier),
+        |b AS (SELECT s_suppkey AS b_suppkey, nullif(s_suppkey % 7, 0) AS k2 FROM supplier)
+        |SELECT coalesce(a.k, -1) AS key_group, count(*) AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+        |GROUP BY 1 ORDER BY key_group""".stripMargin,
     "u1_union_distinct" ->
       """SELECT o_custkey AS custkey FROM orders
         |UNION SELECT c_custkey FROM customer ORDER BY custkey""".stripMargin,
