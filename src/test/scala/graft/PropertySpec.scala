@@ -95,6 +95,61 @@ class PropertySpec extends AnyFunSuite {
     assert(second.count() === 0) // re-load adds nothing
   }
 
+  test("as-of joins: native exec == composed == brute-force on random inputs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // random (key, ts, value) tables with deliberate key overlap, duplicate
+    // timestamps, and keys present on only one side
+    val rowGen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(-100, 100)
+    } yield (k, t, v.toDouble)
+    val caseGen = Gen.zip(Gen.listOfN(30, rowGen), Gen.listOfN(30, rowGen))
+    forAll(caseGen, n = 8) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex
+        .map { case ((k, t, _), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+      val right = rRows.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000), v) }
+      val lDf = left.toDF("row_id", "k", "ts")
+      val rDf = right.toDF("k", "ts", "v")
+      // brute force references mirror the composed form's payload tiebreak:
+      // backward takes last() over ascending (ts, payload) => MAX payload at
+      // a tied ts; forward takes first() => MIN payload at a tied ts
+      def bruteBack(id: Long, k: Long, t: Long): Option[Double] = {
+        val c = right.filter(r => r._1 == k && r._2.getTime <= t * 1000)
+        if (c.isEmpty) None else Some(c.maxBy(r => (r._2.getTime, r._3))._3)
+      }
+      def bruteFwd(id: Long, k: Long, t: Long): Option[Double] = {
+        val c = right.filter(r => r._1 == k && r._2.getTime >= t * 1000)
+        if (c.isEmpty) None else Some(c.minBy(r => (r._2.getTime, r._3))._3)
+      }
+      def res(df: org.apache.spark.sql.DataFrame) =
+        df.select("row_id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      val cb = res(AsOfJoin.asOfBackward(lDf, rDf, "k", "ts", Seq("v")))
+      val nb = res(AsOfJoin.asOfBackwardNative(lDf, rDf, "k", "ts", Seq("v")))
+      val cf = res(AsOfJoin.asOfForward(lDf, rDf, "k", "ts", Seq("v")))
+      val nf = res(AsOfJoin.asOfForwardNative(lDf, rDf, "k", "ts", Seq("v")))
+      left.foreach { case (id, k, ts) =>
+        val t = ts.getTime / 1000
+        // composed forms implement the documented payload tiebreak exactly
+        assert(cb(id) === bruteBack(id, k, t), s"composed backward row $id")
+        assert(cf(id) === bruteFwd(id, k, t), s"composed forward row $id")
+        // the native exec's tie choice is 'any tied row' — values agree
+        // whenever the brute-force match is unique at its timestamp
+        val backTies = right.count(r => r._1 == k &&
+          cb(id).isDefined && r._2.getTime == right.filter(x => x._1 == k &&
+            x._2.getTime <= t * 1000).map(_._2.getTime).max)
+        if (backTies <= 1) assert(nb(id) === cb(id), s"native backward row $id")
+        val fwdCand = right.filter(x => x._1 == k && x._2.getTime >= t * 1000)
+        val fwdTies = if (fwdCand.isEmpty) 0
+          else fwdCand.count(_._2.getTime == fwdCand.map(_._2.getTime).min)
+        if (fwdTies <= 1) assert(nf(id) === cf(id), s"native forward row $id")
+      }
+    }
+  }
+
   test("promotion contract: candidate wins iff >=2 of 3 metrics improve") {
     import ModelRegistry.{Metrics, shouldPromote}
     val cur = Metrics(rmse = 5.0, mae = 2.0, r2 = 0.9)
