@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftRollingHash.builder))
     // tier (c): the native as-of join operator (AsOfJoinPlan -> AsOfJoinExec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Rule[LogicalPlan]: HOF dot-product shapes silently upgrade to the
+    // codegen'd GraftDot kernel
+    e.injectOptimizerRule(_ => graft.plans.NativeDotRule)
   }
 }

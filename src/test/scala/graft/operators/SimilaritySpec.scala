@@ -19,6 +19,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(c => math.abs(c - 0.6) < 1e-12) === 2)
   }
 
+  test("NativeDotRule rewrites the HOF dot shape to the codegen'd kernel") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.NativeDotRule))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.NativeDotRule
+    val e = Tables(spark, sf001).embeddings.limit(5)
+    val v = Similarity.toDouble(col("embedding"))
+    val df = e.select(col("vec_id"), Similarity.dot(v, v).as("d"))
+    // the public HOF API now optimizes to the native kernel...
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      df.queryExecution.optimizedPlan.toString.linesIterator.take(3).mkString("\n"))
+    // ...with identical values (sequential left fold in both forms)
+    val got = df.orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = e.select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+      .map { r =>
+        val a = r.getSeq[Float](1).map(_.toDouble)
+        r.getLong(0) -> a.foldLeft(0.0)((acc, x) => acc + x * x)
+      }.toMap
+    expected.foreach { case (id, exp) => assert(math.abs(got(id) - exp) < 1e-9) }
+    // a non-dot fold (different zero) is left untouched
+    val other = e.select(aggregate(zip_with(v, v, (x, y) => x * y),
+      lit(1.0), (acc, x) => acc + x).as("d"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("int8 quantization stays in range and reconstructs within scale/2") {
     val e = Tables(spark, sf001).embeddings
     val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
