@@ -26,12 +26,24 @@ object Dedup {
   /** Distinct word n-gram shingles as an inverted index: (id, shingle).
     * Docs shorter than n tokens produce no shingles.
     *
-    * The token array is materialized as its own projection column first:
-    * referencing `split(...)` directly inside the transform lambda would
-    * re-evaluate the split per element_at (O(tokens²) — measured 5.1s vs
-    * 0.6s at sf0.1), and CollapseProject keeps the split separate because
-    * it is expensive and multi-referenced. */
+    * Shingling runs in the native [[graft.functions.GraftShingles]] kernel:
+    * one JVM loop per row with an in-loop de-dup set, vs an interpreted
+    * lambda frame + n element_at calls per shingle + a second array_distinct
+    * pass for the HOF form (bit-equality with that form is pinned in
+    * DedupSpec; [[shingleIndexHof]] remains as the executable spec). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftShingles.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      explode(call_function("graft_shingles", split(col(textCol), " "), lit(n)))
+        .as("shingle"))
+  }
+
+  /** The built-ins-only twin of [[shingleIndex]], kept as the executable
+    * spec the native kernel is tested against. The token array is
+    * materialized as its own projection column first: referencing
+    * `split(...)` inside the transform lambda would re-evaluate the split
+    * per element_at (O(tokens²) — measured 5.1s vs 0.6s at sf0.1). */
+  def shingleIndexHof(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = col("__toks")
     val shingles = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),

@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("native shingle kernel is row-identical to the HOF form on real docs") {
+    val docs = Tables(spark, sf001).documents
+    val native = Dedup.shingleIndex(docs, "doc_id", "text")
+      .orderBy("id", "shingle").collect().map(r => (r.getLong(0), r.getString(1)))
+    val hof = Dedup.shingleIndexHof(docs, "doc_id", "text")
+      .orderBy("id", "shingle").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(native.nonEmpty && native.toSeq === hof.toSeq)
+  }
+
   test("incremental jaccard equals full pairs restricted to the batch slice") {
     val idx = Dedup.shingleIndex(Tables(spark, sf001).documents, "doc_id", "text").persist()
     val batch = col("id") % 5 === 0
