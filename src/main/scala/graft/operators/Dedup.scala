@@ -244,14 +244,22 @@ object Dedup {
     // The edge list feeds EVERY propagation round (join + convergence
     // check): persist it, or each round re-runs the upstream pair
     // generation — measured 50 s -> 3 s for the graded entry at sf0.01.
+    // Partitioned by the probe key BEFORE caching, so every round's
+    // neighbor join reads the cache co-located and only exchanges the
+    // (much smaller) label side — one shuffle per round instead of two.
     val sym = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(col("id_b"))
       .persist()
-    var cached = sym.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // Round 1 folded into initialization: with label(id) = id, the
+    // neighbor-min join degenerates to min(id_b) per id_a — one
+    // aggregation over the edge cache, no join round spent on it.
+    var cached = sym.groupBy(col("id_a"))
+      .agg(least(col("id_a"), min(col("id_b"))).as("label"))
+      .select(col("id_a").as("id"), col("label")).persist()
     var labels = cached
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < maxRounds) {
       val neighborMin = sym.join(labels, sym("id_b") === labels("id"))
         .groupBy(sym("id_a").as("id")).agg(min(col("label")).as("nlabel"))
