@@ -216,24 +216,95 @@ object TextOps {
       .select(col("doc_id"), normalize(col("text")).as("norm_text"))
       .orderBy("doc_id")
 
-  /** Corpus bigram frequencies, top `limit` by (count desc, bigram asc) —
-    * the n-gram LM / collocation table. Non-distinct within a doc (unlike
-    * the dedup shingle index): frequency is the point. */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = col("__toks")
-    val grams = when(size(toks) >= 2,
+  /** Non-distinct word bigrams of a pre-materialized token array (docs with
+    * <2 tokens yield an empty array). */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - lit(2)),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
     ).otherwise(array())
+
+  /** Corpus bigram frequencies, top `limit` by (count desc, bigram asc) —
+    * the n-gram LM / collocation table. Non-distinct within a doc (unlike
+    * the dedup shingle index): frequency is the point. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("__toks", tokens(col(textCol)))
-      .select(explode(grams).as("bigram"))
+      .select(explode(bigramsOf(col("__toks"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
-  }
 
   private val bigramQ: Q = (s, dir) =>
     bigramCounts(Tables(s, dir).documents, "text")
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
+
+  /** The distinct-stopword containment list from the Gopher quality rules
+    * (Rae et al. 2021, MassiveText filtering, appendix A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules — the subset meaningful for
+    * single-line docs: word-count bounds [50, 100k], mean word length
+    * [3, 10], symbol-to-word ratio (# and ...) < 0.1, fraction of words
+    * with an alphabetic character > 0.8, and >= 2 distinct stopwords
+    * present. `keep` is the conjunction. Pure per-row projection over one
+    * materialized token array — zero shuffle at any scale; the rule
+    * thresholds compare ROUNDED ratios so the flag is stable across
+    * engines. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val base = docs.withColumn("__toks", tokens(text))
+    val toks = col("__toks")
+    val nW = size(toks).cast(DoubleType)
+    val meanLen = round(
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast(DoubleType) / nW, 4)
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((hashes.cast(DoubleType) + ellipses) / nW, 6)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(DoubleType) / nW, 6)
+    val stopHits = size(array_intersect(toks, typedLit(gopherStopwords)))
+    base.select(
+      col(idCol).as("doc_id"),
+      size(toks).as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      (size(toks).between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 && alphaFrac > 0.8 && stopHits >= 2).as("keep"))
+  }
+
+  private val gopherQ: Q = (s, dir) =>
+    gopherRules(Tables(s, dir).documents, "doc_id", "text").orderBy("doc_id")
+
+  /** Per-document repetition signals (the Gopher repetition filters):
+    * most-frequent-word share, distinct-word share, most-frequent-bigram
+    * share. Both aggregations are keyed by doc_id (after an explode) — at
+    * 100 TB this is two hash-partitioned map-side-combining aggregations
+    * plus one co-partitioned join back, never a corpus-wide state. Docs
+    * with <2 tokens have no bigrams: their top_bigram_frac is 0.0. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+    val tf = base.select(col(idCol).as("doc_id"), explode(col("__toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val words = tf.groupBy("doc_id").agg(
+      round(max(col("tf")).cast(DoubleType) / sum(col("tf")).cast(DoubleType), 6)
+        .as("top_word_frac"),
+      round(count(lit(1)).cast(DoubleType) / sum(col("tf")).cast(DoubleType), 6)
+        .as("distinct_word_frac"))
+    val bigram = base
+      .select(col(idCol).as("doc_id"), explode(bigramsOf(col("__toks"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("bf"))
+      .groupBy("doc_id").agg(
+        round(max(col("bf")).cast(DoubleType) / sum(col("bf")).cast(DoubleType), 6)
+          .as("top_bigram_frac"))
+    words.join(bigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_word_frac"), col("distinct_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  private val repetitionQ: Q = (s, dir) =>
+    repetitionStats(Tables(s, dir).documents, "doc_id", "text").orderBy("doc_id")
 
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
@@ -246,6 +317,8 @@ object TextOps {
     "text_tfidf_topk" -> tfidfQ,
     "text_normalize" -> normalizeQ,
     "text_bigram_freq" -> bigramQ,
+    "text_gopher_rules" -> gopherQ,
+    "text_repetition" -> repetitionQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -337,5 +410,45 @@ object TextOps {
         |  FROM tok WHERE len(ts) >= 2)
         |SELECT bigram, count(*) AS n FROM grams
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(ts) AS INT) AS n_words,
+         |    round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |          / len(ts), 4) AS mean_word_len,
+         |    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+         |           CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+         |          / len(ts), 6) AS symbol_ratio,
+         |    round(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+         |          / len(ts), 6) AS alpha_word_frac,
+         |    CAST(len(list_intersect(ts, [${gopherStopwords.map(w => s"'$w'").mkString(",")}])) AS INT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, stop_hits,
+         |  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |   AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8 AND stop_hits >= 2) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |words AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS top_word_frac,
+        |    round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS distinct_word_frac
+        |  FROM tf GROUP BY 1),
+        |g AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                                       i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |  FROM g WHERE len(ts) >= 2),
+        |bf AS (SELECT doc_id, bg, count(*) AS bf FROM grams GROUP BY 1, 2),
+        |bstat AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(bf) AS DOUBLE) / CAST(sum(bf) AS DOUBLE), 6) AS top_bigram_frac
+        |  FROM bf GROUP BY 1)
+        |SELECT w.doc_id, w.top_word_frac, w.distinct_word_frac,
+        |       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM words w LEFT JOIN bstat b USING (doc_id) ORDER BY w.doc_id""".stripMargin,
   )
 }
