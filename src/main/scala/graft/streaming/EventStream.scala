@@ -132,6 +132,69 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class FlushOut(user_id: Long, n: Long, total: Double)
+
+  /** `transformWithState` processor exercising the remaining v2 state
+    * surface: a named [[org.apache.spark.sql.streaming.ListState]] buffer
+    * plus EVENT-TIME TIMERS. Rows buffer per user; every input batch
+    * re-arms one timer at max(event time) + gap; once the watermark passes
+    * that deadline the buffer flushes as a single summary row and the state
+    * clears — the "coalesce bursty events, emit once quiet" pattern.
+    * Explicit timers are the piece `flatMapGroupsWithState` timeouts can't
+    * scope per state cell; state + timers are both watermark-bounded, so
+    * the operator survives an unbounded stream. */
+  class BufferedFlushProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, FlushOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimerValues}
+    @transient private var buf: ListState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Double]("buf",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[FlushOut] = {
+      var deadline = Long.MinValue
+      rows.foreach { e =>
+        buf.appendValue(e.value)
+        deadline = math.max(deadline, e.ts.getTime + gapMs)
+      }
+      if (deadline > Long.MinValue) {
+        // one timer per key: retire any earlier deadline, arm the new one
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(deadline)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[FlushOut] = {
+      val vs = buf.get().toArray
+      buf.clear()
+      if (vs.isEmpty) Iterator.empty
+      else Iterator.single(FlushOut(key, vs.length, vs.sum))
+    }
+  }
+
+  /** Buffered per-user flush through event-time timers (see
+    * [[BufferedFlushProcessor]]); emits one row per user per quiet period. */
+  def bufferedFlush(events: Dataset[TimedEvent], gap: String,
+                    watermark: String): Dataset[FlushOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new BufferedFlushProcessor(intervalMillis(gap)),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private def intervalMillis(interval: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n: Long)
@@ -150,9 +213,7 @@ object EventStream {
   def timeoutSessions(events: Dataset[SessionEvent], gap: String,
                       watermark: String): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    val gapMillis = intervalMillis(gap)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](

@@ -134,6 +134,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers flush the ListState buffer once quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.TimedEvent]
+      val q = EventStream.bufferedFlush(input.toDS(), gap = "30 minutes",
+        watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_flush").start()
+      input.addData(
+        EventStream.TimedEvent(1L, ts("2024-01-01 10:00:00"), 5.0),
+        EventStream.TimedEvent(1L, ts("2024-01-01 10:10:00"), 7.0),
+        EventStream.TimedEvent(2L, ts("2024-01-01 10:05:00"), 3.0))
+      q.processAllAvailable()
+      // timers armed at 10:40 / 10:35; watermark (10:00) hasn't reached them
+      assert(spark.table("tws_flush").count() === 0)
+      // advance the watermark past both deadlines, then one more batch so
+      // the expired timers fire against the updated watermark
+      input.addData(EventStream.TimedEvent(3L, ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(EventStream.TimedEvent(3L, ts("2024-01-01 13:01:00"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("tws_flush").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      q.stop()
+      // each user's burst coalesced into ONE flush row
+      assert(out.toSeq === Seq((1L, 2L, 12.0), (2L, 1L, 3.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time-timeout sessionizer emits sessions closed by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.SessionEvent]
