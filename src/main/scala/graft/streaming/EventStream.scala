@@ -178,6 +178,48 @@ object EventStream {
     }
   }
 
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** `transformWithState` processor over the third v2 state type,
+    * [[org.apache.spark.sql.streaming.MapState]]: per-user per-event-type
+    * running counts. One map cell per user keyed by event type — point
+    * lookups/updates instead of rewriting a whole value object per batch
+    * (what the fMGWS form would do), which is the difference that matters
+    * once a user's type histogram is wide. Emits the updated (type, n)
+    * entries each batch. */
+  class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues}
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-user event-type histogram maintained in MapState (see
+    * [[TypeCountProcessor]]). */
+  def eventTypeCounts(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Buffered per-user flush through event-time timers (see
     * [[BufferedFlushProcessor]]); emits one row per user per quiet period. */
   def bufferedFlush(events: Dataset[TimedEvent], gap: String,

@@ -134,6 +134,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState keeps a per-user event-type histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.TypedEvent]
+      val q = EventStream.eventTypeCounts(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_typecounts").start()
+      input.addData(
+        EventStream.TypedEvent(1L, "view"), EventStream.TypedEvent(1L, "view"),
+        EventStream.TypedEvent(1L, "cart"), EventStream.TypedEvent(2L, "view"))
+      q.processAllAvailable()
+      input.addData(EventStream.TypedEvent(1L, "view")) // count carried across batches
+      q.processAllAvailable()
+      val out = spark.table("tws_typecounts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      q.stop()
+      assert(out.contains((1L, "view", 2L)) && out.contains((1L, "cart", 1L)) &&
+        out.contains((2L, "view", 1L)) && out.contains((1L, "view", 3L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers flush the ListState buffer once quiet") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
