@@ -306,6 +306,30 @@ object TextOps {
   private val repetitionQ: Q = (s, dir) =>
     repetitionStats(Tables(s, dir).documents, "doc_id", "text").orderBy("doc_id")
 
+  /** Source mixing weights: per-source token mass plus the sampling weight
+    * that rebalances the corpus toward a UNIFORM source mixture — the
+    * data-mixing step before LLM training. weight = min(1, target_tokens /
+    * source_tokens): over-represented sources downsample, nothing
+    * upsamples. One keyed aggregation over the corpus; the share/weight
+    * arithmetic runs on the tiny per-source frame against broadcast
+    * totals. */
+  def sourceMixWeights(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val perSource = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast(LongType)).as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_tokens")).as("__total"),
+      count(lit(1)).as("__k"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("__total"), 6).as("share"),
+        round(least(lit(1.0),
+          (col("__total").cast(DoubleType) / col("__k")) / col("n_tokens")), 6)
+          .as("weight"))
+  }
+
+  private val sourceMixQ: Q = (s, dir) =>
+    sourceMixWeights(Tables(s, dir).documents, "source", "text").orderBy("source")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
@@ -319,6 +343,7 @@ object TextOps {
     "text_bigram_freq" -> bigramQ,
     "text_gopher_rules" -> gopherQ,
     "text_repetition" -> repetitionQ,
+    "text_source_mix" -> sourceMixQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -450,5 +475,15 @@ object TextOps {
         |SELECT w.doc_id, w.top_word_frac, w.distinct_word_frac,
         |       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM words w LEFT JOIN bstat b USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "text_source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS k FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+        |       round(least(1.0, (CAST(total AS DOUBLE) / k) / n_tokens), 6) AS weight
+        |FROM per, tot ORDER BY source""".stripMargin,
   )
 }

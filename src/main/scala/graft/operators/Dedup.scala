@@ -202,6 +202,25 @@ object Dedup {
     scorePairs(common, sizes(index), threshold)
   }
 
+  /** Benchmark decontamination: corpus docs sharing at least `minShared`
+    * distinct word n-gram shingles with a benchmark doc — the train/test
+    * contamination scan of an LLM data pipeline. The benchmark side is
+    * BROADCAST (eval sets are tiny next to a 100-TB corpus), so the corpus
+    * shingle stream never shuffles for the probe: a map-side hash join,
+    * then one aggregation keyed by the (corpus, bench) pair — the only
+    * shuffle, and it carries matched shingles only. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         minShared: Int = 2): DataFrame = {
+    val c = shingleIndex(corpus, idCol, textCol, n)
+      .withColumnRenamed("id", "corpus_id")
+    val b = shingleIndex(bench, idCol, textCol, n)
+      .withColumnRenamed("id", "bench_id")
+    c.join(broadcast(b), "shingle")
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
     * computed by the native [[graft.functions.GraftSimHash]] kernel (the
     * SQL HOF form pays 64 interpreted folds per row — 45s -> ~1s at sf0.1). */
@@ -366,6 +385,16 @@ object Dedup {
       col("id") % 5 === 0, 0.8)
       .orderBy("id_a", "id_b")
 
+  /** Decontamination scan: src0 plays the held-out benchmark, the rest of
+    * the corpus is scanned for >= 2 shared 3-gram shingles. */
+  private val contaminationQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    contaminationPairs(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text")
+      .orderBy("corpus_id", "bench_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "dedup_exact_groups" -> exactGroupsQ,
     "dedup_exact_keep_first" -> exactKeepFirstQ,
@@ -378,6 +407,7 @@ object Dedup {
     "dedup_cluster_stats" -> clusterStatsQ,
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
+    "dedup_contamination" -> contaminationQ,
   )
 
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
@@ -471,5 +501,20 @@ object Dedup {
     // the same equivalence the full minhash entry demonstrates
     "dedup_minhash_incremental" ->
       jaccardOracle(0.8, pairPred = " AND (id_a % 5 = 0 OR id_b % 5 = 0)"),
+    "dedup_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        |  FROM tok WHERE len(ts) >= 3),
+        |j AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |  FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.source <> 'src0' AND b.source = 'src0'
+        |  GROUP BY 1, 2)
+        |SELECT corpus_id, bench_id, n_shared FROM j
+        |WHERE n_shared >= 2 ORDER BY corpus_id, bench_id""".stripMargin,
   )
 }

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no sort-merge join expected on the token join")
   }
 
+  test("contamination probe broadcasts the benchmark side — corpus never shuffles to join") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark shingles should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for the probe")
+  }
+
   test("label centroids aggregate partially before the (label, pos) shuffle") {
     val p = plan("emb_label_centroids")
     // partial HashAggregate -> Exchange -> final HashAggregate: map-side
