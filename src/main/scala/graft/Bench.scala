@@ -26,6 +26,7 @@ object Bench {
     "text_tfidf_topk", "text_heavy_hitters", "text_bigram_freq",
     "dedup_components", "dedup_jaccard_incremental", "emb_quantize_int8",
     "dedup_minhash_incremental",
+    "text_gopher_rules", "text_repetition", "dedup_contamination",
   )
 
   def main(args: Array[String]): Unit = {
