@@ -528,6 +528,33 @@ object CoreQueries {
       concat(col("c_mktsegment"), lit("_"), col("c_name")).as("seg_name"))
       .orderBy("c_custkey")
 
+  /** F7 — `Dataset.unpivot` (wide → long melt, Spark 3.4+): the four money
+    * columns of each line item become (metric, value) rows. A pure
+    * per-row Generate — no shuffle beyond the final presentation sort. */
+  private val f7Unpivot: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** F8 — array function family (sort/slice/contains/reverse) over the
+    * token array; array-valued outputs emit as joined strings so the
+    * compare is representation-agnostic (the A20 convention). */
+  private val f8ArrayFuncs: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_toks"),
+        array_join(slice(array_sort(col("__toks")), 1, 3), ",").as("first3_sorted"),
+        array_contains(col("__toks"), "the").as("has_the"),
+        element_at(reverse(col("__toks")), 1).as("last_tok"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- sampling
 
   /** R1 — seeded Bernoulli sample (spark_prepare.py:55). Seed semantics are
@@ -604,6 +631,8 @@ object CoreQueries {
     "f4_json_extract" -> f4JsonExtract,
     "f5_string_funcs" -> f5StringFuncs,
     "f6_variant_agg" -> f6Variant,
+    "f7_unpivot" -> f7Unpivot,
+    "f8_array_funcs" -> f8ArrayFuncs,
     "r1_sample" -> r1Sample,
     "r2_split" -> r2Split,
     "r3_stratified_sample" -> r3Stratified,
@@ -873,5 +902,21 @@ object CoreQueries {
         |       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
         |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "f7_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "f8_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id, CAST(len(ts) AS INT) AS n_toks,
+        |       array_to_string(list_sort(ts)[1:3], ',') AS first3_sorted,
+        |       list_contains(ts, 'the') AS has_the,
+        |       ts[-1] AS last_tok
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
