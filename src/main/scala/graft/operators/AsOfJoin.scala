@@ -104,9 +104,27 @@ object AsOfJoin {
                         tsCol: String, valueCols: Seq[String]): DataFrame =
     asOfNative(left, right, key, tsCol, valueCols, backward = false)
 
+  /** Broadcast-right variant of [[asOfBackwardNative]]: for a SMALL right
+    * side (a rates table, a dimension history) the left side is never
+    * shuffled or sorted — the right side broadcasts once and each left
+    * partition binary-searches a per-key sorted lookup
+    * ([[graft.plans.BroadcastAsOfJoinExec]]). The explicit opt-in mirrors
+    * `broadcast(df)` for equi-joins; same oracle as the sort-merge path. */
+  def asOfBackwardBroadcast(left: DataFrame, right: DataFrame, key: String,
+                            tsCol: String, valueCols: Seq[String]): DataFrame =
+    asOfNative(left, right, key, tsCol, valueCols, backward = true,
+      broadcastRight = true)
+
+  /** Forward twin of [[asOfBackwardBroadcast]]. */
+  def asOfForwardBroadcast(left: DataFrame, right: DataFrame, key: String,
+                           tsCol: String, valueCols: Seq[String]): DataFrame =
+    asOfNative(left, right, key, tsCol, valueCols, backward = false,
+      broadcastRight = true)
+
   private def asOfNative(left: DataFrame, right: DataFrame, key: String,
                          tsCol: String, valueCols: Seq[String],
-                         backward: Boolean): DataFrame = {
+                         backward: Boolean,
+                         broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     org.apache.spark.sql.graft.PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     // re-alias every right column: left and right often derive from the SAME
@@ -122,7 +140,7 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(lPlan, tsCol),
       attr(rPlan, key), attr(rPlan, tsCol),
-      valueCols.map(attr(rPlan, _)), backward)
+      valueCols.map(attr(rPlan, _)), backward, broadcastRight)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
   }
 
@@ -177,11 +195,25 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Same backward lookup through the broadcast exec — the purchase side
+    * plays the small dimension; the view side is never shuffled. */
+  private val asOfBroadcastQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    asOfBackwardBroadcast(views, purchases, "user_id", "ts", Seq("last_purchase"))
+      .select("event_id", "user_id", "last_purchase")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "asof_join_backward" -> asOfQ,
     "asof_join_native" -> asOfNativeQ,
     "asof_join_forward" -> asOfForwardQ,
     "asof_join_forward_native" -> asOfForwardNativeQ,
+    "asof_join_broadcast" -> asOfBroadcastQ,
   )
 
   private val asOfOracle =
@@ -205,5 +237,6 @@ object AsOfJoin {
     "asof_join_native" -> asOfOracle,
     "asof_join_forward" -> asOfForwardOracle,
     "asof_join_forward_native" -> asOfForwardOracle,
+    "asof_join_broadcast" -> asOfOracle,
   )
 }

@@ -156,9 +156,15 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
+/** Planner rule: [[AsOfJoinPlan]] → sort-merge [[AsOfJoinExec]], or
+  * [[BroadcastAsOfJoinExec]] when the caller asserted a small right side
+  * (explicit hint, like `broadcast(df)` for equi-joins — the left side is
+  * then never shuffled or sorted). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan if p.broadcastRight =>
+      BroadcastAsOfJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs,
+        p.valueAttrs, p.backward, planLater(p.left), planLater(p.right)) :: Nil
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.valueAttrs,
         p.backward, planLater(p.left), planLater(p.right)) :: Nil

@@ -29,7 +29,8 @@ case class AsOfJoinPlan(
     rightKey: Attribute,
     rightTs: Attribute,
     valueAttrs: Seq[Attribute],
-    backward: Boolean = true)
+    backward: Boolean = true,
+    broadcastRight: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =

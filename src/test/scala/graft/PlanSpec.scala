@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no sort-merge join expected on the token join")
   }
 
+  test("broadcast as-of entry: BroadcastAsOfJoinExec, no hash Exchange on the fact side") {
+    val p = plan("asof_join_broadcast")
+    assert(p.contains("BroadcastAsOfJoin"), p.take(600))
+    assert(p.contains("BroadcastExchange"), "purchase side should broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the view side must reach the exec without a shuffle")
+  }
+
   test("contamination probe broadcasts the benchmark side — corpus never shuffles to join") {
     val p = plan("dedup_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark shingles should broadcast")

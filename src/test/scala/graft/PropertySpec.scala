@@ -131,6 +131,8 @@ class PropertySpec extends AnyFunSuite {
       val nb = res(AsOfJoin.asOfBackwardNative(lDf, rDf, "k", "ts", Seq("v")))
       val cf = res(AsOfJoin.asOfForward(lDf, rDf, "k", "ts", Seq("v")))
       val nf = res(AsOfJoin.asOfForwardNative(lDf, rDf, "k", "ts", Seq("v")))
+      val bb = res(AsOfJoin.asOfBackwardBroadcast(lDf, rDf, "k", "ts", Seq("v")))
+      val bf = res(AsOfJoin.asOfForwardBroadcast(lDf, rDf, "k", "ts", Seq("v")))
       left.foreach { case (id, k, ts) =>
         val t = ts.getTime / 1000
         // composed forms implement the documented payload tiebreak exactly
@@ -141,11 +143,17 @@ class PropertySpec extends AnyFunSuite {
         val backTies = right.count(r => r._1 == k &&
           cb(id).isDefined && r._2.getTime == right.filter(x => x._1 == k &&
             x._2.getTime <= t * 1000).map(_._2.getTime).max)
-        if (backTies <= 1) assert(nb(id) === cb(id), s"native backward row $id")
+        if (backTies <= 1) {
+          assert(nb(id) === cb(id), s"native backward row $id")
+          assert(bb(id) === cb(id), s"broadcast backward row $id")
+        }
         val fwdCand = right.filter(x => x._1 == k && x._2.getTime >= t * 1000)
         val fwdTies = if (fwdCand.isEmpty) 0
           else fwdCand.count(_._2.getTime == fwdCand.map(_._2.getTime).min)
-        if (fwdTies <= 1) assert(nf(id) === cf(id), s"native forward row $id")
+        if (fwdTies <= 1) {
+          assert(nf(id) === cf(id), s"native forward row $id")
+          assert(bf(id) === cf(id), s"broadcast forward row $id")
+        }
       }
     }
   }

@@ -186,6 +186,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res(native) === composed)
   }
 
+  test("broadcast as-of matches composed and never shuffles or sorts the left side") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double]),
+      (1L, ts("2024-01-01 12:00:00"), Some(120.0)),
+      (2L, ts("2024-01-01 11:00:00"), Some(200.0)),
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")),
+      (11L, 1L, ts("2024-01-01 10:00:00")),
+      (12L, 1L, ts("2024-01-01 11:30:00")), // NULL-valued quote, still a match
+      (13L, 1L, ts("2024-01-01 13:00:00")),
+      (14L, 2L, ts("2024-01-01 12:00:00")),
+      (15L, 3L, ts("2024-01-01 12:00:00")),
+    ).toDF("trade_id", "user_id", "ts")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val composed = res(AsOfJoin.asOfBackward(trades, quotes, "user_id", "ts", Seq("px")))
+    val bcast = AsOfJoin.asOfBackwardBroadcast(trades, quotes, "user_id", "ts", Seq("px"))
+    assert(res(bcast) === composed)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan.take(600))
+    assert(plan.contains("BroadcastExchange"), "right side must broadcast")
+    // the 100-TB claim: no shuffle, no sort anywhere on the left branch
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"left side must not shuffle:\n${plan.take(1200)}")
+    assert(!plan.contains("Sort "), s"left side must not sort:\n${plan.take(1200)}")
+    // forward twin through the same exec
+    val fwd = res(AsOfJoin.asOfForwardBroadcast(trades, quotes, "user_id", "ts", Seq("px")))
+    assert(fwd === res(AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", Seq("px"))))
+  }
+
   test("native exec matches composed on the events feed (self-as-of, real data)") {
     val ev = graft.Tables(spark, sf001).events
     import org.apache.spark.sql.functions.col
