@@ -27,6 +27,7 @@ object Bench {
     "dedup_components", "dedup_jaccard_incremental", "emb_quantize_int8",
     "dedup_minhash_incremental",
     "text_gopher_rules", "text_repetition", "dedup_contamination",
+    "asof_join_broadcast",
   )
 
   def main(args: Array[String]): Unit = {

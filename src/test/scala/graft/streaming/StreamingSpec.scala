@@ -229,6 +229,36 @@ class StreamingSpec extends SparkSpec {
       (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L)))
   }
 
+  test("sessionizer restarts from checkpoint: watermark and per-key state survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File("target/tmp/ckpt_restart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val input = MemoryStream[EventStream.SessionEvent]
+    def start() = EventStream.timeoutSessions(input.toDS(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt").start()
+    var q = start()
+    // an open session for user 1 lives only in the state store when we stop
+    input.addData(
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:00:00")),
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    // restart against the same checkpoint: the MemoryStream keeps its data,
+    // the state store must come back from disk — then the watermark advance
+    // closes the recovered session
+    q = start()
+    input.addData(EventStream.SessionEvent(3L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    input.addData(EventStream.SessionEvent(3L, ts("2024-01-01 13:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out.contains((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)),
+      s"user 1's pre-restart session must be recovered and emitted, got ${out.toSeq}")
+  }
+
   test("stream-stream join bounds state with watermarks and matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp)]
