@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GraftDot, GraftRollingHash, GraftShingles, GraftSimHash, MinHashAgg}
+import graft.functions.{GraftDot, GraftRollingHash, GraftShingles, GraftSimHash, GraftVocabHits, MinHashAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
       GraftShingles.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_vocab_hits"),
+      new ExpressionInfo(classOf[GraftVocabHits].getName, "graft_vocab_hits"),
+      GraftVocabHits.builder))
     // tier (c): the native as-of join operator (AsOfJoinPlan -> AsOfJoinExec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Rule[LogicalPlan]: HOF dot-product shapes silently upgrade to the

@@ -31,8 +31,20 @@ object TextOps {
   private def tokSum(text: Column, f: Column => Column): Column =
     aggregate(transform(tokens(text), f), lit(0L), (acc, v) => acc + v)
 
-  /** Count of tokens that belong to a fixed vocabulary. */
+  /** Count of tokens that belong to a fixed vocabulary, via the native
+    * [[GraftVocabHits]] kernel (one hash-set probe per token instead of an
+    * interpreted lambda frame + linear `In` scan). */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
+    vocabHitsOf(tokens(text), vocab)
+
+  private def vocabHitsOf(toks: Column, vocab: Seq[String]): Column = {
+    GraftVocabHits.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_vocab_hits", toks, typedLit(vocab))
+  }
+
+  /** The built-ins-only twin of [[vocabHits]], kept as the executable spec
+    * the native kernel is tested against. */
+  def vocabHitsHof(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(vocab: _*)))
 
   /** Deterministic document fingerprint: md5 of the whitespace-normalized
@@ -59,8 +71,13 @@ object TextOps {
     element_at(typedLit(langMarkers.map(_._1)),
       array_position(scores, array_max(scores)).cast(IntegerType))
 
-  /** Per-language marker-hit scores over a pre-materialized token array. */
+  /** Per-language marker-hit scores over a pre-materialized token array —
+    * five [[GraftVocabHits]] probes of the same array, one JVM loop each. */
   def langScores(toks: Column): Column =
+    array(langMarkers.map { case (_, vocab) => vocabHitsOf(toks, vocab) }: _*)
+
+  /** HOF twin of [[langScores]] (executable spec for the kernel test). */
+  def langScoresHof(toks: Column): Column =
     array(langMarkers.map { case (_, vocab) =>
       size(filter(toks, t => t.isin(vocab: _*)))
     }: _*)

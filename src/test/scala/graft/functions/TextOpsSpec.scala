@@ -45,6 +45,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_words") >= 50 && r.getAs[Boolean]("keep"))
   }
 
+  test("native vocab-hits kernel is bit-identical to the HOF form on real docs") {
+    import org.apache.spark.sql.functions.col
+    val real = graft.Tables(spark, sf001).documents
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val rows = real.select(col("doc_id"),
+      TextOps.vocabHits(col("text"), en).as("native"),
+      TextOps.vocabHitsHof(col("text"), en).as("hof"),
+      TextOps.langScores(TextOps.tokens(col("text"))).as("s_native"),
+      TextOps.langScoresHof(TextOps.tokens(col("text"))).as("s_hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"doc ${r.getLong(0)} vocab hits differ")
+      assert(r.getSeq[Int](3) === r.getSeq[Int](4), s"doc ${r.getLong(0)} lang scores differ")
+    }
+  }
+
   test("repetition stats: top-word/bigram and distinct-word shares") {
     val d = docs(
       1L -> "x x y",
