@@ -14,8 +14,8 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
-    assert(qs.size >= 127, s"expected full registry, got ${qs.size}")
-    assert(os.size >= 110, s"oracle coverage regressed: ${os.size}")
+    assert(qs.size >= 130, s"expected full registry, got ${qs.size}")
+    assert(os.size >= 113, s"oracle coverage regressed: ${os.size}")
   }
 
   test("all registered queries execute at sf0.001 (excluding the slow ML trainer)") {

@@ -117,6 +117,41 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 split( in the plan, got $n")
   }
 
+  test("AQE splits a skewed shuffle partition at runtime (skew=true in the SMJ)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the thresholds so test-sized data triggers the optimization
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // 100k rows on ONE key vs a uniform right side: the hot partition is
+      // ~50x the advisory size, so OptimizeSkewedJoin must split it
+      val skewed = s.range(100000).select(lit(7L).as("k"), $"id".as("payload"))
+        .union(s.range(2000).select(($"id" % 40).as("k"), $"id".as("payload")))
+      val dim = s.range(40).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+      // no downstream keyed operator: a groupBy on k would make AQE skip the
+      // split (it would invalidate the join's output partitioning); collect()
+      // executes THIS Dataset's QueryExecution so the adaptive plan finalizes
+      val joined = skewed.join(dim, "k").select(col("k"), col("payload"), col("v"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have re-planned the hot key as a skew join:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("no registered lazy query plans a CartesianProduct or BroadcastNestedLoop") {
     // entries that run driver-side actions (train/collect/write) during
     // construction are exercised elsewhere; everything lazy is checked here
