@@ -221,6 +221,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter "seen before" probe — the cheap front door of incremental
+    * dedup: build a compact membership sketch of the corpus' content
+    * fingerprints, then flag each batch doc as maybe-seen or DEFINITELY new
+    * (Bloom filters have no false negatives). Definitely-new docs skip the
+    * expensive near-dup pipeline entirely; only the maybe-seen remainder
+    * needs exact verification.
+    *
+    * Scale shape: `stat.bloomFilter` aggregates partial sketches
+    * executor-side and merges on the driver — sketch bytes scale with
+    * `expectedItems`, never with corpus rows; the probe side carries the
+    * sketch as a broadcast value, so the corpus is scanned once and the
+    * batch never shuffles. The probe itself is a Scala UDF by necessity
+    * (Spark's `might_contain` expression is internal to runtime filter
+    * pushdown, not a public function) — one hash probe per row against a
+    * broadcast bitset, no per-row allocation.
+    *
+    * The sketch layout is engine-local => rows-only entry; the no-false-
+    * negative contract and the FP-rate bound are property-tested in
+    * DedupSpec. */
+  def seenBeforeProbe(corpus: DataFrame, batch: DataFrame, idCol: String,
+                      textCol: String, expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): DataFrame = {
+    val fp = graft.functions.TextOps.fingerprint(col(textCol))
+    val bloom = corpus.select(fp.as("fp")).stat.bloomFilter("fp", expectedItems, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((s: String) => bloomBc.value.mightContainString(s))
+    batch.select(col(idCol).as("doc_id"), maybeSeen(fp).as("maybe_seen"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
     * computed by the native [[graft.functions.GraftSimHash]] kernel (the
     * SQL HOF form pays 64 interpreted folds per row — 45s -> ~1s at sf0.1). */
@@ -385,6 +414,16 @@ object Dedup {
       col("id") % 5 === 0, 0.8)
       .orderBy("id_a", "id_b")
 
+  /** Seen-before probe: the 80% "corpus" slice sketches its fingerprints;
+    * the full feed probes it. Sketch layout is engine-local => rows-only;
+    * the no-false-negative contract is property-tested in DedupSpec. */
+  private val seenBeforeQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    seenBeforeProbe(d.filter(col("doc_id") % 5 =!= 0), d, "doc_id", "text",
+      expectedItems = 100000L)
+      .orderBy("doc_id")
+  }
+
   /** Decontamination scan: src0 plays the held-out benchmark, the rest of
     * the corpus is scanned for >= 2 shared 3-gram shingles. */
   private val contaminationQ: Q = (s, dir) => {
@@ -408,6 +447,7 @@ object Dedup {
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
     "dedup_contamination" -> contaminationQ,
+    "dedup_seen_before" -> seenBeforeQ, // bloom layout is engine-local => rows-only
   )
 
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).

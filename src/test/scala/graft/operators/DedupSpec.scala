@@ -62,6 +62,27 @@ class DedupSpec extends SparkSpec {
     assert(native.nonEmpty && native.toSeq === hof.toSeq)
   }
 
+  test("seen-before bloom probe: no false negatives, bounded false positives") {
+    val docs = Tables(spark, sf001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val out = Dedup.seenBeforeProbe(corpus, docs, "doc_id", "text",
+      expectedItems = 100000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact duplicate texts exist across the slice boundary: "new" means the
+    // TEXT (fingerprint) is absent from the corpus slice, not just the id
+    val corpusFps = corpus.select(graft.functions.TextOps.fingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    val fps = docs.select(col("doc_id"),
+      graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (seenTexts, newTexts) = fps.partition { case (_, fp) => corpusFps(fp) }
+    // Bloom contract: every doc whose text IS in the corpus must flag true
+    seenTexts.keys.foreach(id => assert(out(id), s"false negative on doc $id"))
+    // and genuinely new texts should almost all flag false (fpp = 1%)
+    val fpRate = newTexts.keys.count(out(_)).toDouble / math.max(newTexts.size, 1)
+    assert(fpRate <= 0.1, s"false-positive rate $fpRate far above the 1% target")
+  }
+
   test("incremental jaccard equals full pairs restricted to the batch slice") {
     val idx = Dedup.shingleIndex(Tables(spark, sf001).documents, "doc_id", "text").persist()
     val batch = col("id") % 5 === 0
