@@ -409,6 +409,18 @@ object CoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** W8 — rank vs dense_rank with genuine ties (ordering on the
+    * low-cardinality order date, so tied dates share a rank and the two
+    * functions visibly diverge). */
+  private val w8RankDense: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_orderdate"))
+    Tables(s, dir).orders
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .select("o_orderkey", "o_orderpriority", "rnk", "drnk")
+      .orderBy("o_orderkey")
+  }
+
   /** W4 — ntile bucketing per partition with a total tiebreak. */
   private val w4Ntile: Q = (s, dir) => {
     val w = Window.partitionBy("o_orderpriority")
@@ -621,6 +633,7 @@ object CoreQueries {
     "w3_lag_gap" -> w3LagGap,
     "w4_ntile" -> w4Ntile,
     "w7_value_windows" -> w7ValueWindows,
+    "w8_rank_dense" -> w8RankDense,
     "u1_union_distinct" -> u1UnionDistinct,
     "u2_union_all" -> u2UnionAll,
     "u3_intersect" -> u3Intersect,
@@ -846,6 +859,13 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "w8_rank_dense" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(rank() OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate DESC)
+        |ORDER BY o_orderkey""".stripMargin,
     "j10_nullsafe_join" ->
       """WITH a AS (SELECT s_suppkey, nullif(s_suppkey % 7, 0) AS k FROM supplier),
         |b AS (SELECT s_suppkey AS b_suppkey, nullif(s_suppkey % 7, 0) AS k2 FROM supplier)

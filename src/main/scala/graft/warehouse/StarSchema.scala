@@ -95,6 +95,23 @@ object StarSchema {
     history.unionByName(untouchedOpen).unionByName(closed).unionByName(newVersions)
   }
 
+  /** SCD Type-1 merge (latest-wins upsert): a target row is replaced by an
+    * incoming row with the same natural key and a newer timestamp;
+    * unmatched incoming rows insert — MERGE INTO semantics without a table
+    * format. Union + ONE keyed window, no driver state: at 100 TB this is a
+    * single hash shuffle on the merge key. Exact (key, ts) ties resolve to
+    * the incoming side, so re-running the same merge is idempotent. */
+  def scd1Merge(target: DataFrame, incoming: DataFrame, key: String,
+                tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(tsCol).desc, col("__src").desc)
+    target.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   /** Backfill loop: the Airflow `@monthly catchup` twin
     * (full_pipeline_dag.py:82-94) as a plain function — each month is an
     * independent idempotent unit (half-open window + partition overwrite),
@@ -187,10 +204,25 @@ object StarSchema {
       .orderBy("nation_key", "valid_from")
   }
 
+  /** Latest-wins merge: the 80% slice is the standing mart; a restatement
+    * batch (newer ts, shifted values) overlaps one fifth of it and inserts
+    * another fifth. Incoming rows must win exactly where they are newer. */
+  private val scd1Q: Q = (s, dir) => {
+    val ev = Tables(s, dir).events.select("event_id", "ts", "user_id", "value")
+    val target = ev.filter(col("event_id") % 5 =!= 0)
+    val incoming = ev.filter(col("event_id") % 5 < 2)
+      .withColumn("value", col("value") + 1000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+    scd1Merge(target, incoming, "event_id", "ts")
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "j3_time_join" -> j3TimeJoinQ,
     "dim_lookup_enriched" -> dimLookupEnrichedQ,
     "dim_scd2_apply" -> scd2Q,
+    "fact_scd1_merge" -> scd1Q,
     "dim_date_build" -> dimDateQ,
     "dim_time_build" -> dimTimeQ,
     "s9_literal_dim" -> seededDimQ,
@@ -198,6 +230,23 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
+    "fact_scd1_merge" ->
+      """WITH t AS (
+        |  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 5 <> 0),
+        |i AS (
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+        |         value + 1000 AS value
+        |  FROM events WHERE event_id % 5 < 2),
+        |u AS (
+        |  SELECT *, 0 AS src FROM t
+        |  UNION ALL SELECT *, 1 AS src FROM i),
+        |r AS (
+        |  SELECT event_id, ts, user_id, value,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY ts DESC, src DESC) AS rn
+        |  FROM u)
+        |SELECT event_id, ts, user_id, value FROM r
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "dim_scd2_apply" ->
       """WITH cur AS (
         |  SELECT n_nationkey AS nation_key, n_name AS name,

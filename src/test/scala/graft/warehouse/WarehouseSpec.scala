@@ -35,6 +35,28 @@ class WarehouseSpec extends SparkSpec {
     assert(again.count() === applied.count())
   }
 
+  test("SCD1 merge is latest-wins (older incoming never clobbers) and idempotent") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val target = Seq(
+      (1L, ts("2024-06-01 00:00:00"), 10.0),
+      (2L, ts("2024-06-01 00:00:00"), 20.0),
+    ).toDF("k", "ts", "v")
+    val incoming = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 11.0), // OLDER restatement -> ignored
+      (2L, ts("2024-07-01 00:00:00"), 22.0), // newer -> replaces
+      (3L, ts("2024-07-01 00:00:00"), 33.0), // new key -> inserts
+    ).toDF("k", "ts", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val merged = StarSchema.scd1Merge(target, incoming, "k", "ts")
+    assert(snap(merged) === Seq((1L, 10.0), (2L, 22.0), (3L, 33.0)))
+    // re-delivering the same batch converges (incoming wins exact ties)
+    val again = StarSchema.scd1Merge(merged, incoming, "k", "ts")
+    assert(snap(again) === snap(merged))
+  }
+
   test("dim_time keys are consistent between builder and fact-side encoding") {
     val ev = Tables(spark, sf001).events
     val dt = StarSchema.dimTime(ev, "ts")
