@@ -45,8 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftVocabHits.builder))
     // tier (c): the native as-of join operator (AsOfJoinPlan -> AsOfJoinExec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // Rule[LogicalPlan]: HOF dot-product shapes silently upgrade to the
-    // codegen'd GraftDot kernel
+    // Rule[LogicalPlan]: HOF dot-product / vocab-count shapes silently
+    // upgrade to the native kernels
     e.injectOptimizerRule(_ => graft.plans.NativeDotRule)
+    e.injectOptimizerRule(_ => graft.plans.NativeVocabHitsRule)
   }
 }

@@ -62,6 +62,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("NativeVocabHitsRule rewrites the plain size(filter(In)) shape to the kernel") {
+    import org.apache.spark.sql.functions._
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.NativeVocabHitsRule))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.NativeVocabHitsRule
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val d = graft.Tables(spark, sf001).documents
+    // user code written with plain built-ins, no graft API in sight
+    val df = d.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t.isin(en: _*))).as("hits"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_vocab_hits"),
+      df.queryExecution.optimizedPlan.toString.linesIterator.take(3).mkString("\n"))
+    // identical values to the un-rewritten HOF
+    val got = df.orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exp = d.select(col("doc_id"), TextOps.vocabHitsHof(col("text"), en).as("h"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === exp && got.nonEmpty)
+    // a filter on a non-literal vocabulary is left untouched
+    val dyn = d.select(size(filter(split(col("text"), " "),
+      t => t === col("lang"))).as("n"))
+    assert(!dyn.queryExecution.optimizedPlan.toString.contains("graft_vocab_hits"))
+  }
+
   test("repetition stats: top-word/bigram and distinct-word shares") {
     val d = docs(
       1L -> "x x y",
