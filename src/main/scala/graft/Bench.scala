@@ -99,6 +99,10 @@ object Bench {
     val total = mins.map(_._2).sum
     val loads = passLoad.result().mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},"queries_median":${jmap(medians)},"runs":$repeats,"loadavg":$loadavg,"loadavg_per_pass":$loads,"errors":$es,"sf":"$sfDir"}""")
+    // Short summary LAST (VERDICT r5): the full per-query line above can
+    // outgrow a tail-capture buffer; this line always fits, so the headline
+    // total survives truncation. Readers wanting detail parse the long line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${mins.length},"n_errors":${errors.size},"sf":"$sfDir","detail":"per-query map on previous line"}""")
     spark.stop()
   }
 }

@@ -16,20 +16,35 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * preference (b) of the builder brief: a native Catalyst `Expression` with
   * `doGenCode` beats HOFs and UDFs for hot scalar kernels.
   *
-  * Semantics match the HOF form exactly: sequential left-to-right summation
-  * over min(len(a), len(b)) elements, so oracle hashes are unchanged.
+  * Semantics match the HOF form exactly ON ALL INPUTS, not just the happy
+  * path (ADVICE r5): unequal lengths yield NULL (zip_with pads the shorter
+  * array with nulls, which propagate through Multiply/Add to a NULL fold),
+  * and a null element in either array yields NULL for the same reason.
+  * Equal-length null-free arrays produce the identical sequential
+  * left-to-right sum. This equivalence is what licenses
+  * [[graft.plans.NativeDotRule]] to rewrite the HOF shape globally without
+  * inspecting element nullability.
   */
 case class GraftDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch / null elements even when both inputs are
+  // non-null arrays
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -39,12 +54,17 @@ case class GraftDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

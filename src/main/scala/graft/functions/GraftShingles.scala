@@ -38,8 +38,12 @@ case class GraftShingles(child: Expression, n: Int)
       val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) {
-        // null tokens are skipped by concatWs — same as SQL concat_ws
-        parts(j) = toks.getUTF8String(i + j)
+        // null tokens must be passed to concatWs as null so it skips them
+        // (same as SQL concat_ws). The explicit isNullAt check matters:
+        // UnsafeArrayData.getUTF8String yields an EMPTY string for a null
+        // slot (joined with separators), only GenericArrayData yields null
+        // (ADVICE r5) — don't depend on the backing implementation.
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
         j += 1
       }
       seen.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))

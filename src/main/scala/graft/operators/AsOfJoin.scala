@@ -34,20 +34,36 @@ object AsOfJoin {
     * @param tsCol     event-time column (same name both sides)
     * @param valueCols right-side value columns to attach to left rows */
   def asOfBackward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-                   valueCols: Seq[String]): DataFrame =
-    asOfComposed(left, right, key, tsCol, valueCols, backward = true)
+                   valueCols: Seq[String], tolerance: Option[Long] = None): DataFrame =
+    asOfComposed(left, right, key, tsCol, valueCols, backward = true, tolerance)
 
   /** Forward as-of join: for each left row, the EARLIEST right row with
     * `right.ts >= left.ts` in the same key group (next-event lookup —
     * time-to-conversion features, next-maintenance windows). Same one
     * shuffle + one sort shape with the window frame reversed. */
   def asOfForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-                  valueCols: Seq[String]): DataFrame =
-    asOfComposed(left, right, key, tsCol, valueCols, backward = false)
+                  valueCols: Seq[String], tolerance: Option[Long] = None): DataFrame =
+    asOfComposed(left, right, key, tsCol, valueCols, backward = false, tolerance)
+
+  /** Matched right ts (or left ts) in an integral native unit for the
+    * tolerance gap: µs for timestamps, days for dates, raw integrals. */
+  private def tsUnits(c: org.apache.spark.sql.Column,
+                      dt: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => unix_date(c)
+      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"as-of tolerance is not supported for ts type $other " +
+          "(needs an integral native unit: timestamp, date, or integer)")
+    }
+  }
 
   private def asOfComposed(left: DataFrame, right: DataFrame, key: String,
                            tsCol: String, valueCols: Seq[String],
-                           backward: Boolean): DataFrame = {
+                           backward: Boolean,
+                           tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
     // ADVICE r3: carrying raw values with last(v, ignoreNulls) skips a right
@@ -55,7 +71,13 @@ object AsOfJoin {
     // Instead carry ONE struct that is non-null for every right row — the
     // marker field makes "no match yet" (struct null) distinguishable from
     // "matched row with NULL value" (struct present, field null).
+    // the matched right row's ts rides in the payload ("__t") so a
+    // tolerance can bound the gap after the carry; tie rows share their ts,
+    // so the deterministic payload tiebreak is unchanged
+    val tsType = right.schema(tsCol).dataType
+    tolerance.foreach(_ => tsUnits(col(tsCol), tsType)) // validate ts type early
     val payloadType = StructType(StructField("__m", IntegerType, nullable = false) +:
+      StructField("__t", tsType) +:
       valueCols.map(v => StructField(v, right.schema(v).dataType)))
     // Tag order at equal ts: backward wants the right row BEFORE the left
     // row in the sort (inclusive <=); forward wants the left row first so
@@ -67,7 +89,8 @@ object AsOfJoin {
     val r = leftCols.filterNot(c => c == key || c == tsCol)
       .foldLeft(right.select((key +: tsCol +: valueCols).map(col): _*)
         .withColumn("__tag", lit(rTag))
-        .withColumn("__p", struct(lit(1).as("__m") +: valueCols.map(col): _*))
+        .withColumn("__p", struct(
+          lit(1).as("__m") +: col(tsCol).as("__t") +: valueCols.map(col): _*))
         .drop(valueCols: _*)) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
@@ -84,9 +107,18 @@ object AsOfJoin {
         (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
           first(col("__p"), ignoreNulls = true))
     val carried = unioned.withColumn("__c", pick.over(w))
+    // tolerance: the carried row is the NEAREST eligible match, so one gap
+    // check is exhaustive; when(gap-null-or-false, v) also nulls unmatched
+    // rows (merge_asof(tolerance=...) semantics)
+    val valueOut = tolerance match {
+      case Some(tol) =>
+        val gapOk = abs(tsUnits(col(tsCol), tsType) -
+          tsUnits(col("__c").getField("__t"), tsType)) <= tol
+        valueCols.map(v => when(gapOk, col("__c").getField(v)).as(v))
+      case None => valueCols.map(v => col("__c").getField(v).as(v))
+    }
     carried.filter(col("__tag") === lTag)
-      .select(leftCols.map(col) ++
-        valueCols.map(v => col("__c").getField(v).as(v)): _*)
+      .select(leftCols.map(col) ++ valueOut: _*)
   }
 
   /** Tier (c) native path: identical semantics to [[asOfBackward]], planned
@@ -96,13 +128,17 @@ object AsOfJoin {
     * an O(1)-state streaming merge — vs the composed form's union
     * materialization and window buffer. Same DuckDB ASOF oracle. */
   def asOfBackwardNative(left: DataFrame, right: DataFrame, key: String,
-                         tsCol: String, valueCols: Seq[String]): DataFrame =
-    asOfNative(left, right, key, tsCol, valueCols, backward = true)
+                         tsCol: String, valueCols: Seq[String],
+                         tolerance: Option[Long] = None): DataFrame =
+    asOfNative(left, right, key, tsCol, valueCols, backward = true,
+      tolerance = tolerance)
 
   /** Forward twin of [[asOfBackwardNative]] — same exec, reversed lookup. */
   def asOfForwardNative(left: DataFrame, right: DataFrame, key: String,
-                        tsCol: String, valueCols: Seq[String]): DataFrame =
-    asOfNative(left, right, key, tsCol, valueCols, backward = false)
+                        tsCol: String, valueCols: Seq[String],
+                        tolerance: Option[Long] = None): DataFrame =
+    asOfNative(left, right, key, tsCol, valueCols, backward = false,
+      tolerance = tolerance)
 
   /** Broadcast-right variant of [[asOfBackwardNative]]: for a SMALL right
     * side (a rates table, a dimension history) the left side is never
@@ -111,20 +147,23 @@ object AsOfJoin {
     * ([[graft.plans.BroadcastAsOfJoinExec]]). The explicit opt-in mirrors
     * `broadcast(df)` for equi-joins; same oracle as the sort-merge path. */
   def asOfBackwardBroadcast(left: DataFrame, right: DataFrame, key: String,
-                            tsCol: String, valueCols: Seq[String]): DataFrame =
+                            tsCol: String, valueCols: Seq[String],
+                            tolerance: Option[Long] = None): DataFrame =
     asOfNative(left, right, key, tsCol, valueCols, backward = true,
-      broadcastRight = true)
+      broadcastRight = true, tolerance = tolerance)
 
   /** Forward twin of [[asOfBackwardBroadcast]]. */
   def asOfForwardBroadcast(left: DataFrame, right: DataFrame, key: String,
-                           tsCol: String, valueCols: Seq[String]): DataFrame =
+                           tsCol: String, valueCols: Seq[String],
+                           tolerance: Option[Long] = None): DataFrame =
     asOfNative(left, right, key, tsCol, valueCols, backward = false,
-      broadcastRight = true)
+      broadcastRight = true, tolerance = tolerance)
 
   private def asOfNative(left: DataFrame, right: DataFrame, key: String,
                          tsCol: String, valueCols: Seq[String],
                          backward: Boolean,
-                         broadcastRight: Boolean = false): DataFrame = {
+                         broadcastRight: Boolean = false,
+                         tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     org.apache.spark.sql.graft.PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     // re-alias every right column: left and right often derive from the SAME
@@ -140,7 +179,7 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(lPlan, tsCol),
       attr(rPlan, key), attr(rPlan, tsCol),
-      valueCols.map(attr(rPlan, _)), backward, broadcastRight)
+      valueCols.map(attr(rPlan, _)), backward, broadcastRight, tolerance)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
   }
 
@@ -208,12 +247,45 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Tolerance for the graded entries: 72 hours in microseconds. */
+  val TolMicros: Long = 72L * 3600 * 1000000
+
+  /** Backward lookup bounded to a 72 h gap — `merge_asof(tolerance=...)`:
+    * a purchase older than 3 days is stale and must NOT be carried. */
+  private val asOfToleranceQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    asOfBackward(views, purchases, "user_id", "ts", Seq("last_purchase"),
+      tolerance = Some(TolMicros))
+      .select("event_id", "user_id", "last_purchase")
+      .orderBy("event_id")
+  }
+
+  /** Same bounded lookup through the native sort-merge exec (one extra
+    * comparison in the merge loop) — same oracle. */
+  private val asOfToleranceNativeQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    asOfBackwardNative(views, purchases, "user_id", "ts", Seq("last_purchase"),
+      tolerance = Some(TolMicros))
+      .select("event_id", "user_id", "last_purchase")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "asof_join_backward" -> asOfQ,
     "asof_join_native" -> asOfNativeQ,
     "asof_join_forward" -> asOfForwardQ,
     "asof_join_forward_native" -> asOfForwardNativeQ,
     "asof_join_broadcast" -> asOfBroadcastQ,
+    "asof_join_tolerance" -> asOfToleranceQ,
+    "asof_join_tolerance_native" -> asOfToleranceNativeQ,
   )
 
   private val asOfOracle =
@@ -232,11 +304,27 @@ object AsOfJoin {
       |  ON v.user_id = p.user_id AND v.ts <= p.ts
       |ORDER BY v.event_id""".stripMargin
 
+  // ASOF picks the nearest at-or-before row; the tolerance then nulls a
+  // match whose gap exceeds 72 h (checking the chosen row is exhaustive —
+  // any other candidate is farther). Same formulation as the engine.
+  private val asOfToleranceOracle =
+    """SELECT v.event_id, v.user_id,
+      |       CASE WHEN p.ts IS NOT NULL
+      |                 AND v.ts - p.ts <= INTERVAL 72 HOUR
+      |            THEN p.value END AS last_purchase
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND v.ts >= p.ts
+      |ORDER BY v.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "asof_join_backward" -> asOfOracle,
     "asof_join_native" -> asOfOracle,
     "asof_join_forward" -> asOfForwardOracle,
     "asof_join_forward_native" -> asOfForwardOracle,
     "asof_join_broadcast" -> asOfOracle,
+    "asof_join_tolerance" -> asOfToleranceOracle,
+    "asof_join_tolerance_native" -> asOfToleranceOracle,
   )
 }

@@ -44,7 +44,8 @@ case class AsOfJoinExec(
     valueAttrs: Seq[Attribute],
     backward: Boolean,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -71,6 +72,8 @@ case class AsOfJoinExec(
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val valueExprs: Seq[Expression] = valueAttrs
     val outAttrs = output
+    val tol = tolerance.getOrElse(-1L)
+    if (tol >= 0) AsOfJoinStrategy.requireTolerableTs(leftTs.dataType)
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -87,7 +90,13 @@ case class AsOfJoinExec(
 
         // last right row whose key might still match upcoming left rows
         var matchedKey: Any = null
+        var matchedTs: Any = null
         var matchedValues: InternalRow = null
+        // gap bound: as-of picks the NEAREST eligible right row, so checking
+        // the chosen row is exhaustive — anything else is farther away
+        def withinTol(lt: Any, rt: Any): Boolean =
+          tol < 0 || math.abs(AsOfJoinStrategy.toLongTs(lt) -
+            AsOfJoinStrategy.toLongTs(rt)) <= tol
 
         // BACKWARD: consume right rows with (rk < k) or (rk == k && rt <= t);
         // left keys ascend, so consumed rows of smaller keys are dead forever
@@ -104,6 +113,7 @@ case class AsOfJoinExec(
               else if (c == 0 && tsOrd.compare(rt, t) <= 0) {
                 val row = rBuf.next()
                 matchedKey = InternalRow.copyValue(rk) // rk may alias row buffer
+                matchedTs = InternalRow.copyValue(rt)
                 matchedValues = valueProj(row).copy()
               } else done = true
             }
@@ -136,13 +146,15 @@ case class AsOfJoinExec(
             if (k == null || t == null) nullValues
             else if (backward) {
               advance(k, t)
-              if (matchedKey != null && keyOrd.compare(matchedKey, k) == 0) matchedValues
+              if (matchedKey != null && keyOrd.compare(matchedKey, k) == 0 &&
+                withinTol(t, matchedTs)) matchedValues
               else nullValues
             } else {
               discardDead(k, t)
               if (rBuf.hasNext && {
                 val rk = rKeyB.eval(rBuf.head)
-                rk != null && keyOrd.compare(rk, k) == 0
+                rk != null && keyOrd.compare(rk, k) == 0 &&
+                  withinTol(t, rTsB.eval(rBuf.head))
               }) valueProj(rBuf.head)
               else nullValues
             }
@@ -159,15 +171,64 @@ case class AsOfJoinExec(
 /** Planner rule: [[AsOfJoinPlan]] → sort-merge [[AsOfJoinExec]], or
   * [[BroadcastAsOfJoinExec]] when the caller asserted a small right side
   * (explicit hint, like `broadcast(df)` for equi-joins — the left side is
-  * then never shuffled or sorted). */
+  * then never shuffled or sorted).
+  *
+  * The broadcast path keys a per-partition HashMap on evaluated key VALUES
+  * (Java equals/hashCode), which is only correct for types whose runtime
+  * representation has value-based equality — every atomic type except
+  * BinaryType (Array[Byte] equality is reference-based; struct/array/map
+  * InternalRow/ArrayData likewise). For those key types the hint silently
+  * falls back to the sort-merge exec, which compares keys through the
+  * interpreted ordering and handles them correctly (ADVICE r5). */
 object AsOfJoinStrategy extends SparkStrategy {
+
+  /** Ts types a `tolerance` can bound: anything whose runtime value is an
+    * integral count of native units (µs for timestamps, days for dates). */
+  def requireTolerableTs(dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType | DateType |
+           ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"as-of tolerance is not supported for ts type $other " +
+          "(needs an integral native unit: timestamp, date, or integer)")
+    }
+  }
+
+  /** Runtime ts value -> native-unit count for the gap comparison. */
+  def toLongTs(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalArgumentException(
+      s"as-of tolerance: non-integral ts value $other")
+  }
+
+  /** Key types whose evaluated values have Java value equality (safe to use
+    * as HashMap keys in the broadcast lookup) — an explicit whitelist:
+    * primitives box to value-equal wrappers, UTF8String/Decimal define
+    * value equals. Everything else (binary, struct, array, map, UDT) is
+    * reference-equal or row-backed and must take the sort-merge path. */
+  private def hashableKey(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case p: AsOfJoinPlan if p.broadcastRight =>
+    case p: AsOfJoinPlan if p.broadcastRight && hashableKey(p.leftKey.dataType) =>
       BroadcastAsOfJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs,
-        p.valueAttrs, p.backward, planLater(p.left), planLater(p.right)) :: Nil
+        p.valueAttrs, p.backward, planLater(p.left), planLater(p.right),
+        p.tolerance) :: Nil
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs, p.valueAttrs,
-        p.backward, planLater(p.left), planLater(p.right)) :: Nil
+        p.backward, planLater(p.left), planLater(p.right), p.tolerance) :: Nil
     case _ => Nil
   }
 }

@@ -20,6 +20,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * Output = all left columns, then the carried right value columns
   * (nullable: a left row with no earlier right match keeps NULL — left-join
   * semantics).
+  *
+  * `tolerance` (optional) bounds the match gap: a right row farther than
+  * `tolerance` units from the left ts (in the ts column's NATIVE units —
+  * microseconds for timestamps, days for dates, raw values for integral
+  * columns) does not match. Since as-of always picks the nearest eligible
+  * right row, checking the chosen row is exhaustive — any other candidate
+  * is farther. `merge_asof(tolerance=...)` semantics.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -30,7 +37,8 @@ case class AsOfJoinPlan(
     rightTs: Attribute,
     valueAttrs: Seq[Attribute],
     backward: Boolean = true,
-    broadcastRight: Boolean = false)
+    broadcastRight: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =

@@ -30,7 +30,8 @@ case class BroadcastAsOfJoinExec(
     valueAttrs: Seq[Attribute],
     backward: Boolean,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -54,6 +55,8 @@ case class BroadcastAsOfJoinExec(
     val valueExprs: Seq[Expression] = valueAttrs
     val outAttrs = output
     val bwd = backward
+    val tol = tolerance.getOrElse(-1L)
+    if (tol >= 0) AsOfJoinStrategy.requireTolerableTs(leftTs.dataType)
 
     val broadcastRelation = right.executeBroadcast[Array[InternalRow]]()
 
@@ -114,7 +117,12 @@ case class BroadcastAsOfJoinExec(
           else lookup.get(k) match {
             case Some((ts, vals)) =>
               val i = search(ts, t)
-              if (i >= 0) vals(i) else nullValues
+              // tolerance: the binary-search hit is the nearest eligible
+              // row, so one gap check is exhaustive
+              if (i >= 0 && (tol < 0 ||
+                math.abs(AsOfJoinStrategy.toLongTs(t) -
+                  AsOfJoinStrategy.toLongTs(ts(i))) <= tol)) vals(i)
+              else nullValues
             case None => nullValues
           }
         resultProj(joined(l, values))

@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * — which executes as an interpreted CodegenFallback lambda per element —
   * into the codegen'd [[graft.functions.GraftDot]] kernel. Semantics are
-  * identical by construction (GraftDot IS the sequential left fold over
-  * min(len) elements), so user code written against the public
+  * identical ON ALL INPUTS (ADVICE r5): GraftDot returns NULL on a length
+  * mismatch and on null elements, exactly mirroring how zip_with's null
+  * padding and null element products propagate through the Multiply/Add
+  * fold to a NULL result — so the rewrite is safe regardless of the arrays'
+  * `containsNull` flags, and user code written against the public
   * [[graft.operators.Similarity.dot]] API silently gets the native kernel
   * when the rule is installed via [[graft.GraftExtensions]] (or per-session
   * through `experimental.extraOptimizations`). The match is deliberately

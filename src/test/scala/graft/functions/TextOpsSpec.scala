@@ -13,6 +13,85 @@ class TextOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("seqPack: distributed prefix sum equals the naive global cumsum") {
+    // real docs, many partitions: the per-partition-cumsum + broadcast-prefix
+    // formulation must reproduce the single-window global running sum exactly
+    val d = graft.Tables(spark, sf001).documents
+    val got = TextOps.seqPack(d, "doc_id", "text", 512)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val naiveW = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start", sum("n_tokens").over(naiveW) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("start div 512").as("seq_id"), pmod(col("start"), lit(512L)).as("offset"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq === naive.toSeq)
+  }
+
+  test("seqPack: every sequence except the last carries exactly the budget") {
+    val budget = 64L
+    val d = docs((1L to 40L).map(i => i -> ("tok " * (i % 13 + 1).toInt).trim): _*)
+    val rows = TextOps.seqPack(d, "doc_id", "text", budget.toInt)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // offsets live in [0, budget); doc_ids are emitted exactly once
+    assert(rows.map(_._1).toSeq === (1L to 40L))
+    assert(rows.forall { case (_, _, _, off) => off >= 0 && off < budget })
+    // reconstruct the chunked stream: attribute each doc's token span to
+    // sequences; every non-final sequence must receive exactly `budget`
+    val total = rows.map(_._2).sum
+    val nSeqs = (total + budget - 1) / budget
+    val perSeq = new Array[Long](nSeqs.toInt)
+    rows.foreach { case (_, n, seqId, off) =>
+      var remaining = n
+      var s = seqId
+      var pos = off
+      while (remaining > 0) {
+        val take = math.min(remaining, budget - pos)
+        perSeq(s.toInt) += take
+        remaining -= take
+        s += 1
+        pos = 0
+      }
+    }
+    (0 until nSeqs.toInt - 1).foreach { s =>
+      assert(perSeq(s) === budget, s"sequence $s not full: ${perSeq(s)}")
+    }
+    assert(perSeq.sum === total)
+  }
+
+  test("pii scrub redacts emails, phones and digit runs with placeholders") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      1L -> "contact me.x+1@sub.example.com or +14155551234 now",
+      2L -> "call 555-123-4567 ref 12345678 ok",
+      3L -> "clean text only")
+    val got = d.select(col("doc_id"), TextOps.piiScrub(col("text")).as("s"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got(0) === "contact <EMAIL> or <PHONE> now")
+    assert(got(1) === "call <PHONE> ref <NUM> ok")
+    assert(got(2) === "clean text only")
+  }
+
+  test("domain cap keeps at most n docs per source, lowest ids first") {
+    val s = spark
+    import s.implicits._
+    val d = Seq.tabulate(30)(i => (i.toLong, s"src${i % 2}"))
+      .toDF("doc_id", "source")
+    val got = TextOps.domainCap(d, "source", "doc_id", 3)
+      .orderBy("source", "rk").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(got.toSeq === Seq(
+      ("src0", 0L, 1), ("src0", 2L, 2), ("src0", 4L, 3),
+      ("src1", 1L, 1), ("src1", 3L, 2), ("src1", 5L, 3)))
+  }
+
   test("gopher rules: counts, ratios and keep flag on crafted docs") {
     val d = docs(
       1L -> "the cat sat",

@@ -219,6 +219,63 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd === res(AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", Seq("px"))))
   }
 
+  test("tolerance bounds the match gap identically in composed, native and broadcast paths") {
+    val hourMicros = 3600L * 1000000
+    val quotes = Seq(
+      (1L, ts("2024-01-01 06:00:00"), 60.0),  // stale for the 10:30 trade (4.5 h)
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (2L, ts("2024-01-01 00:00:00"), 200.0), // stale for the 11:00 trade (11 h)
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")), // 10:00 quote, gap 30 min -> 100
+      (11L, 1L, ts("2024-01-01 13:00:00")), // 10:00 quote, gap 3 h -> out of 2 h tol
+      (12L, 2L, ts("2024-01-01 11:00:00")), // 00:00 quote, gap 11 h -> null
+      (13L, 3L, ts("2024-01-01 11:00:00")), // no quotes -> null
+    ).toDF("trade_id", "user_id", "ts")
+    val tol = Some(2 * hourMicros)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val expected = Map(10L -> Some(100.0), 11L -> None, 12L -> None, 13L -> None)
+    assert(res(AsOfJoin.asOfBackward(trades, quotes, "user_id", "ts", Seq("px"), tol)) === expected)
+    assert(res(AsOfJoin.asOfBackwardNative(trades, quotes, "user_id", "ts", Seq("px"), tol)) === expected)
+    assert(res(AsOfJoin.asOfBackwardBroadcast(trades, quotes, "user_id", "ts", Seq("px"), tol)) === expected)
+    // forward twin: next quote within 2 h
+    val fwdExpected = Map(
+      10L -> None,           // no future quote for key 1 after 10:30
+      11L -> None, 12L -> None, 13L -> None)
+    assert(res(AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", Seq("px"), tol)) === fwdExpected)
+    assert(res(AsOfJoin.asOfForwardNative(trades, quotes, "user_id", "ts", Seq("px"), tol)) === fwdExpected)
+    // and with no tolerance the stale rows come back (sanity contrast)
+    val untol = res(AsOfJoin.asOfBackward(trades, quotes, "user_id", "ts", Seq("px")))
+    assert(untol === Map(10L -> Some(100.0), 11L -> Some(100.0),
+      12L -> Some(200.0), 13L -> None))
+  }
+
+  test("broadcast hint on a binary key falls back to sort-merge and stays correct (ADVICE r5)") {
+    // Array[Byte] has reference equality: the broadcast HashMap lookup would
+    // miss every probe and emit all-NULL matches. The strategy must route
+    // the hint to the sort-merge exec (interpreted ordering) instead.
+    val quotes = Seq(
+      (Array[Byte](1), ts("2024-01-01 10:00:00"), 100.0),
+      (Array[Byte](1), ts("2024-01-01 12:00:00"), 120.0),
+      (Array[Byte](2), ts("2024-01-01 11:00:00"), 200.0),
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      (10L, Array[Byte](1), ts("2024-01-01 11:00:00")), // -> 100
+      (11L, Array[Byte](2), ts("2024-01-01 12:00:00")), // -> 200
+      (12L, Array[Byte](3), ts("2024-01-01 12:00:00")), // no quotes -> null
+    ).toDF("trade_id", "k", "ts")
+    val bcast = AsOfJoin.asOfBackwardBroadcast(trades, quotes, "k", "ts", Seq("px"))
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastAsOfJoin"),
+      s"binary key must not take the broadcast path:\n${plan.take(600)}")
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+    val got = bcast.select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(10L -> Some(100.0), 11L -> Some(200.0), 12L -> None))
+  }
+
   test("native exec matches composed on the events feed (self-as-of, real data)") {
     val ev = graft.Tables(spark, sf001).events
     import org.apache.spark.sql.functions.col

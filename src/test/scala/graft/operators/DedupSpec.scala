@@ -28,6 +28,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingleIndex(df.filter($"doc_id" === 2), "doc_id", "text").count() === 0)
   }
 
+  test("graft_shingles skips null tokens like concat_ws, regardless of array backing (ADVICE r5)") {
+    graft.functions.GraftShingles.register(spark)
+    val df = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("toks"))
+    // n=2 windows: [a, null] -> "a" (null skipped), [null, b] -> "b"
+    val direct = df.select(call_function("graft_shingles", col("toks"), lit(2)))
+      .collect().head.getSeq[String](0)
+    assert(direct.toSeq === Seq("a", "b"))
+    // and through an UnsafeRow round-trip (repartition forces UnsafeArrayData),
+    // where getUTF8String on a null slot yields "" instead of null
+    val unsafe = df.repartition(2)
+      .select(call_function("graft_shingles", col("toks"), lit(2)))
+      .collect().head.getSeq[String](0)
+    assert(unsafe.toSeq === Seq("a", "b"))
+  }
+
   test("exact jaccard on a constructed near-dup pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
@@ -83,6 +99,48 @@ class DedupSpec extends SparkSpec {
     assert(fpRate <= 0.1, s"false-positive rate $fpRate far above the 1% target")
   }
 
+  test("seen-before sketch size is bounded: oversized driver sketches fail fast") {
+    // 1e10 items at 1% fpp ≈ 12 GB of driver bitset — must refuse, loudly
+    val docs = Tables(spark, sf001).documents
+    val e = intercept[IllegalArgumentException] {
+      Dedup.seenBeforeProbe(docs, docs, "doc_id", "text",
+        expectedItems = 10000000000L, fpp = 0.01)
+    }
+    assert(e.getMessage.contains("seenBeforeProbeSharded"))
+    // the bytes model matches the classic Bloom formula within rounding
+    assert(Dedup.bloomBytes(1000000L, 0.01) / 1024 / 1024 <= 2) // ~1.2 MB
+    assert(Dedup.bloomBytes(10000000000L, 0.01) > (10L << 30))  // ~12 GB
+  }
+
+  test("sharded seen-before probe: distributed sketches, no false negatives") {
+    val docs = Tables(spark, sf001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val out = Dedup.seenBeforeProbeSharded(corpus, docs, "doc_id", "text",
+      nShards = 8, expectedItems = 100000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val corpusFps = corpus.select(graft.functions.TextOps.fingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    val fps = docs.select(col("doc_id"),
+      graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (seenTexts, newTexts) = fps.partition { case (_, fp) => corpusFps(fp) }
+    seenTexts.keys.foreach(id => assert(out(id), s"false negative on doc $id"))
+    val fpRate = newTexts.keys.count(out(_)).toDouble / math.max(newTexts.size, 1)
+    assert(fpRate <= 0.1, s"false-positive rate $fpRate far above the 1% target")
+    // agreement with the driver-merged variant on the definitely-new verdicts
+    // is implied by the shared no-false-negative contract above
+  }
+
+  test("connectedComponents survives a deep chain (localCheckpoint cadence)") {
+    // path 1-2-...-14: diameter 13 forces >10 propagation rounds, crossing
+    // the every-5-rounds localCheckpoint twice
+    val pairs = (1L until 14L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (1L to 14L).toSet)
+    assert(got.values.forall(_ === 1L), s"all nodes must label to min id 1: $got")
+  }
+
   test("incremental jaccard equals full pairs restricted to the batch slice") {
     val idx = Dedup.shingleIndex(Tables(spark, sf001).documents, "doc_id", "text").persist()
     val batch = col("id") % 5 === 0
@@ -95,6 +153,16 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     idx.unpersist()
     assert(inc.nonEmpty && inc.toSeq === full.toSeq)
+  }
+
+  test("simhash signature matches the md5 bit-arithmetic reference value") {
+    graft.functions.GraftSimHash.register(spark)
+    // hand-computed: md5_number_upper token hashes (first 8 digest bytes
+    // little-endian), ±1 bit votes, bit set iff sum > 0 — the DuckDB oracle
+    // formulation evaluated independently in python
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = df.select(Dedup.simhash64("text")).collect().head.getLong(0)
+    assert(got === 1737008506924052512L)
   }
 
   test("simhash is deterministic and near-identical docs collide within hamming 3") {

@@ -44,6 +44,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 
+  test("graft_dot matches the HOF fold on edge inputs: length mismatch and null elements (ADVICE r5)") {
+    graft.functions.GraftDot.register(spark)
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (2L, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0))), // unequal length
+      (3L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))), // null element
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", expr("graft_dot(a, b)").as("native"),
+        Similarity.dot($"a", $"b").as("hof"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq.sortBy(_._1)
+    // HOF semantics: zip_with pads/propagates nulls through the fold -> NULL
+    assert(got === Seq(
+      (1L, Some(11.0), Some(11.0)),
+      (2L, None, None),
+      (3L, None, None)))
+  }
+
   test("int8 quantization stays in range and reconstructs within scale/2") {
     val e = Tables(spark, sf001).embeddings
     val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
