@@ -28,6 +28,8 @@ object Bench {
     "dedup_minhash_incremental",
     "text_gopher_rules", "text_repetition", "dedup_contamination",
     "asof_join_broadcast",
+    "text_seq_packing", "dedup_simhash_pairs", "asof_join_tolerance_native",
+    "dedup_substring_probe", "text_pii_scrub",
   )
 
   def main(args: Array[String]): Unit = {

@@ -32,19 +32,13 @@ case class GraftSimHash(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val md = GraftSimHash.digests.get()
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val tok = arr.getUTF8String(i)
-        md.reset()
-        val digest = md.digest(tok.getBytes)
-        // little-endian of digest bytes 0..7 == DuckDB md5_number_upper
-        var h = 0L
-        var k = 0
-        while (k < 8) { h |= (digest(k) & 0xffL) << (8 * k); k += 1 }
+        // little-endian first-8-md5-bytes == DuckDB md5_number_upper
+        val h = Md5Hash64.hash(arr.getUTF8String(i))
         var p = 0
         while (p < 64) {
           votes(p) += (((h >>> p) & 1L).toInt << 1) - 1
@@ -66,11 +60,28 @@ case class GraftSimHash(child: Expression)
   override def prettyName: String = "graft_simhash"
 }
 
-object GraftSimHash {
+/** Shared md5-derived 64-bit token hash: first 8 digest bytes read
+  * little-endian — exactly DuckDB's `md5_number_upper`, so every operator
+  * built on it ([[GraftSimHash]], [[GraftRollingHash]]) is replayable as
+  * DuckDB bit arithmetic. */
+private[functions] object Md5Hash64 {
   /** One MessageDigest per executor thread (getInstance per row would
     * dominate the per-token hashing cost). */
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def hash(tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val digest = md.digest(tok.getBytes)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h |= (digest(k) & 0xffL) << (8 * k); k += 1 }
+    h
+  }
+}
+
+object GraftSimHash {
 
   val builder: Seq[Expression] => Expression = {
     case Seq(e) => GraftSimHash(e)

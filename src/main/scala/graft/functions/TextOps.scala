@@ -153,9 +153,10 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Order-sensitive rolling fingerprint over tokens (brief: "document
-    * fingerprinting (rolling hash)"): fold acc = rotl(acc, 5) XOR hash(tok).
-    * xxhash64-seeded => engine-local (rows-only); determinism and order
-    * sensitivity are asserted in the suite. Evaluated by the native
+    * fingerprinting (rolling hash)"): fold acc = rotl(acc, 5) XOR hash(tok)
+    * with the md5-derived [[Md5Hash64]] token hash — replayable as DuckDB
+    * `list_reduce` bit arithmetic, so the entry is hash-checked (was
+    * rows-only while xxhash64-seeded). Evaluated by the native
     * [[GraftRollingHash]] kernel — one JVM loop per row instead of an
     * interpreted lambda frame per token; bit-equality with the HOF form is
     * asserted in DedupSpec. */
@@ -164,11 +165,25 @@ object TextOps {
     call_function("graft_rolling_hash", tokens(text))
   }
 
+  /** Built-ins-only md5 little-endian 64-bit hash of a string column: the
+    * md5 hex pairs for bytes 7..0 concatenated give the big-endian hex of
+    * the little-endian value; conv(_, 16, -10) reads it as SIGNED decimal,
+    * so the long cast is lossless for all 2^64 values. Identical to
+    * [[Md5Hash64]] / DuckDB `md5_number_upper` — the engine-replayable
+    * uniform-hash primitive behind [[rollingHashHof]] and
+    * [[weightedSample]]. */
+  def md5Hash64Hof(t: Column): Column = {
+    val h = md5(t)
+    val le = concat((0 until 8).reverse.map(i => substring(h, i * 2 + 1, 2)): _*)
+    conv(le, 16, -10).cast(LongType)
+  }
+
   /** The SQL-HOF twin of [[rollingHash]], kept as the executable spec the
-    * native kernel is tested against. */
+    * native kernel is tested against (same md5 hash, same fold order). */
   def rollingHashHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
-      (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))).bitwiseXOR(xxhash64(t)))
+      (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
+        .bitwiseXOR(md5Hash64Hof(t)))
 
   private val rollingHashQ: Q = (s, dir) =>
     Tables(s, dir).documents
@@ -449,13 +464,78 @@ object TextOps {
     domainCap(Tables(s, dir).documents, "source", "doc_id", 10)
       .orderBy("source", "rk")
 
+  /** Encoding-quality signals — the mojibake/charset screen of a web-scale
+    * ingest: U+FFFD replacement-char count (the scar a bad decode leaves),
+    * C0 control chars (broken framing), and the non-ASCII character ratio
+    * (legitimate for CJK text, suspicious at low ratios for Latin text —
+    * downstream rules read it jointly with lang). Pure per-row codegen'd
+    * regexp arithmetic; all patterns use syntax Java regex and RE2 read
+    * identically. */
+  def encodingStats(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    Seq(
+      "n_replacement" -> regexp_count(text, lit("�")),
+      "n_control" -> regexp_count(text, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")),
+      "non_ascii_ratio" ->
+        round(regexp_count(text, lit("[^\\x00-\\x7f]")).cast(DoubleType) /
+          nChars, 6))
+  }
+
+  private val mojibakeQ: Q = (s, dir) => {
+    val cols = encodingStats(col("text")).map { case (n, c) => c.as(n) }
+    Tables(s, dir).documents
+      .select(col("doc_id") +: col("lang") +: cols: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Stopword strip: drop marker-vocabulary tokens and re-join — the
+    * content-word projection used before shingling/fingerprinting when
+    * boilerplate words would dominate the signal. One codegen'd
+    * filter-transform per row, zero shuffle. */
+  def stripStopwords(text: Column, stopwords: Seq[String]): Column =
+    array_join(filter(tokens(text), t => !t.isin(stopwords: _*)), " ")
+
+  private val stopStripQ: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        stripStopwords(col("text"), langMarkers.toMap.apply("en")).as("stripped"))
+      .orderBy("doc_id")
+
+  /** Deterministic weighted corpus sampling — the step that CONSUMES
+    * [[sourceMixWeights]]: keep each doc with probability equal to its
+    * source's rebalancing weight, decided by an md5-derived uniform draw on
+    * the doc id instead of an RNG. Reproducible by construction: the same
+    * doc survives on every run, every partitioning, and every engine (the
+    * draw is `md5_number_upper(id) mod 4096` — the modulus is a power of
+    * two, so the signed/unsigned 64-bit views agree, and 4096 strata bound
+    * the quantization error of a 6-decimal weight at 2^-12). This is the
+    * oracle-checkable counterpart of `r1_sample`'s seeded Bernoulli, which
+    * is engine-local by nature. One broadcast join against the tiny
+    * per-source weight frame; the corpus streams through a per-row
+    * predicate — no shuffle at any scale. */
+  def weightedSample(docs: DataFrame, idCol: String, srcCol: String,
+                     textCol: String): DataFrame = {
+    val w = sourceMixWeights(docs, srcCol, textCol)
+      .select(col("source"), col("weight"))
+    val draw = pmod(md5Hash64Hof(col(idCol).cast(StringType)), lit(4096L))
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        draw.as("__draw"))
+      .join(broadcast(w), "source")
+      .filter(col("__draw") < col("weight") * 4096)
+      .select("doc_id", "source")
+  }
+
+  private val weightedSampleQ: Q = (s, dir) =>
+    weightedSample(Tables(s, dir).documents, "doc_id", "source", "text")
+      .orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
     "text_fingerprint" -> fingerprintQ,
     "text_lang_id" -> langIdQ,
     "text_bpe_tokens" -> bpeTokensQ,
-    "text_rolling_hash" -> rollingHashQ, // xxhash64-based => rows-only
+    "text_rolling_hash" -> rollingHashQ,
     "text_heavy_hitters" -> heavyHittersQ,
     "text_tfidf_topk" -> tfidfQ,
     "text_normalize" -> normalizeQ,
@@ -466,6 +546,9 @@ object TextOps {
     "text_seq_packing" -> seqPackQ,
     "text_pii_scrub" -> piiScrubQ,
     "text_domain_cap" -> domainCapQ,
+    "text_encoding_stats" -> mojibakeQ,
+    "text_stopword_strip" -> stopStripQ,
+    "text_weighted_sample" -> weightedSampleQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -543,6 +626,26 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, rank, token, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // rotl(acc,5) in HUGEINT: (acc*32 mod 2^64) + (acc div 2^59) — the two
+    // terms occupy disjoint bit ranges, so + == |; DuckDB's << would raise
+    // on overflow, multiplication in HUGEINT cannot. Signed conversion as
+    // in the simhash oracle.
+    "text_rolling_hash" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS UBIGINT),
+        |        list_transform(string_split(text, ' '),
+        |                       t -> md5_number_upper(t))),
+        |      (acc, h) -> xor(CAST(
+        |        acc::HUGEINT * 32 % 18446744073709551616::HUGEINT +
+        |        acc::HUGEINT // 576460752303423488::HUGEINT AS UBIGINT), h)) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |                 THEN s::HUGEINT - 18446744073709551616::HUGEINT
+        |                 ELSE s::HUGEINT END AS BIGINT) AS rolling_fp
+        |FROM u ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -608,6 +711,35 @@ object TextOps {
          |       CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
          |       CAST(len(regexp_extract_all(text, '$intl')) +
          |            len(regexp_extract_all(text, '$dashed')) AS INT) AS n_phones
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_weighted_sample" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS k FROM per),
+        |w AS (
+        |  SELECT source,
+        |         round(least(1.0, (CAST(total AS DOUBLE) / k) / n_tokens), 6) AS weight
+        |  FROM per, tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN w USING (source)
+        |WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 4096 < weight * 4096
+        |ORDER BY doc_id""".stripMargin,
+    "text_encoding_stats" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(regexp_extract_all(text, '�')) AS INT) AS n_replacement,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS INT) AS n_control,
+        |       round(CAST(len(regexp_extract_all(text, '[^\x00-\x7f]')) AS DOUBLE)
+        |             / length(text), 6) AS non_ascii_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stopword_strip" -> {
+      val en = vocabSql(langMarkers.toMap.apply("en"))
+      s"""SELECT doc_id,
+         |       array_to_string(list_filter(string_split(text, ' '),
+         |                                   t -> NOT t IN $en), ' ') AS stripped
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "text_domain_cap" ->

@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
       "bucketed scan must satisfy the join distribution — shuffle means bucketing was lost")
   }
 
+  test("incremental jaccard candidates shuffle once — no (pair, shingle) distinct exchange") {
+    val p = plan("dedup_jaccard_incremental")
+    // the orientation filter makes every (pair, shingle) row unique by
+    // construction, so the only candidate-stream Exchange is the pair count;
+    // a 3-column (id_a, id_b, shingle) partitioning means the distinct is back
+    assert(!p.matches("(?s).*hashpartitioning\\(id_a#\\d+L?, id_b#\\d+L?, shingle.*"),
+      "candidate stream must not shuffle on (pair, shingle)")
+    assert(p.contains("hashpartitioning(id_a#"), "pair-count shuffle must exist")
+  }
+
+  test("substring decontamination probe broadcasts the needles — corpus never shuffles to join") {
+    val p = plan("dedup_substring_probe")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "predicate join against a broadcast needle set is the intended plan")
+    assert(p.contains("BroadcastExchange"), "needle side must broadcast")
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val p = plan("range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -66,6 +66,31 @@ class TextOpsSpec extends SparkSpec {
     assert(perSeq.sum === total)
   }
 
+  test("weighted sampling is deterministic and tracks the per-source weights") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables(spark, sf001).documents
+    val kept = TextOps.weightedSample(d, "doc_id", "source", "text")
+    val kept2 = TextOps.weightedSample(d, "doc_id", "source", "text")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === kept2.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "hash-based draw must be reproducible run to run")
+    // kept fraction per source ≈ weight (4096 strata; tolerate sampling noise)
+    val weights = TextOps.sourceMixWeights(d, "source", "text")
+      .select("source", "weight", "n_docs").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val keptPerSource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.foreach { case (src, (w, n)) =>
+      val got = keptPerSource.getOrElse(src, 0L).toDouble / n
+      assert(math.abs(got - w) < 0.15,
+        s"source $src kept fraction $got far from weight $w")
+    }
+    // a weight-1.0 source keeps everything (no draw can fail w*4096 = 4096)
+    weights.collect { case (src, (w, n)) if w >= 1.0 =>
+      assert(keptPerSource(src) === n, s"weight-1 source $src must keep all docs")
+    }
+  }
+
   test("pii scrub redacts emails, phones and digit runs with placeholders") {
     import org.apache.spark.sql.functions.col
     val d = docs(

@@ -185,6 +185,8 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) === fp(3L)) // same content, same fingerprint
     assert(fp(1L) !== fp(2L)) // reordered tokens change it (rolling, not bag)
+    // reference value computed independently via the DuckDB md5 formulation
+    assert(fp(1L) === 7603740453329029813L)
   }
 
   test("native rolling-hash kernel is bit-identical to the HOF form") {
