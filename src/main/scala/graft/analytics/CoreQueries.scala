@@ -191,6 +191,21 @@ object CoreQueries {
         round(col("qs").getItem(4), 4).as("p99"))
   }
 
+  /** A10c — exact percentiles PER GROUP (the sliced twin of [[a10Percentiles]]):
+    * one hash-partitioned aggregation keyed by the group column — each
+    * group's sort is partition-local, so the operator scales with the
+    * largest group, not the table. */
+  private val a10PercentilesGrouped: Q = (s, dir) => {
+    val x = col("l_extendedprice")
+    Tables(s, dir).lineitem.groupBy(col("l_returnflag"))
+      .agg(percentile(x, array(Seq(0.5, 0.9, 0.99).map(lit): _*)).as("qs"))
+      .select(col("l_returnflag"),
+        round(col("qs").getItem(0), 4).as("p50"),
+        round(col("qs").getItem(1), 4).as("p90"),
+        round(col("qs").getItem(2), 4).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   /** A10b — approx percentile, the actual at-scale operator (single pass,
     * mergeable sketch). No oracle: approximation is engine-specific. */
   private val a10Approx: Q = (s, dir) => {
@@ -615,6 +630,7 @@ object CoreQueries {
     "a7_distinct_list" -> a7DistinctList,
     "a9_multistat" -> a9MultiStat,
     "a10_percentiles" -> a10Percentiles,
+    "a10_percentiles_grouped" -> a10PercentilesGrouped,
     "a10_percentile_approx" -> a10Approx,
     "a11_error_buckets" -> a11ErrorBuckets,
     "a12_missing_ratio" -> a12MissingRatio,
@@ -742,6 +758,12 @@ object CoreQueries {
         |SELECT n, round(s1 / n, 4) AS mean_v,
         |       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_v,
         |       min_v, max_v, q25, q50, q75 FROM a""".stripMargin,
+    "a10_percentiles_grouped" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a10_percentiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -529,6 +529,42 @@ object TextOps {
     weightedSample(Tables(s, dir).documents, "doc_id", "source", "text")
       .orderBy("doc_id")
 
+  /** Corpus-LM document score — the perplexity-filter proxy of an LLM data
+    * pipeline (KenLM-style filtering without shipping a model): score each
+    * doc by the mean log-probability of its bigrams under the corpus'
+    * bigram MLE, lm_score = mean over doc bigrams of ln(c(w1 w2)/c(w1 ·)).
+    * Low scores flag incoherent/boilerplate docs; the corpus IS the model,
+    * so no smoothing is needed (every doc bigram contributed to the counts).
+    *
+    * Scale shape: two keyed counting aggregations build the LM table
+    * (bigram and first-token marginals), then the doc bigram stream
+    * hash-joins them on content keys — every stage partitions by bigram or
+    * token, nothing corpus-wide ever sits on one node. FP discipline: each
+    * ln is rounded to 6 before a DECIMAL sum (the Ops.dsum rule), so the
+    * per-doc mean is independent of row order and engine ulp noise. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBigrams = docs.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(bigramsOf(col("__toks"))).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val c2 = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = docBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    docBigrams
+      .join(c2, "bigram")
+      .join(c1, "w1")
+      .withColumn("__lp",
+        round(log(col("c2").cast(DoubleType) / col("c1")), 6)
+          .cast(DecimalType(20, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // cast the DECIMAL sum to double BEFORE dividing — the oracle does
+        // the same, so both engines round the identical double quotient
+        round(sum(col("__lp")).cast(DoubleType) / count(lit(1)), 6)
+          .as("lm_score"))
+  }
+
+  private val lmScoreQ: Q = (s, dir) =>
+    lmScore(Tables(s, dir).documents, "doc_id", "text").orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
@@ -549,6 +585,7 @@ object TextOps {
     "text_encoding_stats" -> mojibakeQ,
     "text_stopword_strip" -> stopStripQ,
     "text_weighted_sample" -> weightedSampleQ,
+    "text_lm_score" -> lmScoreQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -713,6 +750,25 @@ object TextOps {
          |            len(regexp_extract_all(text, '$dashed')) AS INT) AS n_phones
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // each ln rounds to 6 before a DECIMAL(20,6) sum -> order/ulp-stable mean
+    "text_lm_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                                       i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |  FROM g WHERE len(ts) >= 2),
+        |dbw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM db),
+        |c2 AS (SELECT bigram, count(*) AS c2 FROM dbw GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM dbw GROUP BY 1),
+        |lp AS (
+        |  SELECT doc_id,
+        |         CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6)
+        |              AS DECIMAL(20,6)) AS lp
+        |  FROM dbw JOIN c2 USING (bigram) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_weighted_sample" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

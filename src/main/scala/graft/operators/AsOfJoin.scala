@@ -63,7 +63,29 @@ object AsOfJoin {
   private def asOfComposed(left: DataFrame, right: DataFrame, key: String,
                            tsCol: String, valueCols: Seq[String],
                            backward: Boolean,
-                           tolerance: Option[Long] = None): DataFrame = {
+                           tolerance: Option[Long] = None): DataFrame =
+    asOfComposedKeys(left, right, Seq(key), tsCol, valueCols, backward, tolerance)
+
+  /** Multi-key backward as-of — pandas `merge_asof(by=[k1, k2, ...])`: the
+    * match group is the COMPOSITE key. Same union+window shape as the
+    * single-key form (the window just partitions by every key); the native
+    * exec stays single-key (the overwhelmingly common case), so composite
+    * keys ride the composed form. */
+  def asOfBackwardBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     tsCol: String, valueCols: Seq[String],
+                     tolerance: Option[Long] = None): DataFrame =
+    asOfComposedKeys(left, right, keys, tsCol, valueCols, backward = true, tolerance)
+
+  /** Forward twin of [[asOfBackwardBy]]. */
+  def asOfForwardBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    tsCol: String, valueCols: Seq[String],
+                    tolerance: Option[Long] = None): DataFrame =
+    asOfComposedKeys(left, right, keys, tsCol, valueCols, backward = false, tolerance)
+
+  private def asOfComposedKeys(left: DataFrame, right: DataFrame,
+                               keys: Seq[String], tsCol: String,
+                               valueCols: Seq[String], backward: Boolean,
+                               tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
     // ADVICE r3: carrying raw values with last(v, ignoreNulls) skips a right
@@ -86,8 +108,8 @@ object AsOfJoin {
     val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
     val l = left.withColumn("__tag", lit(lTag))
       .withColumn("__p", lit(null).cast(payloadType))
-    val r = leftCols.filterNot(c => c == key || c == tsCol)
-      .foldLeft(right.select((key +: tsCol +: valueCols).map(col): _*)
+    val r = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+      .foldLeft(right.select(((keys :+ tsCol) ++ valueCols).map(col): _*)
         .withColumn("__tag", lit(rTag))
         .withColumn("__p", struct(
           lit(1).as("__m") +: col(tsCol).as("__t") +: valueCols.map(col): _*))
@@ -98,7 +120,8 @@ object AsOfJoin {
       .unionByName(r.select((leftCols :+ "__tag" :+ "__p").map(col): _*))
     // Ordering (ts, tag, payload): the payload tiebreak makes the matched-row
     // choice deterministic when right rows share (key, ts).
-    val w0 = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), col("__p"))
+    val w0 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__tag"), col("__p"))
     val (w, pick) =
       if (backward)
         (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
@@ -278,6 +301,21 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Composite-key as-of: each event picks up the user's most recent
+    * SAME-TYPE event value (self-as-of on (user_id, event_type)). The
+    * reference side is pre-aggregated to one row per (key, ts) so tie
+    * resolution is deterministic in both engines. */
+  private val asOfMultiKeyQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val ref = ev.filter(col("value").isNotNull)
+      .groupBy("user_id", "event_type", "ts")
+      .agg(min(col("value")).as("prev_value"))
+    asOfBackwardBy(ev.select("event_id", "user_id", "event_type", "ts"), ref,
+      Seq("user_id", "event_type"), "ts", Seq("prev_value"))
+      .select("event_id", "user_id", "event_type", "prev_value")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "asof_join_backward" -> asOfQ,
     "asof_join_native" -> asOfNativeQ,
@@ -286,6 +324,7 @@ object AsOfJoin {
     "asof_join_broadcast" -> asOfBroadcastQ,
     "asof_join_tolerance" -> asOfToleranceQ,
     "asof_join_tolerance_native" -> asOfToleranceNativeQ,
+    "asof_join_multikey" -> asOfMultiKeyQ,
   )
 
   private val asOfOracle =
@@ -326,5 +365,15 @@ object AsOfJoin {
     "asof_join_broadcast" -> asOfOracle,
     "asof_join_tolerance" -> asOfToleranceOracle,
     "asof_join_tolerance_native" -> asOfToleranceOracle,
+    "asof_join_multikey" ->
+      """WITH ref AS (
+        |  SELECT user_id, event_type, ts, min(value) AS prev_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT e.event_id, e.user_id, e.event_type, r.prev_value
+        |FROM (SELECT event_id, user_id, event_type, ts FROM events) e
+        |ASOF LEFT JOIN ref r
+        |  ON e.user_id = r.user_id AND e.event_type = r.event_type
+        | AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

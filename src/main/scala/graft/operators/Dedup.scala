@@ -270,6 +270,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_bench_id"))
   }
 
+  /** The multi-pattern twin of [[substringProbe]] — same output, ONE scan:
+    * the needle set is collected driver-side (tiny by the same contract
+    * that broadcasts it) and compiled into an Aho-Corasick automaton
+    * carried by the native [[graft.functions.GraftContainsAny]] expression.
+    * Each corpus row is walked once, O(len(text)) regardless of needle
+    * count — the upgrade path when needle sets reach the thousands where
+    * per-needle `Contains` re-scans turn quadratic. No join at all: the
+    * matched needle indices map back to bench ids through a literal
+    * array lookup, then one keyed aggregation. */
+  def substringProbeMulti(corpus: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, needleLen: Int = 40,
+                          minLen: Int = 20): DataFrame = {
+    graft.functions.GraftContainsAny.register(corpus.sparkSession)
+    val rows = bench.select(col(idCol).cast(LongType),
+        substring(col(textCol), 1, needleLen))
+      .filter(length(col(textCol).substr(1, needleLen)) >= minLen)
+      .collect()
+    val benchIds = rows.map(_.getLong(0)).toSeq
+    val needles = rows.map(_.getString(1)).toSeq
+    corpus.select(col(idCol).as("corpus_id"),
+        explode(call_function("graft_contains_any",
+          col(textCol), typedLit(needles))).as("__idx"))
+      .select(col("corpus_id"),
+        element_at(typedLit(benchIds), col("__idx") + 1).as("__bench_id"))
+      .groupBy("corpus_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("__bench_id")).as("first_bench_id"))
+  }
+
   /** Bloom-filter "seen before" probe — the cheap front door of incremental
     * dedup: build a compact membership sketch of the corpus' content
     * fingerprints, then flag each batch doc as maybe-seen or DEFINITELY new
@@ -585,6 +613,15 @@ object Dedup {
       .orderBy("corpus_id")
   }
 
+  /** Same scan through the Aho-Corasick expression — identical oracle. */
+  private val substringMultiQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    substringProbeMulti(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text")
+      .orderBy("corpus_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "dedup_exact_groups" -> exactGroupsQ,
     "dedup_exact_keep_first" -> exactKeepFirstQ,
@@ -600,6 +637,7 @@ object Dedup {
     "dedup_contamination" -> contaminationQ,
     "dedup_seen_before" -> seenBeforeQ, // bloom layout is engine-local => rows-only
     "dedup_substring_probe" -> substringProbeQ,
+    "dedup_substring_multi" -> substringMultiQ,
   )
 
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
@@ -734,6 +772,19 @@ object Dedup {
     // the same equivalence the full minhash entry demonstrates
     "dedup_minhash_incremental" ->
       jaccardOracle(0.8, pairPred = " AND (id_a % 5 = 0 OR id_b % 5 = 0)"),
+    // the Aho-Corasick variant answers the same question -> same oracle
+    "dedup_substring_multi" ->
+      """WITH needles AS (
+        |  SELECT doc_id AS bench_id, substr(text, 1, 40) AS needle
+        |  FROM documents
+        |  WHERE source = 'src0' AND length(substr(text, 1, 40)) >= 20),
+        |hits AS (
+        |  SELECT c.doc_id AS corpus_id, n.bench_id
+        |  FROM documents c, needles n
+        |  WHERE c.source <> 'src0' AND contains(c.text, n.needle))
+        |SELECT corpus_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       min(bench_id) AS first_bench_id
+        |FROM hits GROUP BY 1 ORDER BY corpus_id""".stripMargin,
     "dedup_substring_probe" ->
       """WITH needles AS (
         |  SELECT doc_id AS bench_id, substr(text, 1, 40) AS needle

@@ -178,7 +178,9 @@ class PlanSpec extends SparkSpec {
       // round-4 entries that run driver-side actions during construction
       "ml_batch_inference", "dedup_components", "j9_bucketed_join",
       "q_sla_gate", "s1_retrieval_fetch", "s12_orc_roundtrip",
-      "dim_lookup_enriched")
+      "dim_lookup_enriched",
+      // round-6: collects the needle set during construction
+      "dedup_substring_multi")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a

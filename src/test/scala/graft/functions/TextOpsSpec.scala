@@ -66,6 +66,26 @@ class TextOpsSpec extends SparkSpec {
     assert(perSeq.sum === total)
   }
 
+  test("lm score ranks in-distribution docs above out-of-vocabulary ones") {
+    // doc 3 reuses the common first token 'the' with continuations nobody
+    // else uses: rare c2 against a large c1('the') marginal drives the mean
+    // log-prob down (an all-unique-token doc would degenerately score 0,
+    // since MLE gives c2 = c1 = 1 for every bigram)
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug",
+      3L -> "the zq the wv the xk")
+    val got = TextOps.lmScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(got.forall(_._2 === 5L)) // 6 tokens -> 5 bigrams each
+    assert(got(0)._3 > got(2)._3 && got(1)._3 > got(2)._3,
+      s"in-distribution docs must outscore the rare-continuation doc: $got")
+    // all log-probs are <= 0 (MLE probabilities)
+    assert(got.forall(_._3 <= 0.0))
+  }
+
   test("weighted sampling is deterministic and tracks the per-source weights") {
     import org.apache.spark.sql.functions._
     val d = graft.Tables(spark, sf001).documents

@@ -219,6 +219,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd === res(AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", Seq("px"))))
   }
 
+  test("multi-key as-of matches within the composite (sym, venue) group only") {
+    val quotes = Seq(
+      ("A", "X", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", "Y", ts("2024-01-01 10:30:00"), 105.0), // same sym, other venue
+      ("B", "X", ts("2024-01-01 10:00:00"), 200.0),
+    ).toDF("sym", "venue", "ts", "px")
+    val trades = Seq(
+      (1L, "A", "X", ts("2024-01-01 11:00:00")), // -> 100 (A/Y's 105 must NOT leak)
+      (2L, "A", "Y", ts("2024-01-01 11:00:00")), // -> 105
+      (3L, "B", "Y", ts("2024-01-01 11:00:00")), // B/Y has no quotes -> null
+    ).toDF("trade_id", "sym", "venue", "ts")
+    val got = AsOfJoin.asOfBackwardBy(trades, quotes, Seq("sym", "venue"), "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(100.0), 2L -> Some(105.0), 3L -> None))
+    // forward twin + tolerance compose with composite keys too
+    val fwd = AsOfJoin.asOfForwardBy(trades, quotes, Seq("sym", "venue"), "ts", Seq("px"),
+      tolerance = Some(3600L * 1000000))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwd === Map(1L -> None, 2L -> None, 3L -> None)) // nothing at-or-after
+  }
+
   test("tolerance bounds the match gap identically in composed, native and broadcast paths") {
     val hourMicros = 3600L * 1000000
     val quotes = Seq(

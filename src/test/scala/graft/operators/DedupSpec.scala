@@ -141,6 +141,32 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ === 1L), s"all nodes must label to min id 1: $got")
   }
 
+  test("aho-corasick automaton: overlapping patterns, fail-link matches, duplicates") {
+    import graft.functions.AhoCorasick
+    def bytes(s: String) = s.getBytes("UTF-8")
+    // classic fail-link case: scanning 'babc' must fire 'ab' (via the
+    // fail transition out of the 'bab' path), 'babc', and 'c'
+    val ac = new AhoCorasick(Array(bytes("ab"), bytes("babc"), bytes("c"), bytes("ab")))
+    assert(ac.matchedPatterns(bytes("babc")).toSeq === Seq(0, 1, 2, 3))
+    assert(ac.matchedPatterns(bytes("zzz")).toSeq === Seq())
+    assert(ac.matchedPatterns(bytes("cab")).toSeq === Seq(0, 2, 3))
+    // utf-8 multi-byte needles
+    val zh = new AhoCorasick(Array(bytes("的是"), bytes("不")))
+    assert(zh.matchedPatterns(bytes("这的是好")).toSeq === Seq(0))
+  }
+
+  test("multi-pattern substring probe equals the per-needle contains join") {
+    val docs = Tables(spark, sf001).documents
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val perNeedle = res(Dedup.substringProbe(corpus, bench, "doc_id", "text"))
+    val multi = res(Dedup.substringProbeMulti(corpus, bench, "doc_id", "text"))
+    assert(perNeedle.nonEmpty, "exact dups across sources should produce hits")
+    assert(multi === perNeedle)
+  }
+
   test("incremental jaccard equals full pairs restricted to the batch slice") {
     val idx = Dedup.shingleIndex(Tables(spark, sf001).documents, "doc_id", "text").persist()
     val batch = col("id") % 5 === 0
