@@ -386,6 +386,14 @@ object TextOps {
     require(budget > 0, s"token budget must be positive, got $budget")
     val t = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+    // The local and prefix branches each evaluate this subtree (the scan is
+    // pruned to two columns, so the second pass is cheap); that is safe
+    // because pids are REPRODUCIBLE here: RangePartitioner samples with a
+    // fixed per-partition seed over a deterministic scan, so both branches
+    // see identical boundaries, and within a range partition the window's
+    // doc_id sort fixes the order. A narrow persist() would trade the
+    // second scan for ~24 bytes/row of cache — worth it only when the
+    // token-count projection is expensive.
     val byRange = t.repartitionByRange(col("doc_id"))
       .withColumn("__pid", spark_partition_id())
     val localW = org.apache.spark.sql.expressions.Window
@@ -565,6 +573,28 @@ object TextOps {
   private val lmScoreQ: Q = (s, dir) =>
     lmScore(Tables(s, dir).documents, "doc_id", "text").orderBy("doc_id")
 
+  /** Deterministic train/val/test split by id hash — the reproducible
+    * counterpart of `randomSplit` (r2_split, whose seeded RNG is
+    * engine-local by nature): split membership is a pure function of the
+    * doc id, so it is stable across runs, partitionings and engines, and a
+    * doc NEVER migrates between splits when the corpus grows — the
+    * property that matters for held-out integrity in a continuously
+    * ingested corpus. Strata are `md5 draw mod 4096` (power of two — the
+    * signed/unsigned views agree cross-engine, see [[weightedSample]]):
+    * < 3277 train (80.0%), < 3687 val (10.0%), else test. */
+  def hashSplit(docs: DataFrame, idCol: String): DataFrame = {
+    val draw = pmod(md5Hash64Hof(col(idCol).cast(StringType)), lit(4096L))
+    docs.select(col(idCol).as("doc_id"), draw.as("__draw"))
+      .withColumn("split",
+        when(col("__draw") < 3277, "train")
+          .when(col("__draw") < 3687, "val")
+          .otherwise("test"))
+      .select("doc_id", "split")
+  }
+
+  private val hashSplitQ: Q = (s, dir) =>
+    hashSplit(Tables(s, dir).documents, "doc_id").orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
@@ -586,6 +616,7 @@ object TextOps {
     "text_stopword_strip" -> stopStripQ,
     "text_weighted_sample" -> weightedSampleQ,
     "text_lm_score" -> lmScoreQ,
+    "text_hash_split" -> hashSplitQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -750,6 +781,14 @@ object TextOps {
          |            len(regexp_extract_all(text, '$dashed')) AS INT) AS n_phones
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "text_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 4096 < 3277
+        |            THEN 'train'
+        |            WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 4096 < 3687
+        |            THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // each ln rounds to 6 before a DECIMAL(20,6) sum -> order/ulp-stable mean
     "text_lm_score" ->
       """WITH g AS (

@@ -86,6 +86,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._3 <= 0.0))
   }
 
+  test("hash split is deterministic, exhaustive, and near the 80/10/10 target") {
+    val d = graft.Tables(spark, sf001).documents
+    val s1 = TextOps.hashSplit(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextOps.hashSplit(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2, "split must be a pure function of the id")
+    assert(s1.size === d.count())
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size.toDouble / s1.size)
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.06, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.06, s"test ${frac("test")}")
+    // growth stability: splitting a SUBSET assigns identical labels
+    val sub = TextOps.hashSplit(d.filter(org.apache.spark.sql.functions.col("doc_id") < 100),
+      "doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, sp) => assert(s1(id) === sp) }
+  }
+
   test("weighted sampling is deterministic and tracks the per-source weights") {
     import org.apache.spark.sql.functions._
     val d = graft.Tables(spark, sf001).documents
