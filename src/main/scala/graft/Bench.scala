@@ -30,6 +30,7 @@ object Bench {
     "asof_join_broadcast",
     "text_seq_packing", "dedup_simhash_pairs", "asof_join_tolerance_native",
     "dedup_substring_probe", "text_pii_scrub",
+    "text_lm_score", "asof_join_multikey", "text_weighted_sample",
   )
 
   def main(args: Array[String]): Unit = {
