@@ -595,6 +595,60 @@ object TextOps {
   private val hashSplitQ: Q = (s, dir) =>
     hashSplit(Tables(s, dir).documents, "doc_id").orderBy("doc_id")
 
+  /** RAG-style sliding-window chunking: cut each document into chunks of at
+    * most `size` chars whose starts step by `size - overlap`, so adjacent
+    * chunks share `overlap` chars of context. A trailing chunk wholly
+    * contained in its predecessor (length <= overlap) is dropped. Pure
+    * per-row array expansion — `sequence` + `posexplode` stay inside
+    * whole-stage codegen and no shuffle happens until a consumer asks for
+    * one, so a 100-TB corpus chunks as a scan-side map. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int = 120, overlap: Int = 30): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val n = length(col(textCol)).cast(LongType)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        explode(sequence(lit(0L), n - 1, lit(step.toLong))).as("chunk_start"))
+      .filter(col("chunk_start") === 0 ||
+        length(col("__text")).cast(LongType) - col("chunk_start") > overlap)
+      .select(col("doc_id"),
+        (col("chunk_start") / step).cast(LongType).as("chunk_id"),
+        col("chunk_start"),
+        col("__text").substr(col("chunk_start").cast(IntegerType) + 1, lit(size))
+          .as("chunk"))
+  }
+
+  private val chunkQ: Q = (s, dir) =>
+    chunk(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Per-source unigram entropy — the vocabulary-diversity signal of a
+    * data-mixing pipeline (a low-entropy source is boilerplate-heavy and
+    * gets down-weighted). H(source) = -sum_w p(w) ln p(w) over the source's
+    * word distribution. Two keyed counting aggs (word counts, then totals)
+    * and a broadcast-sized join back — nothing corpus-wide on one node.
+    * FP discipline: each term is rounded to 6 and summed as DECIMAL (the
+    * [[lmScore]] rule), so the sum is order- and engine-independent. */
+  def sourceEntropy(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(srcCol).as("source"),
+      explode(tokens(col(textCol))).as("word"))
+    val c = words.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val t = c.groupBy("source")
+      .agg(sum("c").as("tot"), count(lit(1)).as("n_vocab"))
+    val p = col("c").cast(DoubleType) / col("tot")
+    c.join(t, "source")
+      .withColumn("__term",
+        round(-p * log(p), 6).cast(DecimalType(20, 6)))
+      .groupBy("source")
+      .agg(max("tot").as("n_tokens"), max("n_vocab").as("n_vocab"),
+        round(sum(col("__term")).cast(DoubleType), 6).as("entropy"))
+  }
+
+  private val entropyQ: Q = (s, dir) =>
+    sourceEntropy(Tables(s, dir).documents, "source", "text").orderBy("source")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
@@ -617,6 +671,8 @@ object TextOps {
     "text_weighted_sample" -> weightedSampleQ,
     "text_lm_score" -> lmScoreQ,
     "text_hash_split" -> hashSplitQ,
+    "text_chunking" -> chunkQ,
+    "text_source_entropy" -> entropyQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -789,6 +845,28 @@ object TextOps {
         |            THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // offsets step by size-overlap=90; a trailing chunk of length <= overlap
+    // is dropped (wholly contained in its predecessor)
+    "text_chunking" ->
+      """SELECT d.doc_id, off // 90 AS chunk_id, off AS chunk_start,
+        |       substring(d.text, CAST(off + 1 AS INT), 120) AS chunk
+        |FROM documents d, unnest(generate_series(0, d.n_chars - 1, 90)) AS t(off)
+        |WHERE off = 0 OR d.n_chars - off > 30
+        |ORDER BY d.doc_id, chunk_id""".stripMargin,
+    // each -p ln p term rounds to 6 before a DECIMAL(20,6) sum (lm_score rule)
+    "text_source_entropy" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |     c AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |     t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+        |                  count(*) AS n_vocab
+        |           FROM c GROUP BY 1)
+        |SELECT c.source, max(t.tot) AS n_tokens, max(t.n_vocab) AS n_vocab,
+        |       round(CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / t.tot)
+        |                                 * ln(CAST(c.c AS DOUBLE) / t.tot), 6)
+        |                           AS DECIMAL(20,6))) AS DOUBLE), 6) AS entropy
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
     // each ln rounds to 6 before a DECIMAL(20,6) sum -> order/ulp-stable mean
     "text_lm_score" ->
       """WITH g AS (

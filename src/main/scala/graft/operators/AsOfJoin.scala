@@ -82,10 +82,30 @@ object AsOfJoin {
                     tolerance: Option[Long] = None): DataFrame =
     asOfComposedKeys(left, right, keys, tsCol, valueCols, backward = false, tolerance)
 
+  /** Nearest as-of join — pandas `merge_asof(direction="nearest")`: for each
+    * left row, the right row in the same key group with the SMALLEST
+    * absolute time gap; an exact tie prefers the at-or-before row. Same
+    * union + window shape as backward/forward, and still ONE shuffle + ONE
+    * sort: the backward and forward carries are two window expressions over
+    * the SAME partitioning and ordering, so Spark stacks the two Window
+    * operators on one Exchange/Sort pair. Needs an integral-unit ts
+    * (timestamp / date / integer) so the two gaps are comparable. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                  valueCols: Seq[String], tolerance: Option[Long] = None): DataFrame =
+    asOfNearestBy(left, right, Seq(key), tsCol, valueCols, tolerance)
+
+  /** Multi-key twin of [[asOfNearest]]. */
+  def asOfNearestBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    tsCol: String, valueCols: Seq[String],
+                    tolerance: Option[Long] = None): DataFrame =
+    asOfComposedKeys(left, right, keys, tsCol, valueCols, backward = true,
+      tolerance, nearest = true)
+
   private def asOfComposedKeys(left: DataFrame, right: DataFrame,
                                keys: Seq[String], tsCol: String,
                                valueCols: Seq[String], backward: Boolean,
-                               tolerance: Option[Long] = None): DataFrame = {
+                               tolerance: Option[Long] = None,
+                               nearest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
     // ADVICE r3: carrying raw values with last(v, ignoreNulls) skips a right
@@ -97,7 +117,9 @@ object AsOfJoin {
     // tolerance can bound the gap after the carry; tie rows share their ts,
     // so the deterministic payload tiebreak is unchanged
     val tsType = right.schema(tsCol).dataType
-    tolerance.foreach(_ => tsUnits(col(tsCol), tsType)) // validate ts type early
+    // nearest always compares gaps; tolerance bounds them — both need an
+    // integral-unit ts, so validate the type up front
+    if (nearest || tolerance.isDefined) tsUnits(col(tsCol), tsType)
     val payloadType = StructType(StructField("__m", IntegerType, nullable = false) +:
       StructField("__t", tsType) +:
       valueCols.map(v => StructField(v, right.schema(v).dataType)))
@@ -122,14 +144,30 @@ object AsOfJoin {
     // choice deterministic when right rows share (key, ts).
     val w0 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__tag"), col("__p"))
-    val (w, pick) =
-      if (backward)
-        (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__p"), ignoreNulls = true))
-      else
-        (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__p"), ignoreNulls = true))
-    val carried = unioned.withColumn("__c", pick.over(w))
+    val wB = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried =
+      if (nearest) {
+        // Backward tag layout (right-before-left at equal ts): the backward
+        // carry sees an equal-ts right row (gap 0, always wins the <= pick),
+        // the forward carry is strictly-after — no row is matched twice.
+        val u = tsUnits(col(tsCol), tsType)
+        unioned
+          .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wB))
+          .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wF))
+          .withColumn("__c",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(u - tsUnits(col("__b").getField("__t"), tsType) <=
+                tsUnits(col("__f").getField("__t"), tsType) - u, col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+      } else {
+        val (w, pick) =
+          if (backward) (wB, last(col("__p"), ignoreNulls = true))
+          else (wF, first(col("__p"), ignoreNulls = true))
+        unioned.withColumn("__c", pick.over(w))
+      }
     // tolerance: the carried row is the NEAREST eligible match, so one gap
     // check is exhaustive; when(gap-null-or-false, v) also nulls unmatched
     // rows (merge_asof(tolerance=...) semantics)
@@ -316,8 +354,22 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Nearest purchase to each view by absolute gap — ties go to the
+    * at-or-before purchase (pandas `direction="nearest"` semantics). */
+  private val asOfNearestQ: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("nearest_purchase"))
+    asOfNearest(views, purchases, "user_id", "ts", Seq("nearest_purchase"))
+      .select("event_id", "user_id", "nearest_purchase")
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "asof_join_backward" -> asOfQ,
+    "asof_join_nearest" -> asOfNearestQ,
     "asof_join_native" -> asOfNativeQ,
     "asof_join_forward" -> asOfForwardQ,
     "asof_join_forward_native" -> asOfForwardNativeQ,
@@ -357,8 +409,27 @@ object AsOfJoin {
       |  ON v.user_id = p.user_id AND v.ts >= p.ts
       |ORDER BY v.event_id""".stripMargin
 
+  // Two ASOF probes (at-or-before via >=, strictly-after via <) then the
+  // distance pick — the forward probe is strict so the equal-ts row is
+  // counted once, on the backward side, matching the engine's tag layout.
+  private val asOfNearestOracle =
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |     b AS (SELECT v.event_id, v.user_id, v.ts, p.ts AS bts, p.value AS bval
+      |           FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts),
+      |     f AS (SELECT v.event_id, p.ts AS fts, p.value AS fval
+      |           FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts < p.ts)
+      |SELECT b.event_id, b.user_id,
+      |       CASE WHEN bts IS NULL THEN fval
+      |            WHEN fts IS NULL THEN bval
+      |            WHEN b.ts - bts <= fts - b.ts THEN bval
+      |            ELSE fval END AS nearest_purchase
+      |FROM b JOIN f USING (event_id)
+      |ORDER BY b.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "asof_join_backward" -> asOfOracle,
+    "asof_join_nearest" -> asOfNearestOracle,
     "asof_join_native" -> asOfOracle,
     "asof_join_forward" -> asOfForwardOracle,
     "asof_join_forward_native" -> asOfForwardOracle,

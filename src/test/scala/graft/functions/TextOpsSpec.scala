@@ -228,6 +228,55 @@ class TextOpsSpec extends SparkSpec {
     assert(!dyn.queryExecution.optimizedPlan.toString.contains("graft_vocab_hits"))
   }
 
+  test("chunking: coverage, overlap and the contained-trailing-chunk drop") {
+    val d = graft.Tables(spark, sf001).documents
+    val size = 120; val overlap = 30; val step = size - overlap
+    val chunks = TextOps.chunk(d, "doc_id", "text", size, overlap)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val texts = d.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.keySet === texts.keySet) // every doc chunks (min len 48 > 0)
+    for ((id, rows) <- chunks) {
+      val t = texts(id)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // ids are consecutive from 0 and starts step uniformly
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ===
+        (0L until sorted.length).toSeq)
+      for (r <- sorted) {
+        val start = r.getAs[Long]("chunk_start").toInt
+        val c = r.getAs[String]("chunk")
+        assert(start == r.getAs[Long]("chunk_id").toInt * step)
+        assert(c == t.substring(start, math.min(start + size, t.length)))
+        assert(c.length <= size)
+      }
+      // full coverage: last chunk reaches the end of the doc
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[String]("chunk").length
+        == t.length)
+      // no chunk (except a lone first) is contained in its predecessor
+      assert(sorted.tail.forall(_.getAs[String]("chunk").length > overlap))
+    }
+  }
+
+  test("source entropy: uniform vocabulary gives ln(k), skew lowers it") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("u", "a b c d"),          // uniform over 4 words -> ln 4
+      ("v", "a a a b"),          // skewed -> below ln 2 * 2 = below uniform
+    ).toDF("source", "text")
+    val got = TextOps.sourceEntropy(d, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(got("u")._1 == 4 && got("u")._2 == 4)
+    assert(math.abs(got("u")._3 - math.log(4)) < 1e-5)
+    assert(got("v")._1 == 4 && got("v")._2 == 2)
+    // H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    val hv = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got("v")._3 - hv) < 1e-5)
+  }
+
   test("repetition stats: top-word/bigram and distinct-word shares") {
     val d = docs(
       1L -> "x x y",

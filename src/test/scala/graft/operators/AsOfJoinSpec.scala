@@ -299,6 +299,50 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map(10L -> Some(100.0), 11L -> Some(200.0), 12L -> None))
   }
 
+  test("nearest as-of picks the smaller absolute gap; ties prefer at-or-before") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 11:00:00"), 200.0),
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")), // before any -> forward 100
+      (11L, 1L, ts("2024-01-01 10:00:00")), // equal ts -> gap 0, 100
+      (12L, 1L, ts("2024-01-01 10:30:00")), // 30m back vs 90m fwd -> 100
+      (13L, 1L, ts("2024-01-01 11:00:00")), // exact tie 60m/60m -> backward 100
+      (14L, 1L, ts("2024-01-01 11:30:00")), // 90m back vs 30m fwd -> 120
+      (15L, 1L, ts("2024-01-01 13:00:00")), // after all -> backward 120
+      (16L, 3L, ts("2024-01-01 12:00:00")), // key with no quotes -> null
+    ).toDF("trade_id", "user_id", "ts")
+    val near = AsOfJoin.asOfNearest(trades, quotes, "user_id", "ts", Seq("px"))
+    val got = near.select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      10L -> Some(100.0), 11L -> Some(100.0), 12L -> Some(100.0),
+      13L -> Some(100.0), 14L -> Some(120.0), 15L -> Some(120.0), 16L -> None))
+    // both carries ride the same partitioning/ordering: ONE hash exchange,
+    // not one per direction
+    val plan = near.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles == 1, s"expected 1 shuffle, got $nShuffles:\n${plan.take(800)}")
+  }
+
+  test("nearest as-of with tolerance nulls matches beyond the gap, both directions") {
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0)).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")), // 30m back, inside 1h -> 100
+      (11L, 1L, ts("2024-01-01 09:30:00")), // 30m fwd, inside -> 100
+      (12L, 1L, ts("2024-01-01 12:00:00")), // 2h back, outside -> null
+      (13L, 1L, ts("2024-01-01 08:00:00")), // 2h fwd, outside -> null
+    ).toDF("trade_id", "user_id", "ts")
+    val got = AsOfJoin.asOfNearest(trades, quotes, "user_id", "ts", Seq("px"),
+      tolerance = Some(3600L * 1000000))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      10L -> Some(100.0), 11L -> Some(100.0), 12L -> None, 13L -> None))
+  }
+
   test("native exec matches composed on the events feed (self-as-of, real data)") {
     val ev = graft.Tables(spark, sf001).events
     import org.apache.spark.sql.functions.col
