@@ -2,6 +2,7 @@ package graft.cli
 
 import graft.{GraftSession, Tables}
 import graft.operators.Cleaning
+import graft.functions.TextOps
 import graft.quality.Gates
 import graft.sources.Sources
 import graft.warehouse.StarSchema
@@ -18,6 +19,9 @@ import org.apache.spark.sql.types._
   *   graft.cli.Main warehouse --input DIR --output DIR
   *   graft.cli.Main analytics --input DIR --query NAME [--output DIR]
   *   graft.cli.Main ml        --input DIR --model-dir DIR --test-month YYYY-MM
+  *   graft.cli.Main dedup     --input DIR --output DIR [--threshold T]
+  *   graft.cli.Main textprep  --input DIR --output DIR
+  *   graft.cli.Main chunk     --input DIR --output DIR [--size N --overlap M]
   *
   * Exit codes follow the reference (`ml_pipeline.py:533-540`):
   * 0 success, 1 failure, 2 missing input data.
@@ -40,7 +44,8 @@ object Main {
     * owns that, so tests can call this against their shared session. */
   def run(args: Array[String]): Int = {
     if (args.isEmpty) {
-      System.err.println("usage: <ingest|warehouse|analytics|ml|dedup> --input DIR ...")
+      System.err.println(
+        "usage: <ingest|warehouse|analytics|ml|dedup|textprep|chunk> --input DIR ...")
       return 1
     }
     val cmd = args.head
@@ -123,6 +128,41 @@ object Main {
           pairs.unpersist()
           println(s"[graft] dedup threshold=$threshold pairs=$nPairs " +
             s"clustered_docs=$nClustered -> $out")
+
+        case "textprep" =>
+          // end-to-end training-data prep: quality gate -> PII scrub ->
+          // lang tag -> deterministic split, written partitioned by split
+          // so each consumer reads only its partition
+          val out = opt.getOrElse("output", "target/tmp/cli_textprep")
+          val docs = Tables(spark, input).documents
+          val gated = opt.getOrElse("gate", "gopher") match {
+            case "none" => docs
+            case "gopher" => docs.join(TextOps.gopherRules(docs, "doc_id", "text")
+              .filter(col("keep")).select("doc_id"), "doc_id")
+            case other => throw new IllegalArgumentException(s"unknown gate: $other")
+          }
+          val prepped = gated
+            .withColumn("text", TextOps.piiScrub(col("text")))
+            .withColumn("lang_id", TextOps.langId(col("text")))
+            .join(TextOps.hashSplit(docs, "doc_id"), "doc_id").persist()
+          // an aggressive gate legitimately keeps 0 docs: report, don't
+          // write an unreadable empty partitioned dir
+          val kept = prepped.count()
+          if (kept > 0) Sources.partitionedOverwrite(prepped, out, Seq("split"))
+          prepped.unpersist()
+          println(s"[graft] textprep kept=$kept/${docs.count()}" +
+            (if (kept > 0) s" -> $out" else " (nothing written)"))
+
+        case "chunk" =>
+          // RAG chunk table for an indexing/similarity consumer
+          val out = opt.getOrElse("output", "target/tmp/cli_chunks")
+          val size = opt.getOrElse("size", "120").toInt
+          val overlap = opt.getOrElse("overlap", "30").toInt
+          val chunks = TextOps.chunk(
+            Tables(spark, input).documents, "doc_id", "text", size, overlap)
+          chunks.write.mode("overwrite").parquet(out)
+          println(s"[graft] chunk size=$size overlap=$overlap " +
+            s"chunks=${spark.read.parquet(out).count()} -> $out")
 
         case other =>
           System.err.println(s"[graft] unknown command: $other"); return 1

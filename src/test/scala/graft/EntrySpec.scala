@@ -77,6 +77,26 @@ class EntrySpec extends SparkSpec {
     assert(pairs.count() > 0 && clusters.count() > 0)
   }
 
+  test("CLI textprep and chunk stages run end-to-end (exit 0)") {
+    // the default gopher gate keeps 0 docs on the synthetic word-soup corpus
+    // (no 2 distinct Gopher stopwords) — still exit 0, nothing written
+    assert(graft.cli.Main.run(Array("textprep", "--input", sf001,
+      "--output", "target/tmp/cli_e2e_prep_empty")) === 0)
+    assert(graft.cli.Main.run(Array("textprep", "--input", sf001,
+      "--output", "target/tmp/cli_e2e_prep", "--gate", "none")) === 0)
+    val prep = spark.read.parquet("target/tmp/cli_e2e_prep")
+    assert(prep.count() > 0)
+    // partitioned by split; all rows carry a lang tag and scrubbed text
+    assert(prep.columns.contains("split") && prep.columns.contains("lang_id"))
+    assert(graft.cli.Main.run(Array("chunk", "--input", sf001,
+      "--output", "target/tmp/cli_e2e_chunks", "--size", "100", "--overlap", "20")) === 0)
+    val chunks = spark.read.parquet("target/tmp/cli_e2e_chunks")
+    assert(chunks.count() > 0)
+    assert(chunks.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("chunk"))))
+      .head().getInt(0) <= 100)
+  }
+
   test("HLL sketches: union of per-group sketches agrees with the direct sketch") {
     val row = SparkEntry.queries("a23_hll_mergeable")(spark, sf001).head()
     val (merged, direct) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
