@@ -6,7 +6,7 @@ import graft.operators.Cleaning
 import graft.sources.Sources
 import graft.ml.ModelRegistry
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -237,7 +237,37 @@ object ExtendedQueries {
       .orderBy("day")
   }
 
+  /** A24 — Pearson correlation matrix (long form) from exact DECIMAL
+    * moments: r is a pure function of 10 order-independent sums, so the
+    * result is bit-deterministic across engines and partitionings — unlike
+    * the streaming `corr` aggregate, whose low bits depend on merge order.
+    * One scan, one partial-agg reduce to a single row; the pair rows are
+    * exploded from that row without touching the driver. */
+  private val correlationQ: Q = (s, dir) => {
+    val (q, p, d) = (col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val m = Tables(s, dir).lineitem.agg(
+      count(lit(1)).as("n"),
+      dsum(q).as("sq"), dsum(p).as("sp"), dsum(d).as("sd"),
+      dsumWide(q * q).as("sqq"), dsumWide(p * p).as("spp"), dsumWide(d * d).as("sdd"),
+      dsumWide(q * p).as("sqp"), dsumWide(q * d).as("sqd"), dsumWide(p * d).as("spd"))
+    def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) = {
+      val n = col("n").cast(DoubleType)
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    }
+    m.select(col("n"), explode(array(
+      struct(lit("quantity_extendedprice").as("pair"),
+        r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r")),
+      struct(lit("quantity_discount").as("pair"),
+        r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r")),
+      struct(lit("extendedprice_discount").as("pair"),
+        r(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r")))).as("x"))
+      .select(col("x.pair").as("pair"), col("n"), col("x.r").as("r"))
+      .orderBy("pair")
+  }
+
   val entries: Map[String, Q] = Map(
+    "a24_correlation" -> correlationQ,
     "a21_weighted_mean" -> weightedMeanQ,
     "w6_rolling_7d" -> rolling7dQ,
     "w5_percent_rank" -> percentRankQ,
@@ -256,6 +286,32 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a24_correlation" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sdd,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sqp,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sqd,
+        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT pair, n, r FROM (
+        |  SELECT 'quantity_extendedprice' AS pair, n,
+        |         round((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS r
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'quantity_discount', n,
+        |         round((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'extendedprice_discount', n,
+        |         round((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6)
+        |  FROM m)
+        |ORDER BY pair""".stripMargin,
     "a21_weighted_mean" ->
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price,
