@@ -31,6 +31,7 @@ object Bench {
     "text_seq_packing", "dedup_simhash_pairs", "asof_join_tolerance_native",
     "dedup_substring_probe", "text_pii_scrub",
     "text_lm_score", "asof_join_multikey", "text_weighted_sample",
+    "text_chunking", "asof_join_nearest", "range_join_overlap",
   )
 
   def main(args: Array[String]): Unit = {

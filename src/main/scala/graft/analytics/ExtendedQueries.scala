@@ -266,8 +266,40 @@ object ExtendedQueries {
       .orderBy("pair")
   }
 
+  /** A25 — deterministic grouped mode: most frequent status per priority,
+    * ties broken toward the smallest value (engine built-in `mode()`s
+    * break ties arbitrarily, so the rank formulation IS the operator).
+    * One keyed count + a WindowGroupLimit-able rank — no global sort. */
+  private val modeQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir).orders
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("__rk", row_number().over(
+      Window.partitionBy("o_orderpriority")
+        .orderBy(desc("n"), asc("o_orderstatus"))))
+      .filter(col("__rk") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+        col("n").as("mode_n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A26 — fixed-width histogram of extendedprice: 24 bins of 5000 with an
+    * overflow bin. Single keyed count agg; the bin id is a per-row codegen
+    * expression, so the histogram of 100 TB is one map-side-combining pass. */
+  private val histogramQ: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .withColumn("bin", least(floor(col("l_extendedprice") / 5000), lit(23.0))
+        .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("mass"))
+      .orderBy("bin")
+
   val entries: Map[String, Q] = Map(
     "a24_correlation" -> correlationQ,
+    "a25_mode" -> modeQ,
+    "a26_histogram" -> histogramQ,
     "a21_weighted_mean" -> weightedMeanQ,
     "w6_rolling_7d" -> rolling7dQ,
     "w5_percent_rank" -> percentRankQ,
@@ -312,6 +344,21 @@ object ExtendedQueries {
         |         round((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6)
         |  FROM m)
         |ORDER BY pair""".stripMargin,
+    "a25_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |            ORDER BY n DESC, o_orderstatus) AS rk
+        |  FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_n
+        |FROM r WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin,
+    "a26_histogram" ->
+      """SELECT CAST(least(floor(l_extendedprice / 5000), 23) AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
     "a21_weighted_mean" ->
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price,

@@ -33,6 +33,27 @@ object Skew {
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Two-stage salted aggregation — the skew fix for a HOT GROUP rather
+    * than a hot join key: stage 1 aggregates on (key, salt) so a hot key's
+    * rows land on k reducers, stage 2 folds the k partials. Works for any
+    * algebraic aggregate; sums ride DECIMAL partials so the two-stage
+    * result is bit-identical to the direct aggregation (oracle-checked),
+    * not merely close — double partials would drift with merge order. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String, k: Int,
+                saltSource: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(saltSource)), lit(k.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("__s"),
+        min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
+    partial.groupBy(col(key))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast(DoubleType).as("total"),
+        min(col("__min")).as("min_v"), max(col("__max")).as("max_v"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** Salted lineitem⋈orders must equal the plain join bit-for-bit. */
@@ -47,7 +68,16 @@ object Skew {
       .orderBy("o_orderpriority")
   }
 
-  val entries: Map[String, Q] = Map("skew_salted_join" -> saltedJoinQ)
+  /** Salted two-stage event-type aggregate must equal the direct one. */
+  private val saltedAggQ: Q = (s, dir) =>
+    saltedAgg(Tables(s, dir).events.filter(col("value").isNotNull),
+      key = "event_type", valueCol = "value", k = 8, saltSource = "event_id")
+      .orderBy("event_type")
+
+  val entries: Map[String, Q] = Map(
+    "skew_salted_join" -> saltedJoinQ,
+    "skew_salted_agg" -> saltedAggQ,
+  )
 
   val oracles: Map[String, String] = Map(
     "skew_salted_join" ->
@@ -55,5 +85,13 @@ object Skew {
         |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the oracle is the DIRECT aggregation: two-stage salting must not
+    // change a single bit of the result
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }
