@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, Q] =
     analytics.CoreQueries.entries ++
       analytics.ExtendedQueries.entries ++
+      analytics.Behavior.entries ++
       warehouse.StarSchema.entries ++
       functions.TextOps.entries ++
       operators.Dedup.entries ++
@@ -39,6 +40,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracles ++
       analytics.ExtendedQueries.oracles ++
+      analytics.Behavior.oracles ++
       warehouse.StarSchema.oracles ++
       functions.TextOps.oracles ++
       operators.Dedup.oracles ++

@@ -1,0 +1,169 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Ops.Q
+import graft.Tables
+
+/** Event-behavior analytics over the `events` feed: ordered funnels and
+  * cohort retention — the two queries every product-analytics layer runs on
+  * top of the reference's event stream (the dashboard's KPI family,
+  * `ex04_dashboard/streamlit_app/app.py`, generalized from per-type counts
+  * to sequence- and cohort-aware shapes).
+  *
+  * Scale notes: every shuffle in this module is keyed by the user column —
+  * the natural partitioning of behavioral data — and each step's frame
+  * shrinks (only converted users survive a level), so the chained joins
+  * get cheaper as the funnel deepens. Nothing is ever all-pairs, and no
+  * driver-side collection happens.
+  */
+object Behavior {
+
+  /** Ordered funnel: how many users performed `steps(0)`, then `steps(1)`
+    * AT OR AFTER their first `steps(0)`, then `steps(2)` at or after that,
+    * and so on. One output row with a `n_<step>` column per step.
+    *
+    * Each level is "first qualifying timestamp per user": level 1 is a
+    * plain keyed min; level i+1 joins the (shrinking) level-i frame back to
+    * the events of type `steps(i)` on the user key and keeps the earliest
+    * event not before the level-i timestamp. All joins and aggregations
+    * share the user key, so at 100 TB the event table shuffles once per
+    * level onto the same partitioning (exchange reuse collapses repeats)
+    * and the right sides are the already-reduced per-user frames. The final
+    * count is a union of the tiny per-level user sets — a conditional
+    * aggregate, not a crossJoin of single-row frames (which would plan a
+    * BroadcastNestedLoopJoin, banned by the suite-wide plan pin).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol).as("uid")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t"))
+    val levels = steps.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (step, _)) =>
+        events.filter(col(typeCol) === step)
+          .select(u, col(tsCol).as("__ts"))
+          .join(prev, "uid")
+          .filter(col("__ts") >= col("t"))
+          .groupBy("uid").agg(min(col("__ts")).as("t"))
+    }
+    val tagged = levels.zipWithIndex.map { case (lv, i) =>
+      lv.select(col("uid"), lit(i).as("__step"))
+    }.reduce(_.union(_))
+    tagged.agg(
+      count(when(col("__step") === 0, 1)).as(s"n_${steps.head}"),
+      steps.zipWithIndex.tail.map { case (step, i) =>
+        count(when(col("__step") === i, 1)).as(s"n_$step")
+      }: _*)
+  }
+
+  /** Cohort retention matrix: cohort = the week (Monday-truncated) of the
+    * user's FIRST event of any type; for every (cohort_week, week_offset)
+    * pair, the number of distinct users from that cohort active `offset`
+    * weeks later. The canonical retention triangle.
+    *
+    * Two keyed shuffles (first-seen agg, then the distinct), one keyed join
+    * back — the per-user first-seen frame is orders of magnitude smaller
+    * than the event table, and AQE picks a broadcast for it when it fits.
+    * Both week columns truncate to Monday 00:00 in Spark and DuckDB, so the
+    * day difference is an exact multiple of 7 and the integer division is
+    * engine-independent.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol).as("uid"))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    events.select(col(userCol).as("uid"), date_trunc("week", col(tsCol)).as("aw"))
+      .join(firstSeen, "uid")
+      .select(col("uid"), col("cohort_week"),
+        (datediff(col("aw"), col("cohort_week")) / 7).cast(LongType).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-cohort conversion value: total purchase value attributed to each
+    * signup-week cohort — the "cohort LTV" companion of the retention
+    * matrix, demonstrating cohort keys carried through a money aggregate
+    * (decimal-stable, [[graft.Ops.dsum]] discipline). */
+  def cohortValue(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, valueCol: String,
+                  anchorType: String, valueType: String): DataFrame = {
+    val cohort = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol).as("uid"))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    events.filter(col(typeCol) === valueType)
+      .select(col(userCol).as("uid"), col(valueCol).as("__v"))
+      .join(cohort, "uid")
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.Ops.dsum(col("__v")).as("total_value"))
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  private val funnelQ: Q = (s, dir) =>
+    funnel(Tables(s, dir).events, "user_id", "ts", "event_type", FunnelSteps)
+
+  private val cohortQ: Q = (s, dir) =>
+    cohortRetention(Tables(s, dir).events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
+  private val cohortValueQ: Q = (s, dir) =>
+    cohortValue(Tables(s, dir).events, "user_id", "ts", "event_type", "value",
+      anchorType = "signup", valueType = "purchase")
+      .orderBy("cohort_week")
+
+  val entries: Map[String, Q] = Map(
+    "b1_funnel_steps" -> funnelQ,
+    "b2_cohort_retention" -> cohortQ,
+    "b3_cohort_value" -> cohortValueQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b1_funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |lv AS (
+        |  SELECT user_id, 0 AS step FROM s1
+        |  UNION ALL SELECT user_id, 1 FROM s2
+        |  UNION ALL SELECT user_id, 2 FROM s3)
+        |SELECT count(CASE WHEN step = 0 THEN 1 END) AS n_view,
+        |       count(CASE WHEN step = 1 THEN 1 END) AS n_click,
+        |       count(CASE WHEN step = 2 THEN 1 END) AS n_purchase
+        |FROM lv""".stripMargin,
+    "b2_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |         date_diff('day', f.cohort_week,
+        |                   date_trunc('week', e.ts)) // 7 AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "b3_cohort_value" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT c.cohort_week, count(*) AS n_purchases,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY cohort_week""".stripMargin,
+  )
+}

@@ -472,6 +472,42 @@ object TextOps {
     domainCap(Tables(s, dir).documents, "source", "doc_id", 10)
       .orderBy("source", "rk")
 
+  /** Token-budget source mixing — the assembly step of a training corpus:
+    * each source contributes docs (in deterministic doc_id order) until its
+    * TOKEN budget is exhausted, capping by token mass where [[domainCap]]
+    * caps by doc count. A doc is kept iff the source's running token sum
+    * BEFORE it is still under budget (so the doc that crosses the line is
+    * included — every source reaches its budget rather than stopping one
+    * doc short, the [[seqPack]] "starts within budget" convention).
+    *
+    * One window keyed by source: each source's docs sort within their own
+    * partition, and WindowGroupLimit-style early cutoff doesn't apply (the
+    * cut depends on token mass, not rank), so a pathologically large
+    * source serializes in one task — the upgrade path at that skew is
+    * [[seqPack]]'s range-partition + partition-prefix trick applied per
+    * source. At realistic source counts (thousands) the per-source sort is
+    * the textbook use of a partitioned window. */
+  def mixBudget(docs: DataFrame, srcCol: String, idCol: String,
+                textCol: String, tokensPerSource: Long): DataFrame = {
+    require(tokensPerSource > 0,
+      s"token budget must be positive, got $tokensPerSource")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("__before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("__before") < tokensPerSource)
+      .select("doc_id", "source", "n_tokens")
+  }
+
+  private val MixBudgetTokens = 2000L
+
+  private val mixBudgetQ: Q = (s, dir) =>
+    mixBudget(Tables(s, dir).documents, "source", "doc_id", "text",
+      MixBudgetTokens)
+      .orderBy("doc_id")
+
   /** Encoding-quality signals — the mojibake/charset screen of a web-scale
     * ingest: U+FFFD replacement-char count (the scar a bad decode leaves),
     * C0 control chars (broken framing), and the non-ASCII character ratio
@@ -666,6 +702,7 @@ object TextOps {
     "text_seq_packing" -> seqPackQ,
     "text_pii_scrub" -> piiScrubQ,
     "text_domain_cap" -> domainCapQ,
+    "text_mix_budget" -> mixBudgetQ,
     "text_encoding_stats" -> mojibakeQ,
     "text_stopword_strip" -> stopStripQ,
     "text_weighted_sample" -> weightedSampleQ,
@@ -923,6 +960,20 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, source, rk FROM r
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "text_mix_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM r
+        |WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
     "text_seq_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -567,6 +567,38 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
 
+  /** Canonical-keeper selection — the step that turns cluster labels into a
+    * cleaned corpus: for every doc, the id of the doc that SURVIVES
+    * dedup. Within a near-dup cluster the keeper is the longest member
+    * (most content preserved — the usual LLM-corpus policy), ties broken by
+    * the smallest id; docs outside any cluster keep themselves. Emitting
+    * the full (doc_id, keeper_id) map rather than just the survivor list
+    * keeps the operator composable: `filter(doc_id = keeper_id)` is the
+    * cleaned corpus, the map itself is the redirect table a downstream
+    * index needs.
+    *
+    * Scale shape: the label frame is pairs-sized (only clustered docs),
+    * the keeper choice is one keyed agg over it (max of a (len, -id)
+    * struct — Spark struct ordering is lexicographic, so this is
+    * "longest, then smallest id" in a single combinable aggregate, no
+    * window sort), and the corpus-side join is label-frame-broadcast when
+    * small, hash otherwise. The 100-TB corpus shuffles at most once.
+    */
+  def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("__len"))
+    val keepers = labels.join(lens, "id")
+      .groupBy("label")
+      .agg(max(struct(col("__len"), (-col("id")).as("__nid"))).as("m"))
+      .select(col("label"), (-col("m.__nid")).as("__keeper"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(keepers, Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__keeper"), col("doc_id")).as("keeper_id"))
+  }
+
   /** Cluster-collapse accounting: per duplicate cluster, member count and
     * how many docs a keep-one policy removes (the cluster label is already
     * the canonical min doc id). The follow-on aggregation is keyed by the
@@ -577,6 +609,13 @@ object Dedup {
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"), (count(lit(1)) - 1).as("n_removable"))
       .orderBy("component")
+
+  private val canonicalKeepQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    canonicalKeep(d, "doc_id", "text",
+      jaccardPairs(shingleIndex(d, "doc_id", "text").persist(), 0.8))
+      .orderBy("doc_id")
+  }
 
   private val minhashIncrementalQ: Q = (s, dir) =>
     minhashIncrementalPairs(Tables(s, dir).documents, "doc_id", "text",
@@ -632,6 +671,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsQ,
     "dedup_components" -> componentsQ,
     "dedup_cluster_stats" -> clusterStatsQ,
+    "dedup_canonical_keep" -> canonicalKeepQ,
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
     "dedup_contamination" -> contaminationQ,
@@ -711,6 +751,21 @@ object Dedup {
        |SELECT component, count(*) AS n_docs, count(*) - 1 AS n_removable
        |FROM lab GROUP BY 1 ORDER BY component""".stripMargin
 
+  /** Keeper policy twin of [[canonicalKeep]]: longest member, ties to the
+    * smallest id, singletons keep themselves. */
+  private val canonicalKeepOracle: String =
+    s"""$componentsCte,
+       |k AS (
+       |  SELECT l.component,
+       |         (list(l.id ORDER BY length(d.text) DESC, l.id ASC))[1] AS keeper
+       |  FROM lab l JOIN documents d ON d.doc_id = l.id
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
+       |FROM documents d
+       |LEFT JOIN lab ON lab.id = d.doc_id
+       |LEFT JOIN k ON k.component = lab.component
+       |ORDER BY d.doc_id""".stripMargin
+
   /** SimHash signatures as DuckDB bit arithmetic — the oracle twin of
     * [[graft.functions.GraftSimHash]]: token hash = `md5_number_upper`
     * (first 8 md5 bytes little-endian, the kernel's exact formulation),
@@ -755,6 +810,7 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_components" -> componentsOracle,
     "dedup_cluster_stats" -> clusterStatsOracle,
+    "dedup_canonical_keep" -> canonicalKeepOracle,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |       min(doc_id) AS keeper_id

@@ -1,0 +1,70 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel counts only steps in order") {
+    val s = spark
+    import s.implicits._
+    // user 1 completes the funnel in order; user 2 clicks BEFORE first view
+    // (must not count at the click level); user 3 skips click entirely (the
+    // purchase must not count without the click level); user 4 never views.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:30:00"), "purchase"),
+      (4L, ts("2024-01-01 07:00:00"), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val row = Behavior.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect().head
+    assert(row.getAs[Long]("n_view") === 3)
+    assert(row.getAs[Long]("n_click") === 1)
+    assert(row.getAs[Long]("n_purchase") === 1)
+  }
+
+  test("funnel step counts are monotonically non-increasing on the feed") {
+    val row = Behavior.funnel(graft.Tables(spark, sf001).events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().head
+    val (v, c, p) = (row.getAs[Long]("n_view"), row.getAs[Long]("n_click"),
+      row.getAs[Long]("n_purchase"))
+    assert(v > 0 && v >= c && c >= p)
+  }
+
+  test("cohort retention: offset-0 row equals cohort size, offsets non-negative") {
+    val events = graft.Tables(spark, sf001).events
+    val ret = Behavior.cohortRetention(events, "user_id", "ts")
+    assert(ret.filter(col("week_offset") < 0).isEmpty)
+    // every user is active in their own first week, so the offset-0 rows
+    // partition the full user population
+    val atZero = ret.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).collect().head.getLong(0)
+    val nUsers = events.select("user_id").distinct().count()
+    assert(atZero === nUsers)
+  }
+
+  test("cohort value totals match a flat purchase sum") {
+    val events = graft.Tables(spark, sf001).events
+    val cv = Behavior.cohortValue(events, "user_id", "ts", "event_type",
+      "value", anchorType = "signup", valueType = "purchase")
+    // cohorts partition the signup users; purchases by non-signup users are
+    // excluded — the flat twin computed independently must agree
+    val viaCohorts = cv.agg(sum("n_purchases")).collect().head.getLong(0)
+    val signedUp = events.filter(col("event_type") === "signup")
+      .select("user_id").distinct()
+    val flat = events.filter(col("event_type") === "purchase")
+      .join(signedUp, "user_id").count()
+    assert(viaCohorts === flat)
+  }
+}

@@ -294,4 +294,38 @@ class TextOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("distinct_word_frac") === 1.0)
     assert(r2.getAs[Double]("top_bigram_frac") === 0.0) // no bigram in a 1-token doc
   }
+
+  test("mix budget: per-source doc_id prefix, crossing doc included") {
+    val s = spark
+    import s.implicits._
+    // srcA: 3+3+3 tokens at budget 7 -> docs 1,2,3: cum_before 0,3,6 all < 7
+    //       (doc 3 CROSSES the budget and is still kept), doc 4 excluded.
+    // srcB: first doc alone exceeds the budget -> still kept (every source
+    //       contributes at least one doc).
+    val d = Seq(
+      (1L, "a b c", "srcA"), (2L, "d e f", "srcA"),
+      (3L, "g h i", "srcA"), (4L, "j k l", "srcA"),
+      (5L, "t u v w x y z a b c", "srcB"),
+      (6L, "m n", "srcB"),
+    ).toDF("doc_id", "text", "source")
+    val kept = TextOps.mixBudget(d, "source", "doc_id", "text", 7L)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("mix budget on the corpus: kept docs form a doc_id prefix per source") {
+    val docs = graft.Tables(spark, sf001).documents
+    val kept = TextOps.mixBudget(docs, "source", "doc_id", "text", 500L)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).map { case (src, xs) => src -> xs.map(_._2).toSet }
+    val all = docs.select("source", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (src, xs) => src -> xs.map(_._2).sorted }
+    // every source is represented, and its kept set is a prefix of its docs
+    all.foreach { case (src, ids) =>
+      val k = kept.getOrElse(src, Set.empty)
+      assert(k.nonEmpty, s"source $src contributed nothing")
+      assert(ids.take(k.size).toSet === k, s"kept set for $src is not a prefix")
+    }
+  }
 }

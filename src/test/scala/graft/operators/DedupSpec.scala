@@ -232,4 +232,32 @@ class DedupSpec extends SparkSpec {
       .agg(sum("n_docs")).head.getLong(0)
     assert(total === docs.count())
   }
+
+  test("canonical keep: total map, keeper in own cluster, longest-then-min-id") {
+    val docs = Tables(spark, sf001).documents
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingleIndex(docs, "doc_id", "text").persist(), 0.8)
+    val keep = Dedup.canonicalKeep(docs, "doc_id", "text", pairs)
+    val rows = keep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total map: every doc has exactly one keeper
+    assert(rows.size === docs.count())
+    // a keeper keeps itself (idempotent redirect)
+    rows.values.foreach(k => assert(rows(k) === k))
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = docs.select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // singletons keep themselves; clustered docs share their cluster's
+    // keeper, which is the longest member with the smallest id
+    rows.foreach { case (id, keeper) =>
+      labels.get(id) match {
+        case None => assert(keeper === id)
+        case Some(lab) =>
+          val members = labels.collect { case (i, l) if l == lab => i }
+          val best = members.minBy(i => (-lens(i), i))
+          assert(keeper === best)
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }

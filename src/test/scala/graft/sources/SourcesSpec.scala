@@ -71,4 +71,37 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.pathExists(spark, s"$sf001/lineitem.parquet"))
     assert(!Sources.pathExists(spark, s"$sf001/nonexistent.parquet"))
   }
+
+  test("fetch policy: missing source skips without fetching or retrying") {
+    var fetched = 0
+    var probes = 0
+    val r = Retrieval.fetchWithPolicy(
+      () => { probes += 1; Retrieval.Missing },
+      () => { fetched += 1; Retrieval.Fetched(1L) },
+      sleep = _ => fail("must not back off on a 404"))
+    assert(r === Retrieval.SkippedMissing)
+    assert(probes === 1 && fetched === 0)
+  }
+
+  test("fetch policy: transient failures retry with exponential backoff") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var probes = 0
+    val r = Retrieval.fetchWithPolicy(
+      () => { probes += 1
+        if (probes < 3) Retrieval.Transient("503") else Retrieval.Available },
+      () => Retrieval.Fetched(42L),
+      maxAttempts = 5, backoffMs = 100L, sleep = sleeps += _)
+    assert(r === Retrieval.Completed(3, Retrieval.Fetched(42L)))
+    assert(sleeps.toSeq === Seq(100L, 200L)) // backoffMs * 2^(attempt-1)
+  }
+
+  test("fetch policy: gives up loudly after maxAttempts transient probes") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val r = Retrieval.fetchWithPolicy(
+      () => Retrieval.Transient("502"),
+      () => fail("must not fetch when the probe never clears"),
+      maxAttempts = 3, backoffMs = 10L, sleep = sleeps += _)
+    assert(r === Retrieval.GaveUp(3, "502"))
+    assert(sleeps.toSeq === Seq(10L, 20L)) // no sleep after the final attempt
+  }
 }
