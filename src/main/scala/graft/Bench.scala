@@ -32,6 +32,8 @@ object Bench {
     "dedup_substring_probe", "text_pii_scrub",
     "text_lm_score", "asof_join_multikey", "text_weighted_sample",
     "text_chunking", "asof_join_nearest", "range_join_overlap",
+    "b1_funnel_steps", "b2_cohort_retention", "dedup_canonical_keep",
+    "dedup_levenshtein", "text_novelty", "text_mix_budget",
   )
 
   def main(args: Array[String]): Unit = {

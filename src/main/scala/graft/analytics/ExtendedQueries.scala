@@ -83,6 +83,61 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
 
+  /** A28 — explicit GROUPING SETS: the general form [[rollupQ]]/[[cubeQ]]
+    * specialize — per-year totals, per-priority totals, and the grand
+    * total, WITHOUT the (year, priority) cross detail a cube would also
+    * emit. Same single-shuffle Expand-based plan as rollup/cube. */
+  private val groupingSetsQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("o_year")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
+
+  /** J11 — FULL OUTER join: reconciliation of two keyed sets where BOTH
+    * sides can be unmatched (the segment's customer list vs the order
+    * feed). The unmatched-side accounting is the audit query of any
+    * two-system reconciliation. Shuffled hash/sort-merge on the key — full
+    * outer can't broadcast either side, which is exactly why it exists as
+    * its own entry. */
+  private val fullOuterQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .agg(
+        count(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1))
+          .as("n_both"),
+        count(when(col("o_custkey").isNull, 1)).as("n_cust_only"),
+        count(when(col("c_custkey").isNull, 1)).as("n_ord_only"))
+  }
+
+  /** Q — correlated EXISTS/NOT EXISTS through the SQL surface: per segment,
+    * customers with at least one URGENT order vs customers with none.
+    * Catalyst decorrelates both subqueries into semi/anti joins on the
+    * customer key — the same physical shape as [[j5/j6]], reached from
+    * declarative SQL. */
+  private val existsSubqueryQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       count(CASE WHEN EXISTS (
+        |         SELECT 1 FROM orders
+        |         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |         THEN 1 END) AS n_with_urgent,
+        |       count(CASE WHEN NOT EXISTS (
+        |         SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |         THEN 1 END) AS n_never_ordered
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** A17 — pivot (wide conditional aggregate) on order status. */
   private val pivotQ: Q = (s, dir) =>
     Tables(s, dir).orders
@@ -312,6 +367,9 @@ object ExtendedQueries {
     "a16_rollup" -> rollupQ,
     "a17_pivot" -> pivotQ,
     "a22_cube" -> cubeQ,
+    "a28_grouping_sets" -> groupingSetsQ,
+    "j11_full_outer" -> fullOuterQ,
+    "q_exists_subquery" -> existsSubqueryQ,
     "t4_top_errors_labeled" -> topErrorsQ,
     "ml_sliding_window" -> slidingWindowQ,
     "a13_summary_builtin" -> summaryQ,
@@ -423,6 +481,32 @@ object ExtendedQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE (1, 2)
         |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a28_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY GROUPING SETS ((1), (2), ())
+        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "j11_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT count(CASE WHEN c.c_custkey IS NOT NULL
+        |                   AND o.o_custkey IS NOT NULL THEN 1 END) AS n_both,
+        |       count(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_cust_only,
+        |       count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_ord_only
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_mktsegment,
+        |       count(CASE WHEN EXISTS (
+        |         SELECT 1 FROM orders
+        |         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |         THEN 1 END) AS n_with_urgent,
+        |       count(CASE WHEN NOT EXISTS (
+        |         SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |         THEN 1 END) AS n_never_ordered
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "a13_summary_builtin" ->
       """WITH a AS (
         |  SELECT count(*) AS n,

@@ -225,6 +225,58 @@ object Dedup {
     scorePairs(common, sizes(index), threshold)
   }
 
+  /** Edit-distance near-dup pairs with LENGTH-BAND blocking — the
+    * character-level complement of shingle Jaccard (catches dense small
+    * edits that keep most shingles intact vs. token reorderings Jaccard
+    * tolerates). Candidates are generated by a (lang, length-bucket) equi
+    * join, never all-pairs: bucket width = `maxDist`, the right side
+    * expands to its bucket ±1, so every pair with |len_a - len_b| <=
+    * maxDist — a NECESSARY condition for distance <= maxDist — meets in
+    * exactly one orientation (the id_a < id_b filter kills the mirror).
+    * Verification uses Spark's banded 3-arg `levenshtein(a, b, max)`:
+    * O(maxDist·len) per pair instead of O(len²), returning the true
+    * distance iff it is within the band (same value DuckDB's full
+    * computation yields for every kept row). */
+  def levenshteinPairs(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, maxDist: Int): DataFrame = {
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+    val base = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      col(textCol).as("text"), length(col(textCol)).as("len"))
+    val a = base.select(col("id").as("id_a"), col("lang"),
+      col("text").as("text_a"), col("len").as("len_a"),
+      floor(col("len") / maxDist).as("bucket"))
+    val b = base.select(col("id").as("id_b"), col("lang"),
+      col("text").as("text_b"), col("len").as("len_b"),
+      explode(array(floor(col("len") / maxDist) - 1, floor(col("len") / maxDist),
+        floor(col("len") / maxDist) + 1)).as("bucket"))
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** Per-doc shingle novelty — the memorization/boilerplate signal of a
+    * corpus audit: the fraction of a doc's distinct word n-gram shingles
+    * that occur in NO other doc (document frequency 1). Low novelty =
+    * template/boilerplate text; high = unique content. Three keyed hops,
+    * two of them on the same shingle key (the df aggregation and the join
+    * back are co-partitioned), then one doc-keyed agg — never all-pairs.
+    * Docs shorter than `n` tokens have no shingles and no row. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    val dfreq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+    idx.join(dfreq, "shingle")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        round(col("n_novel").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_shingles"), 6).as("novel_frac"))
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least `minShared`
     * distinct word n-gram shingles with a benchmark doc — the train/test
     * contamination scan of an LLM data pipeline. The benchmark side is
@@ -610,6 +662,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), (count(lit(1)) - 1).as("n_removable"))
       .orderBy("component")
 
+  private val levenshteinQ: Q = (s, dir) =>
+    levenshteinPairs(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
+      .orderBy("id_a", "id_b")
+
+  private val noveltyQ: Q = (s, dir) =>
+    noveltyScore(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy("doc_id")
+
   private val canonicalKeepQ: Q = (s, dir) => {
     val d = Tables(s, dir).documents
     canonicalKeep(d, "doc_id", "text",
@@ -672,6 +732,8 @@ object Dedup {
     "dedup_components" -> componentsQ,
     "dedup_cluster_stats" -> clusterStatsQ,
     "dedup_canonical_keep" -> canonicalKeepQ,
+    "dedup_levenshtein" -> levenshteinQ,
+    "text_novelty" -> noveltyQ,
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
     "dedup_contamination" -> contaminationQ,
@@ -811,6 +873,33 @@ object Dedup {
     "dedup_components" -> componentsOracle,
     "dedup_cluster_stats" -> clusterStatsOracle,
     "dedup_canonical_keep" -> canonicalKeepOracle,
+    // the length-band blocking is complete for dist <= maxDist (a pair
+    // within edit distance d differs in length by at most d), so the
+    // blocked operator equals this unblocked reference join
+    "dedup_levenshtein" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, length(text) AS len FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.len - b.len) <= 30
+        |WHERE levenshtein(a.text, b.text) <= 30
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        |  FROM tok WHERE len(ts) >= 3),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       round(count(CASE WHEN dfreq.df = 1 THEN 1 END) * 1.0
+        |             / count(*), 6) AS novel_frac
+        |FROM sh JOIN dfreq USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |       min(doc_id) AS keeper_id

@@ -233,6 +233,37 @@ class DedupSpec extends SparkSpec {
     assert(total === docs.count())
   }
 
+  test("levenshtein blocking is complete: blocked pairs equal the naive join") {
+    val docs = Tables(spark, sf001).documents
+    val blocked = Dedup.levenshteinPairs(docs, "doc_id", "text", "lang", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive reference: every same-lang pair, full edit distance
+    val d = docs.select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val naive = (for {
+      (ia, la, ta) <- d; (ib, lb, tb) <- d
+      if ia < ib && la == lb
+      dist = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(ta, tb).intValue
+      if dist <= 30
+    } yield (ia, ib, dist)).toSet
+    assert(blocked === naive)
+    assert(blocked.nonEmpty || d.length < 2)
+  }
+
+  test("novelty: all-unique doc scores 1.0, duplicated docs score 0.0") {
+    val df = Seq(
+      (1L, "aa bb cc dd ee"),      // shingles unique to doc 1
+      (2L, "pp qq rr ss tt"),      // exact dup of doc 3 => df 2 everywhere
+      (3L, "pp qq rr ss tt"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((3L, 1.0)))
+    assert(out(2L) === ((3L, 0.0)))
+    assert(out(3L) === ((3L, 0.0)))
+  }
+
   test("canonical keep: total map, keeper in own cluster, longest-then-min-id") {
     val docs = Tables(spark, sf001).documents
     val pairs = Dedup.jaccardPairs(
