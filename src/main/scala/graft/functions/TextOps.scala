@@ -103,6 +103,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Composite quality in [0, 1]: a length term (saturating at 100 tokens)
+    * plus an English-stopword-density term — the score the quality-filter
+    * and [[qualityPrune]] stages share, kept in one place so they can
+    * never drift apart. */
+  def compositeQuality(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopHits = vocabHits(text, langMarkers.toMap.apply("en"))
+    round(
+      least(nTok.cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
+        least(stopHits.cast(DoubleType) / nTok * 5.0, lit(0.5)), 6)
+  }
+
   /** Quality scoring: length/stopword/digit ratios + a composite score
     * (the quality-filter stage of an LLM data pipeline). */
   private val qualityScore: Q = (s, dir) => {
@@ -115,9 +127,7 @@ object TextOps {
       nTok.as("n_tokens"),
       round(stopHits.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
       round(digitChars.cast(DoubleType) / length(col("text")), 6).as("digit_ratio"),
-      round(
-        least(nTok.cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
-          least(stopHits.cast(DoubleType) / nTok * 5.0, lit(0.5)), 6).as("quality"))
+      compositeQuality(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -386,31 +396,66 @@ object TextOps {
     require(budget > 0, s"token budget must be positive, got $budget")
     val t = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
-    // The local and prefix branches each evaluate this subtree (the scan is
-    // pruned to two columns, so the second pass is cheap); that is safe
-    // because pids are REPRODUCIBLE here: RangePartitioner samples with a
-    // fixed per-partition seed over a deterministic scan, so both branches
-    // see identical boundaries, and within a range partition the window's
-    // doc_id sort fixes the order. A narrow persist() would trade the
-    // second scan for ~24 bytes/row of cache — worth it only when the
-    // token-count projection is expensive.
-    val byRange = t.repartitionByRange(col("doc_id"))
+    withGlobalStart(t, Seq(col("doc_id")), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__start div $budget").as("seq_id"),
+        pmod(col("__start"), lit(budget.toLong)).as("offset"))
+  }
+
+  /** Distributed prefix sum: appends `__start` = the running sum of
+    * `valCol` over all rows STRICTLY BEFORE the current one in
+    * `orderCols` order (which must be a total order — include an id
+    * tiebreak). Stage 1 range-partitions by the order keys and computes
+    * per-partition local cumsums (parallel); stage 2 aggregates one total
+    * per partition (a ~#partitions-row frame), prefix-sums THAT tiny frame,
+    * and broadcasts it back as each partition's base offset. At 100 TB no
+    * task ever sees more than its own partition's rows; the only
+    * single-partition window runs over one row per partition.
+    *
+    * The local and prefix branches each evaluate the input subtree twice
+    * (the scan is pruned to the needed columns, so the second pass is
+    * cheap); that is safe because pids are REPRODUCIBLE here:
+    * RangePartitioner samples with a fixed per-partition seed over a
+    * deterministic scan, so both branches see identical boundaries, and
+    * within a range partition the window's sort fixes the order. A narrow
+    * persist() would trade the second scan for ~24 bytes/row of cache —
+    * worth it only when the value projection is expensive. */
+  private def withGlobalStart(t: DataFrame, orderCols: Seq[Column],
+                              valCol: String): DataFrame = {
+    val byRange = t.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy("doc_id")
-    val local = byRange.withColumn("__cum_local", sum("n_tokens").over(localW))
+      .partitionBy("__pid").orderBy(orderCols: _*)
+    val local = byRange.withColumn("__cum_local", sum(valCol).over(localW))
     // one row per partition; the prefix window over it is metadata-sized
     val prefixW = org.apache.spark.sql.expressions.Window.orderBy("__pid")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val prefixes = local.groupBy("__pid")
-      .agg(sum("n_tokens").as("__ptotal"))
+      .agg(sum(valCol).as("__ptotal"))
       .withColumn("__prefix", coalesce(sum("__ptotal").over(prefixW), lit(0L)))
       .select("__pid", "__prefix")
     local.join(broadcast(prefixes), "__pid")
-      .withColumn("__start", col("__cum_local") + col("__prefix") - col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"__start div $budget").as("seq_id"),
-        pmod(col("__start"), lit(budget.toLong)).as("offset"))
+      .withColumn("__start", col("__cum_local") + col("__prefix") - col(valCol))
+  }
+
+  /** Quality pruning to a global token target — the curation step that
+    * keeps the BEST documents until the training budget is reached:
+    * rank the corpus by [[compositeQuality]] (descending, doc_id
+    * tiebreak) and keep every doc whose running token sum before it is
+    * still under `tokenBudget` (the crossing doc is included, the
+    * [[seqPack]]/[[mixBudget]] convention). Unlike a threshold filter,
+    * this yields an exact token-mass target regardless of the score
+    * distribution. Same distributed prefix-sum shape as [[seqPack]], just
+    * ordered by (quality desc, id) instead of id. */
+  def qualityPrune(docs: DataFrame, idCol: String, textCol: String,
+                   tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"token budget must be positive, got $tokenBudget")
+    val t = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
+      compositeQuality(col(textCol)).as("quality"))
+    withGlobalStart(t, Seq(col("quality").desc, col("doc_id")), "n_tokens")
+      .filter(col("__start") < tokenBudget)
+      .select("doc_id", "quality", "n_tokens")
   }
 
   /** Default training-sequence token budget for the graded entry. */
@@ -506,6 +551,13 @@ object TextOps {
   private val mixBudgetQ: Q = (s, dir) =>
     mixBudget(Tables(s, dir).documents, "source", "doc_id", "text",
       MixBudgetTokens)
+      .orderBy("doc_id")
+
+  private val QualityPruneTokens = 8000L
+
+  private val qualityPruneQ: Q = (s, dir) =>
+    qualityPrune(Tables(s, dir).documents, "doc_id", "text",
+      QualityPruneTokens)
       .orderBy("doc_id")
 
   /** Encoding-quality signals — the mojibake/charset screen of a web-scale
@@ -703,6 +755,7 @@ object TextOps {
     "text_pii_scrub" -> piiScrubQ,
     "text_domain_cap" -> domainCapQ,
     "text_mix_budget" -> mixBudgetQ,
+    "text_quality_prune" -> qualityPruneQ,
     "text_encoding_stats" -> mojibakeQ,
     "text_stopword_strip" -> stopStripQ,
     "text_weighted_sample" -> weightedSampleQ,
@@ -974,6 +1027,26 @@ object TextOps {
         |  FROM t)
         |SELECT doc_id, source, n_tokens FROM r
         |WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
+    "text_quality_prune" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |                     / 100.0, 1.0) * 0.5 +
+         |               least(CAST(len(list_filter(string_split(text, ' '),
+         |                 t -> t IN ${vocabSql(langMarkers.toMap.apply("en"))}))
+         |                 AS DOUBLE) / len(string_split(text, ' ')) * 5.0,
+         |                 0.5), 6) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |         coalesce(sum(n_tokens) OVER (
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cum_before
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens FROM r
+         |WHERE cum_before < 8000 ORDER BY doc_id""".stripMargin,
     "text_seq_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id,

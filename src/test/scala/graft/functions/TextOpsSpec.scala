@@ -313,6 +313,26 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L, 5L))
   }
 
+  test("quality prune keeps a quality-ordered prefix and crosses the budget once") {
+    val docs = graft.Tables(spark, sf001).documents
+    val budget = 3000L
+    val kept = TextOps.qualityPrune(docs, "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    // naive twin: order all docs by (quality desc, id), walk until budget
+    val all = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextOps.compositeQuality(org.apache.spark.sql.functions.col("text")).as("q"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+          .split(org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expect = all.takeWhile { case (_, _, n) => val keep = cum < budget; cum += n; keep }
+    assert(kept.map(_._1).toSet === expect.map(_._1).toSet)
+    // the kept mass reaches the budget (crossing doc included)
+    assert(kept.map(_._3).sum >= budget)
+  }
+
   test("mix budget on the corpus: kept docs form a doc_id prefix per source") {
     val docs = graft.Tables(spark, sf001).documents
     val kept = TextOps.mixBudget(docs, "source", "doc_id", "text", 500L)
