@@ -34,7 +34,7 @@ object Bench {
     "text_chunking", "asof_join_nearest", "range_join_overlap",
     "b1_funnel_steps", "b2_cohort_retention", "dedup_canonical_keep",
     "dedup_levenshtein", "text_novelty", "text_mix_budget",
-    "text_quality_prune",
+    "text_quality_prune", "dedup_containment", "b4_funnel_windowed",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -37,17 +37,25 @@ object Behavior {
     * BroadcastNestedLoopJoin, banned by the suite-wide plan pin).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val u = col(userCol).as("uid")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(u).agg(min(col(tsCol)).as("t"))
+    // optional conversion window: each step must land within maxGapSeconds
+    // of the PREVIOUS step's qualifying time (interval arithmetic, exact at
+    // timestamp precision in both engines — no epoch-second truncation)
+    def withinGap(ts: Column, t: Column): Column = maxGapSeconds match {
+      case Some(g) => ts >= t && ts <= t + expr(s"INTERVAL $g SECOND")
+      case None => ts >= t
+    }
     val levels = steps.zipWithIndex.tail.scanLeft(first) {
       case (prev, (step, _)) =>
         events.filter(col(typeCol) === step)
           .select(u, col(tsCol).as("__ts"))
           .join(prev, "uid")
-          .filter(col("__ts") >= col("t"))
+          .filter(withinGap(col("__ts"), col("t")))
           .groupBy("uid").agg(min(col("__ts")).as("t"))
     }
     val tagged = levels.zipWithIndex.map { case (lv, i) =>
@@ -109,6 +117,12 @@ object Behavior {
   private val funnelQ: Q = (s, dir) =>
     funnel(Tables(s, dir).events, "user_id", "ts", "event_type", FunnelSteps)
 
+  /** 72-hour conversion window: each step must follow the previous within
+    * 3 days — the "did the view actually DRIVE the purchase" variant. */
+  private val funnelWindowedQ: Q = (s, dir) =>
+    funnel(Tables(s, dir).events, "user_id", "ts", "event_type", FunnelSteps,
+      maxGapSeconds = Some(259200L))
+
   private val cohortQ: Q = (s, dir) =>
     cohortRetention(Tables(s, dir).events, "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
@@ -120,6 +134,7 @@ object Behavior {
 
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
+    "b4_funnel_windowed" -> funnelWindowedQ,
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
   )
@@ -136,6 +151,28 @@ object Behavior {
         |s3 AS (
         |  SELECT e.user_id, min(e.ts) AS t
         |  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |lv AS (
+        |  SELECT user_id, 0 AS step FROM s1
+        |  UNION ALL SELECT user_id, 1 FROM s2
+        |  UNION ALL SELECT user_id, 2 FROM s3)
+        |SELECT count(CASE WHEN step = 0 THEN 1 END) AS n_view,
+        |       count(CASE WHEN step = 1 THEN 1 END) AS n_click,
+        |       count(CASE WHEN step = 2 THEN 1 END) AS n_purchase
+        |FROM lv""".stripMargin,
+    "b4_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |   AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 259200 SECOND
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |   AND e.ts >= s2.t AND e.ts <= s2.t + INTERVAL 259200 SECOND
         |  WHERE e.event_type = 'purchase' GROUP BY 1),
         |lv AS (
         |  SELECT user_id, 0 AS step FROM s1

@@ -33,6 +33,23 @@ class BehaviorSpec extends SparkSpec {
     assert(row.getAs[Long]("n_purchase") === 1)
   }
 
+  test("windowed funnel drops conversions outside the gap") {
+    val s = spark
+    import s.implicits._
+    // user 1 converts within the 1-hour window; user 2's click comes 2 hours
+    // after the first view — outside the window, not counted.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:01"), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val row = Behavior.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click"), maxGapSeconds = Some(3600L)).collect().head
+    assert(row.getAs[Long]("n_view") === 2)
+    assert(row.getAs[Long]("n_click") === 1)
+  }
+
   test("funnel step counts are monotonically non-increasing on the feed") {
     val row = Behavior.funnel(graft.Tables(spark, sf001).events,
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))

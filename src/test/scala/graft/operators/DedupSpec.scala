@@ -233,6 +233,18 @@ class DedupSpec extends SparkSpec {
     assert(total === docs.count())
   }
 
+  test("containment flags a short doc embedded in a long one that jaccard misses") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ") // verbatim prefix
+    val df = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(df, "doc_id", "text")
+    val cont = Dedup.containmentPairs(idx, 0.75).collect()
+    assert(cont.length === 1)
+    assert(cont.head.getDouble(2) === 1.0) // all 8 short-doc shingles shared
+    // symmetric jaccard on the same pair is 8/38 — far below any threshold
+    assert(Dedup.jaccardPairs(idx, 0.5).isEmpty)
+  }
+
   test("levenshtein blocking is complete: blocked pairs equal the naive join") {
     val docs = Tables(spark, sf001).documents
     val blocked = Dedup.levenshteinPairs(docs, "doc_id", "text", "lang", 30)
@@ -249,6 +261,11 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib, dist)).toSet
     assert(blocked === naive)
     assert(blocked.nonEmpty || d.length < 2)
+    // the LSH-blocked scale variant finds the same pairs on real documents
+    val lsh = Dedup.levenshteinPairsLsh(docs, "doc_id", "text", "lang", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lsh === naive)
+    spark.catalog.clearCache()
   }
 
   test("novelty: all-unique doc scores 1.0, duplicated docs score 0.0") {
