@@ -110,6 +110,25 @@ object Behavior {
         graft.Ops.dsum(col("__v")).as("total_value"))
   }
 
+  /** Event-type transition matrix: counts of (event_type → immediately
+    * following event_type) within each user's timeline — the first-order
+    * Markov structure of behavior (what users do NEXT). One lead() window
+    * keyed by user (its natural partitioning; a user's timeline fits a
+    * task by construction), then a global pair count. The `event_id`
+    * tiebreak makes same-timestamp ordering deterministic in both
+    * engines. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -132,9 +151,15 @@ object Behavior {
       anchorType = "signup", valueType = "purchase")
       .orderBy("cohort_week")
 
+  private val transitionQ: Q = (s, dir) =>
+    transitionMatrix(Tables(s, dir).events, "user_id", "ts", "event_type",
+      "event_id")
+      .orderBy("from_type", "to_type")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
+    "b5_transition_matrix" -> transitionQ,
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
   )
@@ -193,6 +218,15 @@ object Behavior {
         |  FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_week, week_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "b5_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n_transitions
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "b3_cohort_value" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

@@ -138,6 +138,25 @@ object ExtendedQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** A30 — date-spine gap fill: daily revenue as a DENSE series over the
+    * full [min, max] order-date range, absent days zero-filled — the
+    * resample step every time-series consumer (dashboards, forecasting
+    * features) needs. The spine is generated DISTRIBUTEDLY from the data's
+    * own bounds (`sequence` over a one-row min/max aggregate, exploded) —
+    * no driver-side date loop, no literal calendar; the left join back to
+    * the daily aggregate broadcasts whichever side AQE finds smaller. */
+  private val dateSpineFillQ: Q = (s, dir) => {
+    val orders = Tables(s, dir).orders
+    val daily = orders.groupBy(col("o_orderdate").as("d"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val spine = orders
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("d")
+  }
+
   /** A17 — pivot (wide conditional aggregate) on order status. */
   private val pivotQ: Q = (s, dir) =>
     Tables(s, dir).orders
@@ -368,6 +387,7 @@ object ExtendedQueries {
     "a17_pivot" -> pivotQ,
     "a22_cube" -> cubeQ,
     "a28_grouping_sets" -> groupingSetsQ,
+    "a30_date_spine_fill" -> dateSpineFillQ,
     "j11_full_outer" -> fullOuterQ,
     "q_exists_subquery" -> existsSubqueryQ,
     "t4_top_errors_labeled" -> topErrorsQ,
@@ -487,6 +507,18 @@ object ExtendedQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY GROUPING SETS ((1), (2), ())
         |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a30_date_spine_fill" ->
+      """WITH b AS (
+        |  SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM b),
+        |daily AS (
+        |  SELECT o_orderdate AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.d, coalesce(daily.revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN daily USING (d) ORDER BY d""".stripMargin,
     "j11_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -71,6 +71,30 @@ class BehaviorSpec extends SparkSpec {
     assert(atZero === nUsers)
   }
 
+  test("transition matrix conserves mass: transitions = events - users") {
+    val events = graft.Tables(spark, sf001).events
+    val m = Behavior.transitionMatrix(events, "user_id", "ts", "event_type",
+      "event_id")
+    val total = m.agg(sum("n_transitions")).collect().head.getLong(0)
+    // each user's timeline of k events yields exactly k-1 transitions
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(total === nEvents - nUsers)
+  }
+
+  test("date spine fill is dense: one row per day, flat revenue preserved") {
+    val q = ExtendedQueries.entries("a30_date_spine_fill")
+    val out = q(spark, sf001).collect()
+    // o_orderdate is TIMESTAMP_NTZ in the testdata parquet
+    val days = out.map(_.getAs[java.time.LocalDateTime](0).toLocalDate)
+    assert(days.length ===
+      java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1)
+    val orders = graft.Tables(spark, sf001).orders
+    val flat = orders.agg(graft.Ops.dsum(
+      org.apache.spark.sql.functions.col("o_totalprice"))).collect().head.getDouble(0)
+    assert(math.abs(out.map(_.getDouble(1)).sum - flat) < 1e-6 * flat)
+  }
+
   test("cohort value totals match a flat purchase sum") {
     val events = graft.Tables(spark, sf001).events
     val cv = Behavior.cohortValue(events, "user_id", "ts", "event_type",
