@@ -35,7 +35,7 @@ object Bench {
     "b1_funnel_steps", "b2_cohort_retention", "dedup_canonical_keep",
     "dedup_levenshtein", "text_novelty", "text_mix_budget",
     "text_quality_prune", "dedup_containment", "b4_funnel_windowed",
-    "b5_transition_matrix", "a30_date_spine_fill",
+    "b5_transition_matrix", "a30_date_spine_fill", "text_source_kl",
   )
 
   def main(args: Array[String]): Unit = {

@@ -737,6 +737,37 @@ object TextOps {
   private val entropyQ: Q = (s, dir) =>
     sourceEntropy(Tables(s, dir).documents, "source", "text").orderBy("source")
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * D(p_s ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)): the drift diagnostic
+    * of a data-mixing pipeline ([[sourceEntropy]] measures a source's
+    * internal diversity; this measures how far it sits from the blend).
+    * Always finite: every word a source contains is in the corpus by
+    * construction. All heavy joins are keyed by word (the per-source count
+    * frame joins the corpus word counts co-partitioned); the per-source
+    * totals and the one-row grand total broadcast. FP discipline: each
+    * term rounds to 6 and sums as DECIMAL (the [[sourceEntropy]] rule), so
+    * the result is order- and engine-independent. */
+  def sourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(srcCol).as("source"),
+      explode(tokens(col(textCol))).as("word"))
+    val sw = words.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val st = sw.groupBy("source").agg(sum("c_sw").as("c_s"))
+    val wt = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val tot = st.agg(sum("c_s").as("__total"))
+    val pS = col("c_sw").cast(DoubleType) / col("c_s")
+    val pW = col("c_w").cast(DoubleType) / col("__total")
+    sw.join(wt, "word")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", round(pS * log(pS / pW), 6).cast(DecimalType(20, 6)))
+      .groupBy("source")
+      .agg(max("c_s").cast(LongType).as("n_tokens"),
+        round(sum(col("__term")).cast(DoubleType), 6).as("kl"))
+  }
+
+  private val sourceKlQ: Q = (s, dir) =>
+    sourceKl(Tables(s, dir).documents, "source", "text").orderBy("source")
+
   val entries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
@@ -763,6 +794,7 @@ object TextOps {
     "text_hash_split" -> hashSplitQ,
     "text_chunking" -> chunkQ,
     "text_source_entropy" -> entropyQ,
+    "text_source_kl" -> sourceKlQ,
   )
 
   private def vocabSql(vocab: Seq[String]): String =
@@ -957,6 +989,21 @@ object TextOps {
         |                           AS DECIMAL(20,6))) AS DOUBLE), 6) AS entropy
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
+    "text_source_kl" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |     sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
+        |     st AS (SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY 1),
+        |     wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+        |     tot AS (SELECT sum(c_s) AS total FROM st)
+        |SELECT sw.source, CAST(max(st.c_s) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(round(
+        |         (CAST(sw.c_sw AS DOUBLE) / st.c_s)
+        |           * ln((CAST(sw.c_sw AS DOUBLE) / st.c_s)
+        |                / (CAST(wt.c_w AS DOUBLE) / tot.total)), 6)
+        |         AS DECIMAL(20,6))) AS DOUBLE), 6) AS kl
+        |FROM sw JOIN st USING (source) JOIN wt USING (word), tot
+        |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
     // each ln rounds to 6 before a DECIMAL(20,6) sum -> order/ulp-stable mean
     "text_lm_score" ->
       """WITH g AS (

@@ -313,6 +313,21 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L, 5L))
   }
 
+  test("source KL: zero when a source is the whole corpus, non-negative on the feed") {
+    val s = spark
+    import s.implicits._
+    val single = Seq((1L, "a b c", "s1"), (2L, "a b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val klSingle = TextOps.sourceKl(single, "source", "text")
+      .collect().head.getDouble(2)
+    assert(klSingle === 0.0) // p_source == p_corpus exactly
+    val kls = TextOps.sourceKl(graft.Tables(spark, sf001).documents,
+      "source", "text").collect().map(_.getDouble(2))
+    assert(kls.nonEmpty)
+    // Gibbs: KL >= 0 up to the per-term rounding (6 dp, |vocab| terms)
+    assert(kls.forall(_ >= -1e-3))
+  }
+
   test("quality prune keeps a quality-ordered prefix and crosses the budget once") {
     val docs = graft.Tables(spark, sf001).documents
     val budget = 3000L
