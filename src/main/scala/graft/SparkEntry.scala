@@ -26,6 +26,7 @@ object SparkEntry {
       warehouse.StarSchema.entries ++
       functions.TextOps.entries ++
       operators.Dedup.entries ++
+      operators.Curation.entries ++
       operators.Similarity.entries ++
       operators.Multimodal.entries ++
       operators.Skew.entries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       warehouse.StarSchema.oracles ++
       functions.TextOps.oracles ++
       operators.Dedup.oracles ++
+      operators.Curation.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Skew.oracles ++

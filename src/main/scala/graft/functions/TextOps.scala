@@ -421,8 +421,13 @@ object TextOps {
     * persist() would trade the second scan for ~24 bytes/row of cache —
     * worth it only when the value projection is expensive. */
   private def withGlobalStart(t: DataFrame, orderCols: Seq[Column],
-                              valCol: String): DataFrame = {
-    val byRange = t.repartitionByRange(orderCols: _*)
+                              valCol: String,
+                              cacheInput: Boolean = false): DataFrame = {
+    // cacheInput: the local and prefix branches each evaluate `t`; when its
+    // value projection is expensive (qualityPrune's per-token vocab probe),
+    // caching halves the work. Caller releases via clearCache().
+    val in = if (cacheInput) t.persist() else t
+    val byRange = in.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(orderCols: _*)
@@ -453,7 +458,8 @@ object TextOps {
     val t = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
       compositeQuality(col(textCol)).as("quality"))
-    withGlobalStart(t, Seq(col("quality").desc, col("doc_id")), "n_tokens")
+    withGlobalStart(t, Seq(col("quality").desc, col("doc_id")), "n_tokens",
+        cacheInput = true)
       .filter(col("__start") < tokenBudget)
       .select("doc_id", "quality", "n_tokens")
   }
@@ -797,6 +803,17 @@ object TextOps {
     "text_source_kl" -> sourceKlQ,
   )
 
+  /** DuckDB SQL twin of [[compositeQuality]] over a column named `text` —
+    * shared by the quality-prune oracle and the corpus-curation oracle so
+    * the score can never drift between them. */
+  def compositeQualitySql: String =
+    s"""round(least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |            / 100.0, 1.0) * 0.5 +
+       |      least(CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ${vocabSql(langMarkers.toMap.apply("en"))}))
+       |        AS DOUBLE) / len(string_split(text, ' ')) * 5.0,
+       |        0.5), 6)""".stripMargin
+
   private def vocabSql(vocab: Seq[String]): String =
     vocab.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -1078,12 +1095,7 @@ object TextOps {
       s"""WITH q AS (
          |  SELECT doc_id,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE)
-         |                     / 100.0, 1.0) * 0.5 +
-         |               least(CAST(len(list_filter(string_split(text, ' '),
-         |                 t -> t IN ${vocabSql(langMarkers.toMap.apply("en"))}))
-         |                 AS DOUBLE) / len(string_split(text, ' ')) * 5.0,
-         |                 0.5), 6) AS quality
+         |         $compositeQualitySql AS quality
          |  FROM documents),
          |r AS (
          |  SELECT doc_id, quality, n_tokens,

@@ -706,16 +706,37 @@ object Dedup {
   def canonicalKeep(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(keepersPerCluster(labels, docs, idCol, textCol), Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__keeper"), col("doc_id")).as("keeper_id"))
+  }
+
+  /** (label, __keeper) per cluster: longest member, smallest-id tiebreak —
+    * one combinable struct-max aggregate over the (pairs-sized) label
+    * frame. */
+  private def keepersPerCluster(labels: DataFrame, docs: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
     val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("__len"))
-    val keepers = labels.join(lens, "id")
+    labels.join(lens, "id")
       .groupBy("label")
       .agg(max(struct(col("__len"), (-col("id")).as("__nid"))).as("m"))
       .select(col("label"), (-col("m.__nid")).as("__keeper"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .join(keepers, Seq("label"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__keeper"), col("doc_id")).as("keeper_id"))
+  }
+
+  /** The ids a keep-one policy REMOVES: clustered docs that are not their
+    * cluster's keeper. Dual of [[canonicalKeep]] for the common "filter the
+    * corpus" consumer: the drop set is pairs-sized (tiny next to the
+    * corpus), so the survivor filter is a BROADCAST anti join — the corpus
+    * never shuffles, where the full redirect map costs two corpus-wide
+    * left joins. Same keeper policy by construction (shared helper). */
+  def canonicalDropIds(docs: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    labels.join(keepersPerCluster(labels, docs, idCol, textCol), "label")
+      .filter(col("id") =!= col("__keeper"))
+      .select(col("id").as("doc_id"))
   }
 
   /** Cluster-collapse accounting: per duplicate cluster, member count and
@@ -851,9 +872,9 @@ object Dedup {
   /** Transitive closure in SQL (recursive CTE) over the same 0.8-Jaccard
     * pair list — the oracle twin of the iterative label propagation. Shared
     * CTE prefix; two final selects (per-doc labels / per-cluster stats). */
-  private val componentsCte: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  private def componentsCteOver(src: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, greatest(len(ts) - 1, 1)),
@@ -876,6 +897,59 @@ object Dedup {
       |  UNION
       |  SELECT s.id_a, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
       |lab AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private val componentsCte: String =
+    "WITH RECURSIVE " + componentsCteOver("documents")
+
+  /** Oracle for [[graft.operators.Curation.curationFunnel]]: the three
+    * stages composed SEQUENTIALLY in SQL — exact keep-first, then the
+    * closure/keeper pair over the exact-deduped set (the shared
+    * [[componentsCteOver]] fragment pointed at `d1`), then the
+    * quality-ordered running-sum prune — each stage's counts unioned into
+    * the 4-row funnel. */
+  def curationOracle(pruneTokenBudget: Long): String =
+    s"""WITH RECURSIVE d1 AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
+       |        GROUP BY md5(text)) kf USING (doc_id)),
+       |${componentsCteOver("d1")},
+       |k AS (
+       |  SELECT l.component,
+       |         (list(l.id ORDER BY length(d.text) DESC, l.id ASC))[1] AS keeper
+       |  FROM lab l JOIN d1 d ON d.doc_id = l.id
+       |  GROUP BY 1),
+       |d2 AS (
+       |  SELECT d1.doc_id, d1.text FROM d1
+       |  LEFT JOIN lab ON lab.id = d1.doc_id
+       |  LEFT JOIN k ON k.component = lab.component
+       |  WHERE coalesce(k.keeper, d1.doc_id) = d1.doc_id),
+       |q AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         ${graft.functions.TextOps.compositeQualitySql} AS quality
+       |  FROM d2),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (
+       |           ORDER BY quality DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cum_before
+       |  FROM q),
+       |d3 AS (SELECT doc_id, n_tokens FROM r WHERE cum_before < $pruneTokenBudget)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage_id, 'input' AS stage, count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 1, 'exact_dedup', count(*),
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM d1
+       |  UNION ALL
+       |  SELECT 2, 'neardup_collapse', count(*),
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM d2
+       |  UNION ALL
+       |  SELECT 3, 'quality_prune', count(*), CAST(sum(n_tokens) AS BIGINT)
+       |  FROM d3)
+       |ORDER BY stage_id""".stripMargin
 
   private val componentsOracle: String =
     s"""$componentsCte

@@ -281,6 +281,33 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 0.0)))
   }
 
+  test("canonical drop ids are exactly the non-keepers of the redirect map") {
+    val docs = Tables(spark, sf001).documents
+    def pairs = Dedup.jaccardPairs(
+      Dedup.shingleIndex(docs, "doc_id", "text").persist(), 0.8)
+    val dropped = Dedup.canonicalDropIds(docs, "doc_id", "text", pairs)
+      .collect().map(_.getLong(0)).toSet
+    val fromMap = Dedup.canonicalKeep(docs, "doc_id", "text", pairs)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped === fromMap)
+    spark.catalog.clearCache()
+  }
+
+  test("curation funnel: monotone doc/token counts, prune respects the budget") {
+    val out = graft.operators.Curation.curationFunnel(
+      Tables(spark, sf001).documents, "doc_id", "text", 3000L)
+      .orderBy("stage_id").collect()
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("input", "exact_dedup", "neardup_collapse", "quality_prune"))
+    val docsN = out.map(_.getLong(2))
+    val toks = out.map(_.getLong(3))
+    assert(docsN.sliding(2).forall(p => p(0) >= p(1)))
+    assert(toks.sliding(2).forall(p => p(0) >= p(1)))
+    assert(toks.last >= 3000L) // crossing doc included => budget reached
+    spark.catalog.clearCache()
+  }
+
   test("canonical keep: total map, keeper in own cluster, longest-then-min-id") {
     val docs = Tables(spark, sf001).documents
     val pairs = Dedup.jaccardPairs(
