@@ -215,6 +215,37 @@ object Similarity {
       .agg(round(sum(col("v").cast(DecimalType(30, 15))).cast(DoubleType)
         / count(lit(1)), 6).as("m"))
 
+  /** Nearest-centroid assignment — the auto-labeling / cluster-assign step
+    * of an embedding pipeline: score every vector against each label's
+    * [[labelCentroids]] prototype and keep the best by cosine (smallest
+    * label on a tie). Centroid components are rounded to 6 (the
+    * [[labelCentroids]] contract), so the prototype side is bit-identical
+    * across engines; the k-row centroid table broadcasts and only
+    * (vec_id, labels, sim) reaches the per-vector top-1 window, the
+    * [[cosineTopK]] shuffle discipline. Also reports the vector's own
+    * label, so `assigned_label != true_label` rows are the label-noise
+    * audit. */
+  def centroidAssign(corpus: DataFrame, idCol: String, labelCol: String,
+                     vecCol: String): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val cvecs = labelCentroids(corpus, labelCol, vecCol)
+      .groupBy(col("label").as("cand"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cvec"))
+      .withColumn("cn", expr("sqrt(graft_dot(cvec, cvec))"))
+    val v = corpus.select(col(idCol).as("vec_id"),
+        col(labelCol).as("true_label"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("vn", expr("sqrt(graft_dot(__v, __v))"))
+    val scored = v.join(broadcast(cvecs))
+      .select(col("vec_id"), col("true_label"), col("cand"),
+        (expr("graft_dot(__v, cvec)") / (col("vn") * col("cn"))).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cand"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("true_label"),
+        col("cand").as("assigned_label"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Symmetric int8 scalar quantization in long form (vec_id, pos, q,
     * scale): per-vector scale = max|v|/127, q = round(v/scale) ∈ [-127,127]
     * — the storage-compression step of an embedding pipeline (4x smaller
@@ -267,6 +298,10 @@ object Similarity {
     quantizeInt8(Tables(s, dir).embeddings, "vec_id", "embedding")
       .orderBy("vec_id", "pos")
 
+  private val centroidAssignQ: Q = (s, dir) =>
+    centroidAssign(Tables(s, dir).embeddings, "vec_id", "label", "embedding")
+      .orderBy("vec_id")
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
     "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
@@ -274,6 +309,7 @@ object Similarity {
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
     "emb_label_centroids" -> centroidsQ,
     "emb_quantize_int8" -> quantizeQ,
+    "emb_centroid_assign" -> centroidAssignQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +336,32 @@ object Similarity {
         |       round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
         |             / count(*), 6) AS m
         |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // prototype side is the (rounded, engine-exact) centroid table; raw
+    // sims rank, rounding only on output — the ann_cosine_topk discipline
+    "emb_centroid_assign" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cand, pos,
+        |         round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
+        |               / count(*), 6) AS m
+        |  FROM e GROUP BY 1, 2),
+        |cvec AS (SELECT cand, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT emb.vec_id, emb.label AS true_label, cvec.cand,
+        |         list_cosine_similarity(emb.embedding::DOUBLE[], cvec.cv) AS sim
+        |  FROM embeddings emb, cvec),
+        |r AS (
+        |  SELECT vec_id, true_label, cand, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cand) AS rn
+        |  FROM scored)
+        |SELECT vec_id, true_label, cand AS assigned_label,
+        |       round(sim, 4) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "emb_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -147,4 +147,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.05, s"suspiciously low LSH recall $recall")
     assert(got.nonEmpty)
   }
+
+  test("centroid assign: total, deterministic, and beats chance on true labels") {
+    val e = Tables(spark, sf001).embeddings
+    val out = Similarity.centroidAssign(e, "vec_id", "label", "embedding")
+      .collect()
+    assert(out.length === e.count()) // exactly one assignment per vector
+    val agree = out.count(r => r.getInt(1) == r.getInt(2)).toDouble / out.length
+    // 5 labels => 0.2 by chance; the noisy synthetic clusters sit well above
+    assert(agree > 0.3, s"assignment no better than chance: $agree")
+    val again = Similarity.centroidAssign(e, "vec_id", "label", "embedding")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getInt(2))).toSeq)
+  }
 }
