@@ -129,6 +129,30 @@ object Behavior {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Time-weighted average of `valueCol` per user: each reading is held
+    * until the next one, so its weight is the duration it was current —
+    * the sensor/telemetry aggregate a plain mean gets wrong when sampling
+    * is irregular. One lead() window on the user key yields the holding
+    * duration (exact integer microseconds); the weighted sum runs in
+    * DECIMAL so the result is partitioning-independent. The last reading
+    * of each user has no successor and carries no weight. */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(valueCol).as("__v"))
+      .withColumn("__dt",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum((col("__v") * col("__dt"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType)
+          / sum(col("__dt")), 6).as("twa"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -156,10 +180,16 @@ object Behavior {
       "event_id")
       .orderBy("from_type", "to_type")
 
+  private val twaQ: Q = (s, dir) =>
+    timeWeightedAvg(Tables(s, dir).events, "user_id", "ts", "value",
+      "event_id")
+      .orderBy("user_id")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
     "b5_transition_matrix" -> transitionQ,
+    "b6_time_weighted_avg" -> twaQ,
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
   )
@@ -227,6 +257,18 @@ object Behavior {
         |SELECT from_type, to_type, count(*) AS n_transitions
         |FROM t WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "b6_time_weighted_avg" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |         epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id))
+        |           - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       round(CAST(sum(CAST(value * dt AS DECIMAL(30,2))) AS DOUBLE)
+        |             / sum(dt), 6) AS twa
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "b3_cohort_value" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

@@ -65,6 +65,19 @@ object EventStream {
       col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
   }
 
+  /** Stream-static dimension enrichment: every micro-batch of the stream
+    * joins the (small, broadcast) static dimension — the lookup-table
+    * pattern of a streaming ingest (user profile, rate card, geo table).
+    * No watermark or state is needed: the static side is re-resolved per
+    * micro-batch, so an overwritten dim parquet is picked up on the next
+    * batch without restarting the query. Left join keeps un-enrichable
+    * rows (NULL dim columns) instead of silently dropping them. Works
+    * identically on batch frames (StreamingSpec pins stream == batch). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keyCol: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(keyCol), "left")
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark`) — the
     * streaming twin of [[graft.operators.Dedup.exactGroups]]. Unlike plain

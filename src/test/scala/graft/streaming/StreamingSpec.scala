@@ -289,6 +289,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === Seq((1L, 9.0)))
   }
 
+  test("stream-static broadcast enrichment matches batch, keeps unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val events = MemoryStream[(Long, Double)]
+    val q = EventStream.enrichWithDim(
+      events.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    events.addData((1L, 10.0), (3L, 7.0)) // user 3 has no dim row
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    q.stop()
+    assert(out === Set((1L, Some("gold")), (3L, None)))
+    val batch = EventStream.enrichWithDim(
+      Seq((1L, 10.0), (3L, 7.0)).toDF("user_id", "value"), dim, "user_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(batch === out)
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     val srcDir = new java.io.File("target/tmp/avail_now_src")
     org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
