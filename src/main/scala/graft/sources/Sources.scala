@@ -98,6 +98,22 @@ object Sources {
     s.read.schema(schema).json(out).orderBy("s_suppkey")
   }
 
+  /** S13 — XML sink + source roundtrip (native in Spark 4 — the spark-xml
+    * datasource merged upstream): region -> row-tagged XML -> explicit
+    * schema read, oracle vs the original parquet table. The enterprise
+    * interchange format a lakehouse still has to ingest. */
+  private val xmlRoundtripQ: Q = (s, dir) => {
+    val out = tmpDir("xml_region")
+    Tables(s, dir).region.select("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite")
+      .option("rowTag", "region").xml(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", LongType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).option("rowTag", "region").xml(out)
+      .orderBy("r_regionkey")
+  }
+
   /** S12 — ORC sink + source roundtrip (the second columnar format Spark
     * ships natively; a lakehouse ingests both). Oracle compares the
     * read-back against the original parquet table, so the roundtrip is
@@ -167,6 +183,7 @@ object Sources {
     "s8_csv_roundtrip" -> csvRoundtripQ,
     "s11_json_roundtrip" -> jsonRoundtripQ,
     "s12_orc_roundtrip" -> orcRoundtripQ,
+    "s13_xml_roundtrip" -> xmlRoundtripQ,
     "s5_partitioned_sink" -> partitionedSinkQ,
     "s6_jdbc_roundtrip" -> jdbcRoundtripQ,
     "s4_path_probe" -> pathProbeQ, // environment probe => rows-only
@@ -185,6 +202,8 @@ object Sources {
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
     "s12_orc_roundtrip" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "s13_xml_roundtrip" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s5_partitioned_sink" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
