@@ -97,6 +97,61 @@ class PlanSpec extends SparkSpec {
       s"expected partition pruning on o_year=1995, got: $pf")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    import org.apache.spark.sql.functions._
+    // fact = the year-partitioned sink layout; dim = a tiny (o_year, tag)
+    // table filtered AT RUNTIME — DPP should inject a subquery filter so
+    // only the matching fact partitions are scanned (the 100-TB win: the
+    // fact side's partition list shrinks before the scan, not after)
+    SparkEntry.queries("s5_partitioned_sink")(spark, sf001).collect()
+    val fact = spark.read
+      .parquet(new java.io.File("target/tmp/pq_orders_by_year").getAbsolutePath)
+    val dim = spark.range(1992, 1999).select(col("id").cast("int").as("o_year"),
+      (col("id") % 7).as("tag"))
+    val joined = fact.join(dim.filter(col("tag") === 3), "o_year")
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n${p.take(1200)}")
+  }
+
+  test("runtime bloom filter is injected on a selective fact ⋈ fact join") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // production default is 10GB — the sf0.001 fact scan is far smaller,
+      // so drop the application-side floor to let the rule fire in-test
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the rule targets SHUFFLE joins (broadcast joins don't need it) —
+      // at test scale everything would broadcast, so force the shuffle path
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Tables(s, sf001)
+      // selective filter on the orders side => a bloom of surviving keys is
+      // built and pushed into the lineitem scan, discarding non-matching
+      // rows BEFORE the shuffle — at 100 TB that is most of the fact table
+      val sel = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucketed co-located join has no Exchange on the join key") {
     val p = plan("j9_bucketed_join")
     assert(p.contains("SortMergeJoin"))
