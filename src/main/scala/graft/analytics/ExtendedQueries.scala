@@ -157,6 +157,49 @@ object ExtendedQueries {
       .orderBy("d")
   }
 
+  /** Q — recursive CTE through the SQL surface (new in Spark 4): a month
+    * spine generated by RECURSION from the data's own bounds, left-joined
+    * to monthly order counts — the recursive twin of
+    * [[dateSpineFillQ]]'s sequence-explode form. Shows the iterative SQL
+    * construct itself; for dense spines the explode form plans better (no
+    * per-step union), which is why both exist. */
+  private val recursiveCteQ: Q = (s, dir) => {
+    Tables(s, dir).orders.createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS mn,
+        |         date_trunc('month', max(o_orderdate)) AS mx
+        |  FROM orders),
+        |months(m, mx) AS (
+        |  SELECT mn, mx FROM b
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx)
+        |SELECT months.m AS month, count(o.o_orderkey) AS n
+        |FROM months LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = months.m
+        |GROUP BY 1 ORDER BY month""".stripMargin)
+  }
+
+  /** Q — LATERAL correlated subquery (top-2 orders per market segment):
+    * the SQL spelling of per-group top-k. Catalyst plans the correlated
+    * limit as a LateralJoin; the window/`WindowGroupLimit` form
+    * (`t3_topk_rank`) stays the scale path — this entry pins that the
+    * declarative SQL surface accepts the construct at all. */
+  private val lateralJoinQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT seg.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer cc ON o.o_custkey = cc.c_custkey
+        |  WHERE cc.c_mktsegment = seg.c_mktsegment
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** A17 — pivot (wide conditional aggregate) on order status. */
   private val pivotQ: Q = (s, dir) =>
     Tables(s, dir).orders
@@ -390,6 +433,8 @@ object ExtendedQueries {
     "a30_date_spine_fill" -> dateSpineFillQ,
     "j11_full_outer" -> fullOuterQ,
     "q_exists_subquery" -> existsSubqueryQ,
+    "q_recursive_cte" -> recursiveCteQ,
+    "q_lateral_join" -> lateralJoinQ,
     "t4_top_errors_labeled" -> topErrorsQ,
     "ml_sliding_window" -> slidingWindowQ,
     "a13_summary_builtin" -> summaryQ,
@@ -519,6 +564,28 @@ object ExtendedQueries {
         |  FROM orders GROUP BY 1)
         |SELECT spine.d, coalesce(daily.revenue, 0.0) AS revenue
         |FROM spine LEFT JOIN daily USING (d) ORDER BY d""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS mn,
+        |         date_trunc('month', max(o_orderdate)) AS mx
+        |  FROM orders),
+        |months(m, mx) AS (
+        |  SELECT mn, mx FROM b
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx)
+        |SELECT months.m AS month, count(o.o_orderkey) AS n
+        |FROM months LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = months.m
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT seg.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer cc ON o.o_custkey = cc.c_custkey
+        |  WHERE cc.c_mktsegment = seg.c_mktsegment
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin,
     "j11_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
