@@ -90,6 +90,38 @@ object FarePipeline {
     } finally { train.unpersist(); test.unpersist() }
   }
 
+  /** Hyperparameter search via k-fold cross validation — the model
+    * selection step the reference tunes by hand (trainer.py fixes
+    * maxDepth/maxIter): a small maxDepth grid scored by CV rmse, the
+    * winner refit on the full training set. Parallelism 2 evaluates grid
+    * points concurrently (each point is itself a distributed fit — at
+    * scale the grid parallelism multiplies cluster utilization, not
+    * driver work). Seeded end-to-end; the chosen params are exposed for
+    * the suite to pin. */
+  def crossValidate(data: DataFrame, labelCol: String,
+                    depthGrid: Seq[Int], maxIter: Int, folds: Int = 2)
+      : (org.apache.spark.ml.tuning.CrossValidatorModel, Int) = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val categorical = Seq("l_returnflag", "l_linestatus")
+    val numeric = Seq("l_quantity", "l_discount", "ship_month", "ship_dow")
+    val pipeline = buildPipeline(categorical, numeric, labelCol, maxIter = maxIter)
+    val gbt = pipeline.getStages.last.asInstanceOf[GBTRegressor]
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, depthGrid).build()
+    val cv = new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol(labelCol).setPredictionCol("prediction")
+        .setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds).setParallelism(2).setSeed(42L)
+    val model = cv.fit(data)
+    val bestDepth = model.bestModel.asInstanceOf[PipelineModel]
+      .stages.last.asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+      .getMaxDepth
+    (model, bestDepth)
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** Feature stage output — deterministic, oracle-checked. */

@@ -69,4 +69,22 @@ class MlSpec extends SparkSpec {
     }
     assert(reg.history.length === 3)
   }
+
+  test("cross validation picks a depth from the grid and beats the worst point") {
+    val data = FarePipeline.features(graft.Tables(spark, sf001).lineitem)
+      .limit(2000).cache()
+    try {
+      val (model, bestDepth) = FarePipeline.crossValidate(
+        data, "label", depthGrid = Seq(2, 4), maxIter = 3)
+      assert(Seq(2, 4).contains(bestDepth))
+      // avg CV metrics exist per grid point; the winner's rmse is the min
+      val avg = model.avgMetrics
+      assert(avg.length === 2)
+      assert(math.abs(avg.min - avg(if (bestDepth == 2) 0 else 1)) < 1e-9)
+      // deterministic under the fixed seed
+      val (_, again) = FarePipeline.crossValidate(
+        data, "label", depthGrid = Seq(2, 4), maxIter = 3)
+      assert(again === bestDepth)
+    } finally data.unpersist()
+  }
 }
