@@ -383,6 +383,31 @@ object ExtendedQueries {
       .orderBy("pair")
   }
 
+  /** A31 — OLS regression aggregates (slope / intercept / r²) of
+    * extendedprice on quantity, from the SAME exact decimal moments as
+    * [[correlationQ]] — the closed-form twin of `regr_slope`/`regr_r2`,
+    * whose built-in streaming implementations carry merge-order low-bit
+    * noise. One scan, one partial-agg reduce. */
+  private val regressionAggQ: Q = (s, dir) => {
+    val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+    val m = Tables(s, dir).lineitem.agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsumWide(x * x).as("sxx"), dsumWide(y * y).as("syy"),
+      dsumWide(x * y).as("sxy"))
+    val n = col("n").cast(DoubleType)
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val slope = num / (n * col("sxx") - col("sx") * col("sx"))
+    // r² as the direct ratio (no sqrt-then-square): bit-identical to the
+    // oracle's formulation, not just equal-after-rounding
+    val r2 = (num * num) /
+      ((n * col("sxx") - col("sx") * col("sx")) *
+        (n * col("syy") - col("sy") * col("sy")))
+    m.select(col("n"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+      round(r2, 6).as("r2"))
+  }
+
   /** A25 — deterministic grouped mode: most frequent status per priority,
     * ties broken toward the smallest value (engine built-in `mode()`s
     * break ties arbitrarily, so the rank formulation IS the operator).
@@ -415,6 +440,7 @@ object ExtendedQueries {
 
   val entries: Map[String, Q] = Map(
     "a24_correlation" -> correlationQ,
+    "a31_regression_agg" -> regressionAggQ,
     "a25_mode" -> modeQ,
     "a26_histogram" -> histogramQ,
     "a21_weighted_mean" -> weightedMeanQ,
@@ -441,6 +467,22 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a31_regression_agg" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
     "a24_correlation" ->
       """WITH m AS (
         |  SELECT count(*) AS n,
