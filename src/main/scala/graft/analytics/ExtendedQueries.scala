@@ -408,6 +408,66 @@ object ExtendedQueries {
       round(r2, 6).as("r2"))
   }
 
+  /** A32 — population skewness and excess kurtosis from the same exact
+    * DECIMAL raw-moment sums ([[correlationQ]] discipline): the shape
+    * profile of a numeric column, engine-deterministic where the built-in
+    * `skewness`/`kurtosis` streaming aggregates carry merge-order noise. */
+  private val skewKurtosisQ: Q = (s, dir) => {
+    val x = col("l_quantity")
+    val m = Tables(s, dir).lineitem.agg(
+      count(lit(1)).as("n"), dsum(x).as("s1"),
+      dsumWide(x * x).as("s2"), dsumWide(x * x * x).as("s3"),
+      dsumWide(x * x * x * x).as("s4"))
+    val n = col("n").cast(DoubleType)
+    val m1 = col("s1") / n
+    val v = col("s2") / n - m1 * m1
+    val skew = (col("s3") / n - lit(3.0) * m1 * (col("s2") / n) +
+      lit(2.0) * m1 * m1 * m1) / pow(v, 1.5)
+    val kurt = (col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
+      lit(6.0) * m1 * m1 * (col("s2") / n) -
+      lit(3.0) * m1 * m1 * m1 * m1) / (v * v) - lit(3.0)
+    m.select(col("n"), round(m1, 6).as("mean_v"), round(v, 6).as("variance"),
+      round(skew, 6).as("skewness"), round(kurt, 6).as("excess_kurtosis"))
+  }
+
+  /** F9 — bitwise aggregate family (bit_and / bit_or / bit_xor) over the
+    * line numbers per return flag: the flag-mask folding pattern of a
+    * permissions/feature-bits table. */
+  private val bitAggsQ: Q = (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(bit_and(col("l_linenumber")).as("b_and"),
+        bit_or(col("l_linenumber")).as("b_or"),
+        bit_xor(col("l_linenumber")).as("b_xor"))
+      .orderBy("l_returnflag")
+
+  /** A33 — boolean aggregate family (bool_and / bool_or + conditional
+    * count) per order priority: the invariants-hold/any-violation audit
+    * shape. */
+  private val boolAggsQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_over_200k"))
+      .orderBy("o_orderpriority")
+
+  /** U5 — union by NAME with missing-column fill (`unionByName(...,
+    * allowMissingColumns = true)`): the schema-evolution union — two feeds
+    * with different column orders and one feed missing a column align by
+    * name, absent fields NULL-filled, where positional UNION would
+    * silently mis-zip. */
+  private val unionByNameQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val a = t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val b = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_name"), col("c_custkey")) // reordered, no acctbal
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(col("c_acctbal").isNull.as("from_short_feed"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("c_custkey")).as("n_keys"))
+      .orderBy("from_short_feed")
+  }
+
   /** A25 — deterministic grouped mode: most frequent status per priority,
     * ties broken toward the smallest value (engine built-in `mode()`s
     * break ties arbitrarily, so the rank formulation IS the operator).
@@ -441,6 +501,10 @@ object ExtendedQueries {
   val entries: Map[String, Q] = Map(
     "a24_correlation" -> correlationQ,
     "a31_regression_agg" -> regressionAggQ,
+    "a32_skew_kurtosis" -> skewKurtosisQ,
+    "a33_bool_aggs" -> boolAggsQ,
+    "f9_bit_aggs" -> bitAggsQ,
+    "u5_union_by_name" -> unionByNameQ,
     "a25_mode" -> modeQ,
     "a26_histogram" -> histogramQ,
     "a21_weighted_mean" -> weightedMeanQ,
@@ -467,6 +531,44 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a32_skew_kurtosis" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s4
+        |  FROM lineitem),
+        |d AS (SELECT n, s1 / n AS m1, s2 / n - (s1 / n) * (s1 / n) AS v,
+        |             s2, s3, s4 FROM m)
+        |SELECT n, round(m1, 6) AS mean_v, round(v, 6) AS variance,
+        |  round((s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1)
+        |        / pow(v, 1.5), 6) AS skewness,
+        |  round((s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n)
+        |         - 3.0 * m1 * m1 * m1 * m1) / (v * v) - 3.0, 6)
+        |    AS excess_kurtosis
+        |FROM d""".stripMargin,
+    "a33_bool_aggs" ->
+      """SELECT o_orderpriority,
+        |       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |       bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |       count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS n_over_200k
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "f9_bit_aggs" ->
+      """SELECT l_returnflag,
+        |       CAST(bit_and(l_linenumber) AS INT) AS b_and,
+        |       CAST(bit_or(l_linenumber) AS INT) AS b_or,
+        |       CAST(bit_xor(l_linenumber) AS INT) AS b_xor
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "u5_union_by_name" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, NULL AS c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_acctbal IS NULL AS from_short_feed, count(*) AS n,
+        |       count(DISTINCT c_custkey) AS n_keys
+        |FROM u GROUP BY 1 ORDER BY from_short_feed""".stripMargin,
     "a31_regression_agg" ->
       """WITH m AS (
         |  SELECT count(*) AS n,
