@@ -468,6 +468,55 @@ object ExtendedQueries {
       .orderBy("from_short_feed")
   }
 
+  /** F10 — map function family: per priority build a status→count map
+    * (`map_from_entries` over a collected struct list), look keys up with
+    * `element_at`, and profile it (`map_keys` cardinality) — the
+    * dictionary-shaped aggregate a JSON-ish report layer emits. The final
+    * map never leaves the engine as an opaque blob: all outputs are plain
+    * columns, so the oracle is the flat conditional-count twin. */
+  private val mapFuncsQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("o_orderpriority")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(col("o_orderpriority"),
+        size(map_keys(col("m"))).as("n_statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"))
+      .orderBy("o_orderpriority")
+
+  /** F11 — higher-order-function family (filter / exists / forall /
+    * aggregate) over each doc's token array: the lambda surface
+    * [[graft.functions.GraftVocabHits]] accelerates, exercised directly. */
+  private val hofFuncsQ: Q = (s, dir) => {
+    val ts = col("__ts")
+    Tables(s, dir).documents
+      .withColumn("__ts", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(filter(ts, t => length(t) > 4)).as("n_long"),
+        exists(ts, t => t === "the").as("has_the"),
+        forall(ts, t => length(t) > 1).as("all_multichar"),
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("char_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** P12 — regexp_extract_all: every digit run and every word out of the
+    * priority code — the multi-match extraction primitive of a
+    * log-scrubbing pass (the single-match and replace forms are covered by
+    * `text_pii_scrub`/`f5`). */
+  private val regexExtractAllQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        regexp_extract_all(col("o_orderpriority"), lit("[0-9]+"), lit(0)).as("runs"),
+        regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0)).as("words"))
+      .select(col("o_orderkey"), size(col("runs")).as("n_runs"),
+        array_join(col("runs"), ",").as("digit_runs"),
+        array_join(col("words"), ",").as("word_runs"))
+      .orderBy("o_orderkey")
+
   /** A25 — deterministic grouped mode: most frequent status per priority,
     * ties broken toward the smallest value (engine built-in `mode()`s
     * break ties arbitrarily, so the rank formulation IS the operator).
@@ -504,6 +553,9 @@ object ExtendedQueries {
     "a32_skew_kurtosis" -> skewKurtosisQ,
     "a33_bool_aggs" -> boolAggsQ,
     "f9_bit_aggs" -> bitAggsQ,
+    "f10_map_funcs" -> mapFuncsQ,
+    "f11_hof_funcs" -> hofFuncsQ,
+    "p12_regex_extract_all" -> regexExtractAllQ,
     "u5_union_by_name" -> unionByNameQ,
     "a25_mode" -> modeQ,
     "a26_histogram" -> histogramQ,
@@ -560,6 +612,29 @@ object ExtendedQueries {
         |       CAST(bit_or(l_linenumber) AS INT) AS b_or,
         |       CAST(bit_xor(l_linenumber) AS INT) AS b_xor
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "f10_map_funcs" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "f11_hof_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(ts, t -> length(t) > 4)) AS INT) AS n_long,
+        |       len(list_filter(ts, t -> t = 'the')) > 0 AS has_the,
+        |       len(list_filter(ts, t -> NOT length(t) > 1)) = 0 AS all_multichar,
+        |       CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS char_sum
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "p12_regex_extract_all" ->
+      """SELECT o_orderkey,
+        |       CAST(len(regexp_extract_all(o_orderpriority, '[0-9]+')) AS INT)
+        |         AS n_runs,
+        |       array_to_string(regexp_extract_all(o_orderpriority, '[0-9]+'), ',')
+        |         AS digit_runs,
+        |       array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), ',')
+        |         AS word_runs
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "u5_union_by_name" ->
       """WITH u AS (
         |  SELECT c_custkey, c_name, c_acctbal FROM customer
