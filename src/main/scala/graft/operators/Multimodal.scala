@@ -83,6 +83,17 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Binary-column statistics in pure engine-expressible ops — the part of
+    * the media path that needs NO codec and therefore CAN be oracle-green:
+    * payload byte length and content digest straight off the `binary`
+    * column. Proves the opaque-binary plumbing (encode → BinaryType →
+    * parquet) is value-faithful end-to-end, complementing the rows-only
+    * decode entry whose kernel is engine-local by design. */
+  def binaryStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("media_type"),
+      octet_length(col("content")).as("n_bytes"),
+      md5(col("content")).as("content_md5"))
+
   // ---------------------------------------------------------------- entries
 
   /** Binary decode plumbing: stable ids/sizes/checksums + fake features.
@@ -94,13 +105,25 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  private val binaryStatsQ: Q = (s, dir) =>
+    binaryStats(syntheticMedia(s, dir).toDF()).orderBy("media_id")
+
   val entries: Map[String, Q] = Map(
     "mm_decode_features" -> decodeQ,
+    "mm_binary_stats" -> binaryStatsQ,
   )
 
   /** CRC32 exists in DuckDB? No — keep n_bytes oracle-checkable instead:
     * byte length of UTF-8 payload must equal the text length (ASCII corpus).
     * The checksum column stays engine-local, so this entry is rows-only; the
     * kernel determinism is asserted in the test suite. */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // the synthetic payload is the UTF-8 bytes of the doc text, so the
+    // binary-side digest/length must equal the text-side ones
+    "mm_binary_stats" ->
+      """SELECT doc_id AS media_id, 'image/fake' AS media_type,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
 }
