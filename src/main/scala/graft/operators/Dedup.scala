@@ -324,6 +324,22 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Sub-document (chunk-level) exact dedup — production LLM pipelines
+    * dedup below document granularity: a boilerplate header shared by
+    * thousands of otherwise-distinct pages never surfaces as a DOC-level
+    * duplicate. Compose the [[graft.functions.TextOps.chunk]] sliding
+    * window with the md5 group, keep groups spanning more than one doc.
+    * Same scale shape as [[exactGroups]]: chunking is a scan-side map,
+    * the only shuffle is the hash groupBy. */
+  def chunkExactGroups(docs: DataFrame, idCol: String, textCol: String,
+                       size: Int = 120, overlap: Int = 30): DataFrame =
+    graft.functions.TextOps.chunk(docs, idCol, textCol, size, overlap)
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") > 1)
+
   /** Per-doc shingle novelty — the memorization/boilerplate signal of a
     * corpus audit: the fraction of a doc's distinct word n-gram shingles
     * that occur in NO other doc (document frequency 1). Low novelty =
@@ -759,6 +775,10 @@ object Dedup {
     levenshteinPairsLsh(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
       .orderBy("id_a", "id_b")
 
+  private val chunkExactQ: Q = (s, dir) =>
+    chunkExactGroups(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy("chunk_hash")
+
   private val noveltyQ: Q = (s, dir) =>
     noveltyScore(Tables(s, dir).documents, "doc_id", "text")
       .orderBy("doc_id")
@@ -827,6 +847,7 @@ object Dedup {
     "dedup_canonical_keep" -> canonicalKeepQ,
     "dedup_levenshtein" -> levenshteinQ,
     "dedup_containment" -> containmentQ,
+    "dedup_chunk_exact" -> chunkExactQ,
     "text_novelty" -> noveltyQ,
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
@@ -1053,6 +1074,18 @@ object Dedup {
         | AND abs(a.len - b.len) <= 30
         |WHERE levenshtein(a.text, b.text) <= 30
         |ORDER BY id_a, id_b""".stripMargin,
+    // chunk formula shared with the text_chunking oracle (size 120 / step 90)
+    "dedup_chunk_exact" ->
+      """WITH ch AS (
+        |  SELECT d.doc_id,
+        |         substring(d.text, CAST(off + 1 AS INT), 120) AS chunk
+        |  FROM documents d,
+        |       unnest(generate_series(0, d.n_chars - 1, 90)) AS t(off)
+        |  WHERE off = 0 OR d.n_chars - off > 30)
+        |SELECT md5(chunk) AS chunk_hash, count(*) AS n_chunks,
+        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc_id
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk_hash""".stripMargin,
     "text_novelty" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
