@@ -517,6 +517,55 @@ object ExtendedQueries {
         array_join(col("words"), ",").as("word_runs"))
       .orderBy("o_orderkey")
 
+  /** Q — right-to-be-forgotten erasure audit: given a deletion-request
+    * list (every 100th customer here), report the order rows removed and
+    * kept — the compliance accounting a GDPR/CCPA pass must emit. The
+    * request list is dim-sized and broadcasts; the fact table anti-joins
+    * it in one pass (the erased write itself is the same anti-join with a
+    * partitioned-overwrite sink — `s5`'s mechanics). */
+  private val gdprErasureQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val requests = t.customer.filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey"))
+    val flagged = t.orders.join(broadcast(requests),
+      t.orders("o_custkey") === requests("c_custkey"), "left")
+    flagged.agg(
+      count(lit(1)).as("n_before"),
+      count(when(col("c_custkey").isNotNull, 1)).as("n_removed"),
+      count(when(col("c_custkey").isNull, 1)).as("n_after"))
+  }
+
+  /** A34 — percent-of-total: each priority's revenue share, the ratio of a
+    * keyed aggregate to the global one. The share divides the (5-row)
+    * aggregate by an unpartitioned window sum OVER THAT AGGREGATE — the
+    * single-partition window runs over group-count rows, never the fact
+    * table ([[graft.functions.TextOps]] prefix-sum rule). */
+  private val percentOfTotalQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("share",
+        round(col("revenue") / sum("revenue").over(Window.partitionBy()), 6))
+      .orderBy("o_orderpriority")
+  }
+
+  /** P13 — error-safe (`try_`) function family: try_divide by a nullable
+    * derived zero, try_to_number on the priority's digit prefix, try_cast
+    * of a sometimes-nonnumeric string — NULL on failure instead of a
+    * runtime error, the ingest-hardening mode for dirty feeds. */
+  private val tryFuncsQ: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        try_divide(col("o_totalprice"), (col("o_orderkey") % 3).cast(DoubleType))
+          .as("div3"),
+        try_to_number(substring(col("o_orderpriority"), 1, 1), lit("9"))
+          .cast(LongType).as("prio_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_num"))
+      .select(col("o_orderkey"), round(col("div3"), 4).as("div3"),
+        col("prio_num"), col("status_num"))
+      .orderBy("o_orderkey")
+
   /** A25 — deterministic grouped mode: most frequent status per priority,
     * ties broken toward the smallest value (engine built-in `mode()`s
     * break ties arbitrarily, so the rank formulation IS the operator).
@@ -557,6 +606,9 @@ object ExtendedQueries {
     "f11_hof_funcs" -> hofFuncsQ,
     "p12_regex_extract_all" -> regexExtractAllQ,
     "u5_union_by_name" -> unionByNameQ,
+    "q_gdpr_erasure" -> gdprErasureQ,
+    "a34_percent_of_total" -> percentOfTotalQ,
+    "p13_try_funcs" -> tryFuncsQ,
     "a25_mode" -> modeQ,
     "a26_histogram" -> histogramQ,
     "a21_weighted_mean" -> weightedMeanQ,
@@ -634,6 +686,30 @@ object ExtendedQueries {
         |         AS digit_runs,
         |       array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), ',')
         |         AS word_runs
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_gdpr_erasure" ->
+      """WITH req AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT count(*) AS n_before,
+        |       count(CASE WHEN req.c_custkey IS NOT NULL THEN 1 END)
+        |         AS n_removed,
+        |       count(CASE WHEN req.c_custkey IS NULL THEN 1 END) AS n_after
+        |FROM orders LEFT JOIN req ON o_custkey = req.c_custkey""".stripMargin,
+    "a34_percent_of_total" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, revenue,
+        |       round(revenue / sum(revenue) OVER (), 6) AS share
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
+    "p13_try_funcs" ->
+      """SELECT o_orderkey,
+        |       round(o_totalprice / nullif(o_orderkey % 3, 0), 4) AS div3,
+        |       CAST(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS BIGINT)
+        |         AS prio_num,
+        |       TRY_CAST(o_orderstatus AS INT) AS status_num
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "u5_union_by_name" ->
       """WITH u AS (
