@@ -153,6 +153,31 @@ object Behavior {
           / sum(col("__dt")), 6).as("twa"))
   }
 
+  /** DAU/MAU stickiness: per day, the distinct users active that day over
+    * the distinct users active in the trailing 30 days — the engagement
+    * ratio of a product dashboard. Everything runs on the DISTINCT
+    * (day, user) frame, which is orders of magnitude smaller than the
+    * event table (≤ days × users rows); the trailing-window pairing is a
+    * bounded non-equi join against the tiny day list (broadcast nested
+    * loop over ~hundreds of rows — at billions of day-user pairs the
+    * upgrade is [[graft.operators.RangeJoin]]'s binned form on the day
+    * key). */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 30): DataFrame = {
+    val du = events.select(to_date(col(tsCol)).as("d"),
+      col(userCol).as("uid")).distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    val mau = days.join(du,
+        col("d") <= col("day") && col("d") >= date_sub(col("day"), windowDays - 1))
+      .groupBy("day").agg(count_distinct(col("uid")).as("mau"))
+    val dau = du.groupBy(col("d").as("day"))
+      .agg(count_distinct(col("uid")).as("dau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast(org.apache.spark.sql.types.DoubleType)
+          / col("mau"), 6).as("stickiness"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -185,11 +210,15 @@ object Behavior {
       "event_id")
       .orderBy("user_id")
 
+  private val stickinessQ: Q = (s, dir) =>
+    stickiness(Tables(s, dir).events, "user_id", "ts").orderBy("day")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
     "b5_transition_matrix" -> transitionQ,
     "b6_time_weighted_avg" -> twaQ,
+    "b7_stickiness" -> stickinessQ,
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
   )
@@ -257,6 +286,20 @@ object Behavior {
         |SELECT from_type, to_type, count(*) AS n_transitions
         |FROM t WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "b7_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM du),
+        |mau AS (
+        |  SELECT days.day, count(DISTINCT du.user_id) AS mau
+        |  FROM days JOIN du
+        |    ON du.d <= days.day AND du.d >= days.day - 29
+        |  GROUP BY 1),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+        |        FROM du GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |       round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day ORDER BY dau.day""".stripMargin,
     "b6_time_weighted_avg" ->
       """WITH d AS (
         |  SELECT user_id, value,
