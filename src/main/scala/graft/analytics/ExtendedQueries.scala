@@ -566,6 +566,29 @@ object ExtendedQueries {
         col("prio_num"), col("status_num"))
       .orderBy("o_orderkey")
 
+  /** A35 — revenue concentration: the share of total revenue held by the
+    * top-10 customers — the whale-dependence KPI. One keyed aggregate to
+    * per-customer revenue, one rank window OVER THAT AGGREGATE (customer
+    * count ≪ fact count; single-partition is fine at any corpus scale
+    * because the windowed frame is the group list, and even that can fall
+    * back to TakeOrderedAndProject for the top slice), then one
+    * conditional re-aggregate — no second scan of the fact table. */
+  private val topShareQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    perCust
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(desc("revenue"), asc("o_custkey"))))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(when(col("__rk") <= 10, col("revenue")).otherwise(0.0)), 2)
+          .as("top10_revenue"),
+        round(sum(col("revenue")), 2).as("total_revenue"),
+        round(sum(when(col("__rk") <= 10, col("revenue")).otherwise(0.0))
+          / sum(col("revenue")), 6).as("top10_share"))
+  }
+
   /** A25 — deterministic grouped mode: most frequent status per priority,
     * ties broken toward the smallest value (engine built-in `mode()`s
     * break ties arbitrarily, so the rank formulation IS the operator).
@@ -608,6 +631,7 @@ object ExtendedQueries {
     "u5_union_by_name" -> unionByNameQ,
     "q_gdpr_erasure" -> gdprErasureQ,
     "a34_percent_of_total" -> percentOfTotalQ,
+    "a35_top_share" -> topShareQ,
     "p13_try_funcs" -> tryFuncsQ,
     "a25_mode" -> modeQ,
     "a26_histogram" -> histogramQ,
@@ -695,6 +719,23 @@ object ExtendedQueries {
         |         AS n_removed,
         |       count(CASE WHEN req.c_custkey IS NULL THEN 1 END) AS n_after
         |FROM orders LEFT JOIN req ON o_custkey = req.c_custkey""".stripMargin,
+    "a35_top_share" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT revenue,
+        |         row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rk
+        |  FROM pc)
+        |SELECT count(*) AS n_customers,
+        |       round(sum(CASE WHEN rk <= 10 THEN revenue ELSE 0.0 END), 2)
+        |         AS top10_revenue,
+        |       round(sum(revenue), 2) AS total_revenue,
+        |       round(sum(CASE WHEN rk <= 10 THEN revenue ELSE 0.0 END)
+        |             / sum(revenue), 6) AS top10_share
+        |FROM r""".stripMargin,
     "a34_percent_of_total" ->
       """WITH g AS (
         |  SELECT o_orderpriority,
