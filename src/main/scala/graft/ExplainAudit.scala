@@ -21,7 +21,9 @@ object ExplainAudit {
       "dedup_jaccard_pairs", "w2_running_sum",
       "asof_join_native", "j9_bucketed_join", "range_join_binned",
       "text_tfidf_topk", "dedup_jaccard_incremental", "emb_label_centroids",
-      "f6_variant_agg")
+      "f6_variant_agg",
+      "dedup_levenshtein", "dedup_canonical_keep", "b1_funnel_steps",
+      "text_quality_prune", "emb_centroid_assign", "b7_stickiness")
     val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n########## $n ##########")
