@@ -324,6 +324,32 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Threshold-sweep Jaccard: the same inverted-index candidate pass
+    * scored once, emitted at SEVERAL thresholds — the tuning workflow
+    * ("how many pairs does 0.7 vs 0.9 catch?") without re-running the
+    * expensive self-join per setting. The sweep is a per-row literal
+    * explode over the scored pairs; candidate generation and scoring run
+    * exactly once. */
+  def jaccardThresholdSweep(index: DataFrame,
+                            thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val a = index.select(col("id").as("id_a"), col("shingle"))
+    val b = index.select(col("id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val sz = sizes(index)
+    common
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("__j",
+        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("__j"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("__j") >= col("threshold"))
+      .select(col("threshold"), col("id_a"), col("id_b"),
+        round(col("__j"), 4).as("jaccard"))
+  }
+
   /** Sub-document (chunk-level) exact dedup — production LLM pipelines
     * dedup below document granularity: a boilerplate header shared by
     * thousands of otherwise-distinct pages never surfaces as a DOC-level
@@ -775,6 +801,12 @@ object Dedup {
     levenshteinPairsLsh(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
       .orderBy("id_a", "id_b")
 
+  private val thresholdSweepQ: Q = (s, dir) =>
+    jaccardThresholdSweep(
+      shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(),
+      Seq(0.7, 0.8, 0.9))
+      .orderBy("threshold", "id_a", "id_b")
+
   private val chunkExactQ: Q = (s, dir) =>
     chunkExactGroups(Tables(s, dir).documents, "doc_id", "text")
       .orderBy("chunk_hash")
@@ -848,6 +880,7 @@ object Dedup {
     "dedup_levenshtein" -> levenshteinQ,
     "dedup_containment" -> containmentQ,
     "dedup_chunk_exact" -> chunkExactQ,
+    "dedup_threshold_sweep" -> thresholdSweepQ,
     "text_novelty" -> noveltyQ,
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
@@ -1074,6 +1107,28 @@ object Dedup {
         | AND abs(a.len - b.len) <= 30
         |WHERE levenshtein(a.text, b.text) <= 30
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_threshold_sweep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        |  FROM tok WHERE len(ts) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cnt AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT id_a, id_b,
+        |         common * 1.0 / (sa.sz + sb.sz - common) AS j
+        |  FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT t.t AS threshold, id_a, id_b, round(j, 4) AS jaccard
+        |FROM sc, unnest([0.7, 0.8, 0.9]) AS t(t)
+        |WHERE j >= t.t ORDER BY threshold, id_a, id_b""".stripMargin,
     // chunk formula shared with the text_chunking oracle (size 120 / step 90)
     "dedup_chunk_exact" ->
       """WITH ch AS (
