@@ -153,6 +153,21 @@ object Behavior {
           / sum(col("__dt")), 6).as("twa"))
   }
 
+  /** Week-over-week retention RATE per cohort: the [[cohortRetention]]
+    * matrix normalized by each cohort's size (offset-0 row) — the
+    * percentage triangle a growth dashboard actually displays. The cohort
+    * sizes are a per-cohort aggregate of the matrix itself (cohort-count
+    * rows), broadcast back onto it. */
+  def retentionRate(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val matrix = cohortRetention(events, userCol, tsCol)
+    val sizes = matrix.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    matrix.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast(org.apache.spark.sql.types.DoubleType)
+          / col("cohort_size"), 6).as("retention"))
+  }
+
   /** DAU/MAU stickiness: per day, the distinct users active that day over
     * the distinct users active in the trailing 30 days — the engagement
     * ratio of a product dashboard. Everything runs on the DISTINCT
@@ -213,12 +228,17 @@ object Behavior {
   private val stickinessQ: Q = (s, dir) =>
     stickiness(Tables(s, dir).events, "user_id", "ts").orderBy("day")
 
+  private val retentionRateQ: Q = (s, dir) =>
+    retentionRate(Tables(s, dir).events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
     "b5_transition_matrix" -> transitionQ,
     "b6_time_weighted_avg" -> twaQ,
     "b7_stickiness" -> stickinessQ,
+    "b8_retention_rate" -> retentionRateQ,
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
   )
@@ -286,6 +306,26 @@ object Behavior {
         |SELECT from_type, to_type, count(*) AS n_transitions
         |FROM t WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "b8_retention_rate" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |         date_diff('day', f.cohort_week,
+        |                   date_trunc('week', e.ts)) // 7 AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id),
+        |m AS (
+        |  SELECT cohort_week, week_offset, count(*) AS n_users
+        |  FROM a GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_week AS cw, n_users AS cohort_size FROM m
+        |  WHERE week_offset = 0)
+        |SELECT m.cohort_week, m.week_offset, m.n_users,
+        |       round(CAST(m.n_users AS DOUBLE) / sz.cohort_size, 6)
+        |         AS retention
+        |FROM m JOIN sz ON m.cohort_week = sz.cw
+        |ORDER BY m.cohort_week, week_offset""".stripMargin,
     "b7_stickiness" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

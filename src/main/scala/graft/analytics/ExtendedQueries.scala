@@ -589,6 +589,29 @@ object ExtendedQueries {
           / sum(col("revenue")), 6).as("top10_share"))
   }
 
+  /** A36 — Gini coefficient of customer revenue: the inequality measure of
+    * the [[topShareQ]] concentration story, via the rank formulation
+    * G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n over revenues sorted ascending.
+    * Same altitude as a35: the rank window runs over the per-customer
+    * aggregate, never the fact table; the weighted sum is DECIMAL so the
+    * result is partitioning-independent. */
+  private val giniQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val n = col("n").cast(DoubleType)
+    perCust
+      .withColumn("__i", row_number().over(
+        Window.orderBy(asc("revenue"), asc("o_custkey"))))
+      .agg(count(lit(1)).as("n"),
+        dsumWide(col("__i") * col("revenue")).as("iw"),
+        dsum(col("revenue")).as("tot"))
+      .select(col("n"),
+        round(lit(2.0) * col("iw") / (n * col("tot")) - (n + 1.0) / n, 6)
+          .as("gini"))
+  }
+
   /** A25 — deterministic grouped mode: most frequent status per priority,
     * ties broken toward the smallest value (engine built-in `mode()`s
     * break ties arbitrarily, so the rank formulation IS the operator).
@@ -632,6 +655,7 @@ object ExtendedQueries {
     "q_gdpr_erasure" -> gdprErasureQ,
     "a34_percent_of_total" -> percentOfTotalQ,
     "a35_top_share" -> topShareQ,
+    "a36_gini" -> giniQ,
     "p13_try_funcs" -> tryFuncsQ,
     "a25_mode" -> modeQ,
     "a26_histogram" -> histogramQ,
@@ -719,6 +743,23 @@ object ExtendedQueries {
         |         AS n_removed,
         |       count(CASE WHEN req.c_custkey IS NULL THEN 1 END) AS n_after
         |FROM orders LEFT JOIN req ON o_custkey = req.c_custkey""".stripMargin,
+    "a36_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT revenue,
+        |         row_number() OVER (ORDER BY revenue ASC, o_custkey ASC) AS i
+        |  FROM pc)
+        |SELECT count(*) AS n,
+        |       round(2.0 * CAST(sum(CAST(i * revenue AS DECIMAL(30,6)))
+        |                        AS DOUBLE)
+        |             / (count(*) * CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+        |                                AS DOUBLE))
+        |             - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
     "a35_top_share" ->
       """WITH pc AS (
         |  SELECT o_custkey,

@@ -324,6 +324,29 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Per-benchmark-doc contamination COVERAGE: what fraction of each
+    * bench doc's distinct shingles appear anywhere in the corpus — the
+    * ratio form of [[contaminationPairs]] (which counts shared shingles
+    * per (corpus, bench) pair). A bench doc with coverage ~1.0 is
+    * memorizable from training data even if no single corpus doc matches
+    * it. The corpus shingle set is deduplicated once and the (small)
+    * bench index probes it with a left join keyed by shingle — corpus
+    * rows never pair with each other. */
+  def contaminationCoverage(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3): DataFrame = {
+    val c = shingleIndex(corpus, idCol, textCol, n)
+      .select("shingle").distinct().withColumn("__hit", lit(1))
+    val b = shingleIndex(bench, idCol, textCol, n)
+      .withColumnRenamed("id", "bench_id")
+    b.join(c, Seq("shingle"), "left")
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast(DoubleType) / col("n_shingles"), 6))
+  }
+
   /** Threshold-sweep Jaccard: the same inverted-index candidate pass
     * scored once, emitted at SEVERAL thresholds — the tuning workflow
     * ("how many pairs does 0.7 vs 0.9 catch?") without re-running the
@@ -801,6 +824,15 @@ object Dedup {
     levenshteinPairsLsh(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
       .orderBy("id_a", "id_b")
 
+  /** src0 plays the benchmark against the rest of the corpus (the
+    * [[contaminationQ]] split). */
+  private val coverageQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    contaminationCoverage(d.filter(col("source") =!= "src0"),
+      d.filter(col("source") === "src0"), "doc_id", "text")
+      .orderBy("bench_id")
+  }
+
   private val thresholdSweepQ: Q = (s, dir) =>
     jaccardThresholdSweep(
       shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(),
@@ -881,6 +913,7 @@ object Dedup {
     "dedup_containment" -> containmentQ,
     "dedup_chunk_exact" -> chunkExactQ,
     "dedup_threshold_sweep" -> thresholdSweepQ,
+    "dedup_contamination_coverage" -> coverageQ,
     "text_novelty" -> noveltyQ,
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
@@ -1107,6 +1140,28 @@ object Dedup {
         | AND abs(a.len - b.len) <= 30
         |WHERE levenshtein(a.text, b.text) <= 30
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_contamination_coverage" ->
+      """WITH tokc AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE source != 'src0'),
+        |csh AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        |  FROM tokc WHERE len(ts) >= 3),
+        |tokb AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE source = 'src0'),
+        |bsh AS (
+        |  SELECT doc_id AS bench_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        |  FROM tokb WHERE len(ts) >= 3)
+        |SELECT bsh.bench_id, count(*) AS n_shingles,
+        |       count(csh.shingle) AS n_covered,
+        |       round(count(csh.shingle) * 1.0 / count(*), 6) AS coverage
+        |FROM bsh LEFT JOIN csh ON bsh.shingle = csh.shingle
+        |GROUP BY 1 ORDER BY bench_id""".stripMargin,
     "dedup_threshold_sweep" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

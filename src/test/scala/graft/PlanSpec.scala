@@ -152,6 +152,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join strategy hints override the planner's default choice") {
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables(spark, sf001)
+    val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    // tiny dim would normally broadcast; the merge hint forces sort-merge,
+    // the shuffle_hash hint forces a shuffled hash join — the manual
+    // overrides an operator engineer reaches for when stats mislead AQE
+    val merged = t.orders.join(dim.hint("merge"),
+      t.orders("o_custkey") === dim("c_custkey"))
+    assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val hashed = t.orders.join(dim.hint("shuffle_hash"),
+      t.orders("o_custkey") === dim("c_custkey"))
+    assert(hashed.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+  }
+
   test("bucketed co-located join has no Exchange on the join key") {
     val p = plan("j9_bucketed_join")
     assert(p.contains("SortMergeJoin"))
