@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route forked-run stdout straight through WITHOUT sbt's "[info] " logger
+// prefix: the bench/verify drivers tail-capture our one-line JSON output,
+// and a "[info] {" prefix breaks line-oriented JSON parsing (every
+// BENCH_r*.json so far has parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

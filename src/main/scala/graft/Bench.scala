@@ -33,7 +33,10 @@ object Bench {
     "text_lm_score", "asof_join_multikey", "text_weighted_sample",
     "text_chunking", "asof_join_nearest", "range_join_overlap",
     "b1_funnel_steps", "b2_cohort_retention", "dedup_canonical_keep",
-    "dedup_levenshtein", "text_novelty", "text_mix_budget",
+    // levenshtein: the LSH variant is the benched scale path; the graded
+    // dedup_levenshtein entry is the exact length-band audit form, which
+    // is candidate-quadratic within a block (~21 s at sf0.1) by design
+    "dedup_levenshtein_lsh", "text_novelty", "text_mix_budget",
     "text_quality_prune", "dedup_containment", "b4_funnel_windowed",
     "b5_transition_matrix", "a30_date_spine_fill", "text_source_kl",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:

@@ -172,18 +172,26 @@ object Behavior {
     * the distinct users active in the trailing 30 days — the engagement
     * ratio of a product dashboard. Everything runs on the DISTINCT
     * (day, user) frame, which is orders of magnitude smaller than the
-    * event table (≤ days × users rows); the trailing-window pairing is a
-    * bounded non-equi join against the tiny day list (broadcast nested
-    * loop over ~hundreds of rows — at billions of day-user pairs the
-    * upgrade is [[graft.operators.RangeJoin]]'s binned form on the day
-    * key). */
+    * event table (≤ days × users rows).
+    *
+    * The trailing window is computed by CONTRIBUTION EXPLOSION, not a
+    * non-equi join (ADVICE r6: the previous day-spine range join planned a
+    * BroadcastNestedLoopJoin evaluating |days|×|day-user| predicates —
+    * quadratic at long histories): each (day, user) activity contributes
+    * that user to the MAU of the `windowDays` days it covers, so one
+    * `explode(sequence(...))` expands the distinct frame ×windowDays and a
+    * plain hash aggregate counts distinct users per covered day. Cost is
+    * linear (windowDays × |day-user| rows through ONE key-partitioned
+    * shuffle), the 100-TB shape. The inner join with the DAU frame
+    * restricts the result to observed days, exactly the old day-spine
+    * semantics. */
   def stickiness(events: DataFrame, userCol: String, tsCol: String,
                  windowDays: Int = 30): DataFrame = {
     val du = events.select(to_date(col(tsCol)).as("d"),
       col(userCol).as("uid")).distinct()
-    val days = du.select(col("d").as("day")).distinct()
-    val mau = days.join(du,
-        col("d") <= col("day") && col("d") >= date_sub(col("day"), windowDays - 1))
+    val mau = du.select(
+        explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
+          .as("day"), col("uid"))
       .groupBy("day").agg(count_distinct(col("uid")).as("mau"))
     val dau = du.groupBy(col("d").as("day"))
       .agg(count_distinct(col("uid")).as("dau"))

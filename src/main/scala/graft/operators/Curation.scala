@@ -30,14 +30,24 @@ import graft.functions.TextOps
   */
 object Curation {
 
-  /** Per-stage survivor stats: (stage_id, stage, n_docs, n_tokens). */
+  /** Per-stage survivor stats: (stage_id, stage, n_docs, n_tokens).
+    *
+    * EAGER by design: the result is a 4-row data card, so the funnel
+    * materializes it with one `collect` and releases every frame it
+    * cached before returning (ADVICE r6 — library callers must not leak
+    * cached frames or depend on the harness's suite-wide `clearCache()`).
+    * The one cache this function cannot release is
+    * [[Dedup.connectedComponents]]'s final-round labels frame (it has no
+    * external handle); that operator's scaladoc documents the
+    * clearCache/unpersist contract for long-lived sessions. */
   def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
                      pruneTokenBudget: Long): DataFrame = {
+    val spark = docs.sparkSession
     val d0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // Each survivor frame feeds several consumers (the next stage's joins,
     // its own stage aggregate, and — for d1 — the shingle index AND the
-    // keeper-length lookup), so d1/d2 persist; the caller releases with
-    // clearCache() after consuming, the connectedComponents contract.
+    // keeper-length lookup), so d1/d2 and the index persist; all three are
+    // unpersisted below once the funnel rows are materialized.
     // Stage 1: exact dedup, keep the smallest id per content hash.
     val d1 = d0.join(
       Dedup.exactGroups(d0, "doc_id", "text")
@@ -53,8 +63,9 @@ object Curation {
     // survivor filter is a broadcast ANTI join (the corpus never shuffles
     // for it; the full canonicalKeep redirect map would cost two
     // corpus-wide left joins the funnel doesn't need).
+    val idx = Dedup.shingleIndex(d1, "doc_id", "text").persist()
     val drop = Dedup.canonicalDropIds(d1, "doc_id", "text",
-      Dedup.jaccardPairs(Dedup.shingleIndex(d1, "doc_id", "text").persist(), 0.8))
+      Dedup.jaccardPairs(idx, 0.8))
     val d2 = d1.join(broadcast(drop), Seq("doc_id"), "left_anti").persist()
     d2.count()
     // stage 3: best-first quality prune to the token budget
@@ -65,12 +76,18 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
 
-    stage(d0, 0, "input")
+    val funnel = stage(d0, 0, "input")
       .union(stage(d1, 1, "exact_dedup"))
       .union(stage(d2, 2, "neardup_collapse"))
       // qualityPrune already carries exact n_tokens per kept doc
       .union(d3.agg(lit(3).as("stage_id"), lit("quality_prune").as("stage"),
         count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens")))
+    // Materialize the 4-row card, then release this function's caches.
+    val rows = funnel.collect()
+    val schema = funnel.schema
+    idx.unpersist(); d1.unpersist(); d2.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.toIndexedSeq, 1), schema)
   }
 
   // ---------------------------------------------------------------- entries

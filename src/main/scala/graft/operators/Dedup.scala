@@ -263,11 +263,13 @@ object Dedup {
     * PROVABLY COMPLETE but candidate-quadratic WITHIN a (lang, band)
     * block: when document lengths concentrate (most corpora), a block
     * holds O(docs/lang) members and the verify stage dominates — measured
-    * 21.6 s at sf0.1 vs 1-2 s for every sketch-blocked dedup entry. Use
-    * for bounded slices / audits; the corpus-scale path is
-    * [[levenshteinPairsLsh]] (graded entry), which trades the completeness
-    * proof for MinHash-LSH candidate pressure. This exact form remains the
-    * reference the LSH variant is equality-tested against. */
+    * 21.6 s at sf0.1 vs 1-2 s for every sketch-blocked dedup entry. This
+    * is the GRADED entry (ADVICE r6): its oracle equality is a theorem —
+    * any pair within distance d differs in length by at most d, so the
+    * length-band blocking loses nothing on ANY dataset. The corpus-scale
+    * path is [[levenshteinPairsLsh]] (benched, rows-only), which trades
+    * the completeness proof for MinHash-LSH candidate pressure and is
+    * equality-tested against this form. */
   def levenshteinPairs(docs: DataFrame, idCol: String, textCol: String,
                        langCol: String, maxDist: Int): DataFrame = {
     require(maxDist > 0, s"maxDist must be positive, got $maxDist")
@@ -820,7 +822,21 @@ object Dedup {
       shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(), 0.75)
       .orderBy("id_a", "id_b")
 
+  /** Graded entry is the PROVABLY-COMPLETE length-band operator (ADVICE
+    * r6: the LSH variant's oracle equality is dataset-dependent — docs
+    * under 3 tokens get no MinHash signature, and dense small edits can
+    * evade the sketch — so the exact form is what an all-pairs DuckDB
+    * oracle legitimately grades). */
   private val levenshteinQ: Q = (s, dir) =>
+    levenshteinPairs(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
+      .orderBy("id_a", "id_b")
+
+  /** Corpus-scale path, registered rows-only by design: MinHash-LSH
+    * candidate pressure is engine-hash-specific and its recall, while
+    * pinned ≥0.999 at the graded config, is not a dataset-independent
+    * equality an external oracle can assert. DedupSpec pins equality
+    * against [[levenshteinPairs]] on the test corpus. */
+  private val levenshteinLshQ: Q = (s, dir) =>
     levenshteinPairsLsh(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
       .orderBy("id_a", "id_b")
 
@@ -910,6 +926,7 @@ object Dedup {
     "dedup_cluster_stats" -> clusterStatsQ,
     "dedup_canonical_keep" -> canonicalKeepQ,
     "dedup_levenshtein" -> levenshteinQ,
+    "dedup_levenshtein_lsh" -> levenshteinLshQ,
     "dedup_containment" -> containmentQ,
     "dedup_chunk_exact" -> chunkExactQ,
     "dedup_threshold_sweep" -> thresholdSweepQ,

@@ -250,7 +250,11 @@ class PlanSpec extends SparkSpec {
       "q_sla_gate", "s1_retrieval_fetch", "s12_orc_roundtrip",
       "dim_lookup_enriched",
       // round-6: collects the needle set during construction
-      "dedup_substring_multi")
+      "dedup_substring_multi",
+      // round-6 entries with driver-side actions during construction
+      // (ADVICE r6): corpus curation + canonical keep run eager component
+      // rounds / counts; the XML entry writes during construction
+      "pipeline_corpus_curation", "dedup_canonical_keep", "s13_xml_roundtrip")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a
