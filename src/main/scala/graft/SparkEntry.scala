@@ -23,6 +23,9 @@ object SparkEntry {
     analytics.CoreQueries.entries ++
       analytics.ExtendedQueries.entries ++
       analytics.Behavior.entries ++
+      analytics.RobustStats.entries ++
+      operators.Incremental.entries ++
+      warehouse.Layout.entries ++
       warehouse.StarSchema.entries ++
       functions.TextOps.entries ++
       operators.Dedup.entries ++
@@ -42,6 +45,9 @@ object SparkEntry {
     analytics.CoreQueries.oracles ++
       analytics.ExtendedQueries.oracles ++
       analytics.Behavior.oracles ++
+      analytics.RobustStats.oracles ++
+      operators.Incremental.oracles ++
+      warehouse.Layout.oracles ++
       warehouse.StarSchema.oracles ++
       functions.TextOps.oracles ++
       operators.Dedup.oracles ++

@@ -201,6 +201,42 @@ object Behavior {
           / col("mau"), 6).as("stickiness"))
   }
 
+  /** Merged-interval coverage per user (gaps-and-islands): treat each
+    * event as a fixed-length interval `[ts, ts + intervalMinutes)`, merge
+    * overlapping/touching-by-overlap intervals into islands, and report
+    * per user the island count and total covered time — "how much
+    * distinct engaged time did this user have", the sessionized-utilization
+    * query of billing and engagement systems.
+    *
+    * Shape: islands form with two user-keyed window passes (running max of
+    * interval end over PRECEDING rows → new-island flag → running sum =
+    * island id), then two keyed aggregates. Everything partitions by
+    * user — one shuffle, no self-join, no explosion; the classic
+    * gaps-and-islands plan that holds at any corpus size. Coverage is
+    * summed in MICROSECONDS (exact integers) so the cross-engine
+    * comparison never hits timestamp-truncation asymmetry. */
+  def intervalUnion(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, intervalMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val iv = events.select(col(userCol), col(tsCol), col(tieCol),
+      (col(tsCol) + expr(s"INTERVAL $intervalMinutes MINUTES")).as("__te"))
+    val islands = iv
+      .withColumn("__prev_end",
+        max(col("__te")).over(w.rowsBetween(Long.MinValue, -1)))
+      .withColumn("__ni",
+        when(col("__prev_end").isNull || col(tsCol) > col("__prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__ni")).over(w.rowsBetween(Long.MinValue, 0)))
+    islands.groupBy(col(userCol), col("__island"))
+      .agg(count(lit(1)).as("__ne"), min(col(tsCol)).as("__s"),
+        max(col("__te")).as("__e"))
+      .groupBy(userCol)
+      .agg(sum(col("__ne")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(unix_micros(col("__e")) - unix_micros(col("__s"))).as("covered_us"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -240,6 +276,10 @@ object Behavior {
     retentionRate(Tables(s, dir).events, "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  private val intervalUnionQ: Q = (s, dir) =>
+    intervalUnion(Tables(s, dir).events, "user_id", "ts", "event_id", 30)
+      .orderBy("user_id")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
@@ -249,6 +289,7 @@ object Behavior {
     "b8_retention_rate" -> retentionRateQ,
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
+    "b9_interval_union" -> intervalUnionQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,5 +410,27 @@ object Behavior {
         |FROM events e JOIN c ON e.user_id = c.user_id
         |WHERE e.event_type = 'purchase'
         |GROUP BY 1 ORDER BY cohort_week""".stripMargin,
+    "b9_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS te, event_id
+        |  FROM events),
+        |f AS (
+        |  SELECT *, max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
+        |                 THEN 1 ELSE 0 END AS ni FROM f),
+        |h AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |isl AS (
+        |  SELECT user_id, island, count(*) AS ne, min(ts) AS s, max(te) AS e
+        |  FROM h GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(ne) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }

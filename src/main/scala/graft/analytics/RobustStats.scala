@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.Ops.{Q, pct}
+
+/** Robust / outlier-aware statistics — the data-quality profiling layer a
+  * training pipeline runs before trusting a numeric column (the same role
+  * the reference's EDA notebook plays with driver-side pandas,
+  * `ex04_dashboard/notebooks/ex04_eda.ipynb` cells 5-7 and
+  * `ex05_ml_prediction_service/src/eda.py:41-47`, re-expressed as
+  * distributed aggregates).
+  *
+  * Determinism discipline shared with [[graft.Ops]]: every moment is built
+  * from exact DECIMAL sums and every quantile from Spark's exact
+  * interpolated `percentile` (same interpolation as DuckDB's
+  * `quantile_cont`), with anchors rounded BEFORE they feed derived
+  * expressions so both engines compute downstream arithmetic on identical
+  * doubles.
+  *
+  * Scale shape: each operator is two passes over the fact table — one keyed
+  * aggregate producing a groups-sized stats frame, then a broadcast join of
+  * that frame back onto the rows and a second keyed aggregate. No windows
+  * over the fact table, no row explosion; both aggregates are map-side
+  * combinable, so 100 TB flows through two hash shuffles of group-count
+  * rows.
+  */
+object RobustStats {
+
+  /** Per-group z-score outlier profile: rows beyond `zThresh` population
+    * standard deviations from their group mean. Mean/std come from exact
+    * decimal (sum, sum-of-squares) so the z expression is cross-engine
+    * deterministic; std is POPULATION (n divisor) to avoid an n-1
+    * convention mismatch. */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valCol: String,
+                     zThresh: Double): DataFrame = {
+    val x = col(valCol)
+    val st = df.groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast(DoubleType).as("s"),
+        sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("ss"))
+      .select(col(groupCol), col("n"),
+        (col("s") / col("n")).as("mean"),
+        sqrt(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+          .as("std"))
+    df.join(broadcast(st), groupCol)
+      .select(col(groupCol), ((x - col("mean")) / col("std")).as("z"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > zThresh, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_absz"))
+  }
+
+  /** Per-group median absolute deviation — the robust spread measure that
+    * survives the outliers [[zscoreOutliers]] flags. The group median is
+    * rounded to 6 before the deviation pass so both engines take absolute
+    * deviations from bit-identical anchors. */
+  def medianAbsDeviation(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(round(pct(col(valCol), 0.5), 6).as("med"))
+    df.join(broadcast(med), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(any_value(col("med")), 4).as("median_price"),
+        round(pct(abs(col(valCol) - col("med")), 0.5), 4).as("mad"))
+  }
+
+  /** Per-group winsorized mean: clip values to the [pLo, pHi] percentile
+    * band, then average the clipped column — the outlier-robust mean a
+    * feature pipeline feeds a model instead of the raw one. Clip anchors
+    * are rounded to 6 (identical across engines); the clipped sum goes
+    * through DECIMAL so the mean is row-order independent. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
+                     pLo: Double, pHi: Double): DataFrame = {
+    val x = col(valCol)
+    val bounds = df.groupBy(groupCol).agg(
+      round(pct(x, pLo), 6).as("lo"),
+      round(pct(x, pHi), 6).as("hi"))
+    df.join(broadcast(bounds), groupCol)
+      .select(col(groupCol), col("lo"), col("hi"),
+        least(greatest(x, col("lo")), col("hi")).as("clipped"),
+        when(x < col("lo"), 1L).otherwise(0L).as("is_lo"),
+        when(x > col("hi"), 1L).otherwise(0L).as("is_hi"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_lo")).as("n_clipped_low"),
+        sum(col("is_hi")).as("n_clipped_high"),
+        round(any_value(col("lo")), 4).as("p_lo"),
+        round(any_value(col("hi")), 4).as("p_hi"),
+        round(sum(col("clipped").cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 4).as("winsorized_mean"))
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  private val zscoreQ: Q = (s, dir) =>
+    zscoreOutliers(Tables(s, dir).lineitem, "l_returnflag", "l_extendedprice", 2.5)
+      .orderBy("l_returnflag")
+
+  private val madQ: Q = (s, dir) =>
+    medianAbsDeviation(Tables(s, dir).lineitem, "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  private val winsorizeQ: Q = (s, dir) =>
+    winsorizedMean(Tables(s, dir).lineitem, "l_returnflag", "l_extendedprice",
+      0.05, 0.95)
+      .orderBy("l_returnflag")
+
+  val entries: Map[String, Q] = Map(
+    "a37_zscore_outliers" -> zscoreQ,
+    "a38_mad" -> madQ,
+    "a39_winsorize" -> winsorizeQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a37_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS ss
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, s / n AS mean,
+        |         sqrt(ss / n - (s / n) * (s / n)) AS std
+        |  FROM st)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN abs((l_extendedprice - mean) / std) > 2.5
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(max(abs((l_extendedprice - mean) / std)), 6) AS max_absz
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "a38_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       round(any_value(med), 4) AS median_price,
+        |       round(quantile_cont(abs(l.l_extendedprice - med), 0.5), 4) AS mad
+        |FROM lineitem l JOIN med USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "a39_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped_low,
+        |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped_high,
+        |       round(any_value(lo), 4) AS p_lo,
+        |       round(any_value(hi), 4) AS p_hi,
+        |       round(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+        |                           AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 4) AS winsorized_mean
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+  )
+}

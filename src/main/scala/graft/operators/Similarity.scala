@@ -59,6 +59,59 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-FILTERED vector search — the RAG-retrieval shape ("top-k
+    * within the user's tenant / language / label"): identical to
+    * [[cosineTopK]] but the broadcast-join condition also requires label
+    * equality, so filtering happens DURING candidate generation, never as
+    * a post-filter that could starve the top-k. At 100 TB the label
+    * predicate also prunes at the scan when the corpus is partitioned by
+    * the filter column — the pre-filtered ANN design (vs. post-filtering,
+    * which needs k·overfetch and still can't guarantee k survivors). */
+  def cosineTopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"),
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("__cl") === col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(cv, qv)") / (col("cn") * col("qn"))).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Exact L2 top-k over int8-QUANTIZED vectors ([[quantizeInt8]]'s
+    * codes): squared distance is an integer sum, so scoring and ranking
+    * are bit-deterministic across engines AND 4× cheaper in memory
+    * bandwidth than float32 — the brute-force configuration that is
+    * actually run at corpus scale (quantized scan first, optional float
+    * re-rank of the shortlist after). Same shuffle discipline as
+    * [[cosineTopK]]: only (query_id, neighbor_id, dist2) crosses the
+    * per-query Exchange. */
+  def euclideanTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int): DataFrame = {
+    def quantized(df: DataFrame, as: String): DataFrame = df
+      .withColumn("__v", toDouble(col(vecCol)))
+      .withColumn("__s", array_max(transform(col("__v"), v => abs(v))) / 127.0)
+      .select(col(idCol).as(as),
+        when(col("__s") === 0.0, transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            v => round(v / col("__s")).cast(LongType))).as(s"__q_$as"))
+    val c = quantized(corpus, "neighbor_id")
+    val q = quantized(queries, "query_id")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("__q_neighbor_id"), col("__q_query_id"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("dist2"))
+    val w = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist2"))
+  }
+
   /** Shared top-k tail: rank by sim within each query, keep k best. The
     * input must already be projected down to (query_id, neighbor_id, sim). */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
@@ -302,8 +355,24 @@ object Similarity {
     centroidAssign(Tables(s, dir).embeddings, "vec_id", "label", "embedding")
       .orderBy("vec_id")
 
+  private val filteredTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    cosineTopKFiltered(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      "label", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val euclideanTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    euclideanTopKQuantized(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", 10)
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
+    "ann_cosine_filtered" -> filteredTopK,
+    "ann_euclidean_topk" -> euclideanTopK,
     "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
     "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
@@ -325,6 +394,44 @@ object Similarity {
         |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_cosine_filtered" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings c
+        |  JOIN embeddings q ON q.vec_id < 10 AND q.vec_id != c.vec_id
+        |                    AND q.label = c.label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // quantization mirrors the emb_quantize_int8 oracle; the squared
+    // distance is an exact integer sum, so no rounding is needed anywhere
+    "ann_euclidean_topk" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding::DOUBLE[],
+        |        x -> CAST(round(x / (list_max(list_transform(
+        |               embedding::DOUBLE[], y -> abs(y))) / 127)) AS BIGINT))
+        |    END AS iv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(range(1, len(c.iv) + 1),
+        |           i -> (c.iv[i] - q.iv[i]) * (c.iv[i] - q.iv[i]))) AS BIGINT) AS dist2
+        |  FROM qv c JOIN qv q ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY dist2, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, dist2
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "emb_label_centroids" ->
       """WITH e AS (

@@ -108,4 +108,24 @@ class BehaviorSpec extends SparkSpec {
       .join(signedUp, "user_id").count()
     assert(viaCohorts === flat)
   }
+
+  test("interval union merges overlaps into islands and sums exact coverage") {
+    val s = spark
+    import s.implicits._
+    // user 1: events at 10:00, 10:10 (overlapping 30-min intervals => one
+    // island 10:00-10:40), and 12:00 (separate island). user 2: one event.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:10:00"), 101L),
+      (1L, ts("2024-01-01 12:00:00"), 102L),
+      (2L, ts("2024-01-01 09:00:00"), 103L),
+    ).toDF("user_id", "ts", "event_id")
+    val out = Behavior.intervalUnion(events, "user_id", "ts", "event_id", 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_islands") === 2L)
+    assert(out(1L).getAs[Long]("n_events") === 3L)
+    // island 1 covers 40 min, island 2 covers 30 min => 70 min total
+    assert(out(1L).getAs[Long]("covered_us") === 70L * 60 * 1000000)
+    assert(out(2L).getAs[Long]("covered_us") === 30L * 60 * 1000000)
+  }
 }

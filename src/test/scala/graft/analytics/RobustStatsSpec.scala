@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RobustStatsSpec extends SparkSpec {
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    // group "a": 9 values near 10 plus one far outlier; group "b": flat
+    (Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 1000.0)) ++
+      (1 to 8).map(i => ("b", i.toDouble)))
+      .toDF("g", "v")
+  }
+
+  test("zscore outliers: flags exactly the planted point, symmetric data has none") {
+    val out = RobustStats.zscoreOutliers(df, "g", "v", 2.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // one planted outlier at z = 9*sqrt(..)/.. — definitely beyond 2.5
+    assert(out("a").getAs[Long]("n_outliers") === 1L)
+    // uniform 1..8 has max |z| = 3.5/2.29 ≈ 1.53 < 2.5
+    assert(out("b").getAs[Long]("n_outliers") === 0L)
+    assert(out("b").getAs[Long]("n") === 8L)
+  }
+
+  test("MAD resists the outlier the mean cannot") {
+    val out = RobustStats.medianAbsDeviation(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // group a: median 10 (outlier invisible), deviations are 0 ×9 and 990 —
+    // median deviation 0
+    assert(out("a").getAs[Double]("median_price") === 10.0)
+    assert(out("a").getAs[Double]("mad") === 0.0)
+    // group b: median 4.5, deviations {3.5,2.5,1.5,0.5}×2 — median 2.0
+    assert(out("b").getAs[Double]("mad") === 2.0)
+  }
+
+  test("winsorized mean is bounded by the clip band and counts clips") {
+    val out = RobustStats.winsorizedMean(df, "g", "v", 0.05, 0.95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_clipped_high") === 1L)
+    val m = a.getAs[Double]("winsorized_mean")
+    assert(m >= a.getAs[Double]("p_lo") && m <= a.getAs[Double]("p_hi"))
+    // clipping the 1000 down must pull the mean far below the raw 109.0
+    assert(m < 109.0)
+  }
+}

@@ -161,4 +161,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(2))).toSeq ===
       again.map(r => (r.getLong(0), r.getInt(2))).toSeq)
   }
+
+  test("filtered top-k returns only same-label neighbors, a subset of unfiltered scores") {
+    val e = Tables(spark, sf001).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.cosineTopKFiltered(e, queries, "vec_id", "embedding",
+      "label", 5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) === labels(r.getAs[Long]("query_id")),
+        "filtered search must respect the label predicate")
+    }
+    // per query at most k results, ranks contiguous from 1
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
+  test("quantized L2: zero self-distance, symmetry, ascending ranks") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.euclideanTopKQuantized(vecs, vecs, "vec_id",
+      "embedding", 3).collect()
+    val d = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      -> r.getAs[Long]("dist2")).toMap
+    assert(d((0L, 1L)) === 0L, "identical vectors must quantize to distance 0")
+    assert(d((0L, 2L)) === d((2L, 0L)), "distance must be symmetric")
+    // per-query dist2 non-decreasing in rank
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dist2"))
+      assert(byRank.sorted.toSeq === byRank.toSeq)
+    }
+  }
 }

@@ -1,0 +1,46 @@
+package graft.warehouse
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  test("morton code is a bijection: de-interleaving recovers both coordinates") {
+    val s = spark
+    import s.implicits._
+    val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y))
+      .toDF("x", "y")
+    val z = pts.withColumn("z", Layout.zValue(col("x"), col("y"), 16))
+    // distinct z count == point count => injective on the domain
+    assert(z.select("z").distinct().count() === 32L * 32)
+    // recover x (even bits) and y (odd bits)
+    val back = (0 until 16).map { i =>
+      (shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)) * lit(1L << i),
+        shiftright(col("z"), 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << i))
+    }
+    val rec = z.withColumn("xr", back.map(_._1).reduce(_ + _))
+      .withColumn("yr", back.map(_._2).reduce(_ + _))
+    assert(rec.filter(col("xr") =!= col("x") || col("yr") =!= col("y")).count() === 0)
+  }
+
+  test("z-order tiles bound BOTH dimensions tighter than a 1-D sort bounds the second") {
+    val t = graft.Tables(spark, sf001)
+    val tiles = Layout.zOrderTileStats(
+      t.lineitem.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey", 32)
+      .collect()
+    assert(tiles.length === 32)
+    val (xLo, xHi) = (tiles.map(_.getAs[Long]("x_min")).min,
+      tiles.map(_.getAs[Long]("x_max")).max)
+    val (yLo, yHi) = (tiles.map(_.getAs[Long]("y_min")).min,
+      tiles.map(_.getAs[Long]("y_max")).max)
+    // average tile bounding-box area must be far below the full domain area
+    // (a 1-D sort on x gives y-span ≈ full domain in every tile)
+    val domainArea = (xHi - xLo + 1).toDouble * (yHi - yLo + 1)
+    val meanArea = tiles.map(r =>
+      (r.getAs[Long]("x_max") - r.getAs[Long]("x_min") + 1).toDouble *
+        (r.getAs[Long]("y_max") - r.getAs[Long]("y_min") + 1)).sum / tiles.length
+    assert(meanArea < domainArea / 4,
+      s"z-order tiles should cluster both dims: mean box $meanArea vs domain $domainArea")
+  }
+}
