@@ -39,6 +39,11 @@ object Bench {
     "dedup_levenshtein_lsh", "text_novelty", "text_mix_budget",
     "text_quality_prune", "dedup_containment", "b4_funnel_windowed",
     "b5_transition_matrix", "a30_date_spine_fill", "text_source_kl",
+    // round-7 entries
+    "a37_zscore_outliers", "a38_mad", "a39_winsorize",
+    "inc_agg_merge", "inc_snapshot_diff", "b9_interval_union", "b10_ewma",
+    "ann_cosine_filtered", "ann_euclidean_topk", "layout_zorder",
+    "text_oov_ratio",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

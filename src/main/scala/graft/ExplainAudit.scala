@@ -23,7 +23,10 @@ object ExplainAudit {
       "text_tfidf_topk", "dedup_jaccard_incremental", "emb_label_centroids",
       "f6_variant_agg",
       "dedup_levenshtein", "dedup_canonical_keep", "b1_funnel_steps",
-      "text_quality_prune", "emb_centroid_assign", "b7_stickiness")
+      "text_quality_prune", "emb_centroid_assign", "b7_stickiness",
+      // round-7 heavy entries
+      "ann_cosine_filtered", "ann_euclidean_topk", "layout_zorder",
+      "b9_interval_union", "inc_snapshot_diff", "text_oov_ratio")
     val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n########## $n ##########")

