@@ -26,7 +26,8 @@ object ExplainAudit {
       "text_quality_prune", "emb_centroid_assign", "b7_stickiness",
       // round-7 heavy entries
       "ann_cosine_filtered", "ann_euclidean_topk", "layout_zorder",
-      "b9_interval_union", "inc_snapshot_diff", "text_oov_ratio")
+      "b9_interval_union", "inc_snapshot_diff", "text_oov_ratio",
+      "dedup_split_leakage", "dedup_semantic")
     val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n########## $n ##########")

@@ -375,6 +375,30 @@ object Dedup {
         round(col("__j"), 4).as("jaccard"))
   }
 
+  /** Held-out LEAKAGE audit: near-duplicate pairs whose members land in
+    * DIFFERENT deterministic hash splits ([[TextOps.hashSplit]]'s
+    * train/val/test) — each such pair means evaluation text is effectively
+    * present in training data, the contamination mode that inflates
+    * held-out metrics silently. Candidate generation is the standard
+    * inverted-index Jaccard pass ([[jaccardPairs]] — never all-pairs); the
+    * split labels join onto the pairs-sized result by doc id, so the audit
+    * costs one extra pair-keyed join over the dedup run the pipeline
+    * already does. The fix for a flagged pair is canonical-keep with the
+    * keeper forced into train, or dropping the eval member. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(shingleIndex(docs, idCol, textCol).persist(), threshold)
+    val split = TextOps.hashSplit(docs, idCol)
+    pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Sub-document (chunk-level) exact dedup — production LLM pipelines
     * dedup below document granularity: a boilerplate header shared by
     * thousands of otherwise-distinct pages never surfaces as a DOC-level
@@ -708,6 +732,10 @@ object Dedup {
     jaccardPairs(shingleIndex(Tables(s, dir).documents, "doc_id", "text").persist(), 0.8)
       .orderBy("id_a", "id_b")
 
+  private val splitLeakageQ: Q = (s, dir) =>
+    splitLeakage(Tables(s, dir).documents, "doc_id", "text", 0.8)
+      .orderBy("id_a", "id_b")
+
   /** The hot-shingle cap: a viral shingle shared by more than `JaccardCap`
     * docs is dropped before the self-join — the configuration that survives
     * a skewed corpus at 100 TB (a shingle in 10^6 docs would otherwise
@@ -918,6 +946,7 @@ object Dedup {
     "dedup_exact_groups" -> exactGroupsQ,
     "dedup_exact_keep_first" -> exactKeepFirstQ,
     "dedup_jaccard_pairs" -> jaccardPairsQ,
+    "dedup_split_leakage" -> splitLeakageQ,
     "dedup_jaccard_capped" -> jaccardCappedQ,
     "dedup_minhash_pairs" -> minhashPairsQ,
     "dedup_simhash" -> simhashQ,
@@ -943,33 +972,68 @@ object Dedup {
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
     * With a doc-frequency cap, the capped index feeds BOTH pair counts and
     * sizes — the same rare-shingle-set semantics as [[jaccardPairs]]. */
-  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int] = None,
-                            pairPred: String = ""): String = {
+  /** Shared WITH-prefix of every exact-Jaccard oracle (shingle index,
+    * optional hot-shingle cap, sizes, common counts) — one source of truth
+    * so the pair semantics can never drift between the graded variants. */
+  private def jaccardCtes(maxDocFreq: Option[Int]): (String, String) = {
     val capFilter = maxDocFreq.map(cap =>
       s"""capped AS (
          |  SELECT sh.* FROM sh JOIN (
          |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $cap) r
          |  USING (shingle)),""".stripMargin).getOrElse("")
     val src = if (maxDocFreq.isDefined) "capped" else "sh"
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, greatest(len(ts) - 1, 1)),
-       |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
-       |  FROM tok WHERE len(ts) >= 3),
-       |$capFilter
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY 1),
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+    (s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        |  FROM tok WHERE len(ts) >= 3),
+        |$capFilter
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin, src)
+  }
+
+  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int] = None,
+                            pairPred: String = ""): String = {
+    val (ctes, _) = jaccardCtes(maxDocFreq)
+    s"""$ctes
        |SELECT id_a, id_b,
        |       round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
        |FROM pairs
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE common * 1.0 / (sa.sz + sb.sz - common) >= $threshold$pairPred
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** [[splitLeakage]]'s oracle: the jaccard-pairs CTEs + the hash-split
+    * CASE (the text_hash_split oracle's expression) joined on both pair
+    * members. */
+  private def splitLeakageOracle(threshold: Double): String = {
+    val (ctes, _) = jaccardCtes(None)
+    val splitCase =
+      """CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 4096 < 3277
+        |            THEN 'train'
+        |            WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 4096 < 3687
+        |            THEN 'val'
+        |            ELSE 'test' END""".stripMargin
+    s"""$ctes,
+       |jp AS (
+       |  SELECT id_a, id_b,
+       |         round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= $threshold),
+       |spl AS (SELECT doc_id, $splitCase AS split FROM documents)
+       |SELECT id_a, id_b, jaccard, pa.split AS split_a, pb.split AS split_b
+       |FROM jp JOIN spl pa ON pa.doc_id = id_a
+       |        JOIN spl pb ON pb.doc_id = id_b
+       |WHERE pa.split != pb.split
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1235,6 +1299,7 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardOracle(0.8),
+    "dedup_split_leakage" -> splitLeakageOracle(0.8),
     "dedup_jaccard_capped" -> jaccardOracle(0.8, maxDocFreq = Some(JaccardCap)),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
     "dedup_jaccard_incremental" ->

@@ -299,6 +299,42 @@ object Similarity {
         col("cand").as("assigned_label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** SEMANTIC dedup pairs (the SemDeDup recipe): embeddings whose cosine
+    * similarity exceeds `threshold` are near-duplicates in meaning even
+    * when their text shares no n-grams — paraphrases, translations,
+    * templated rewrites — exactly what shingle Jaccard cannot see.
+    * Candidate generation is CLUSTER-SCOPED: vectors are first assigned
+    * to their nearest [[labelCentroids]] prototype ([[centroidAssign]],
+    * whose rounded-centroid contract makes the assignment deterministic
+    * cross-engine), and only pairs sharing a cluster are scored. The
+    * cluster id is an equi-join key, so candidates are hash-partitioned
+    * and the quadratic term is bounded by the largest cluster — at corpus
+    * scale the cluster count grows with N (SemDeDup uses k ∝ N/10^4), so
+    * per-cluster membership stays bounded and no all-pairs ever forms.
+    * Exact cosine verification happens only inside clusters, mirroring
+    * how [[graft.operators.Dedup.minhashDedupPairs]] verifies only
+    * banded candidates. */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, labelCol: String,
+                         vecCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val assign = centroidAssign(corpus, idCol, labelCol, vecCol)
+      .select(col("vec_id").as("id"), col("assigned_label").as("cluster"))
+    val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", expr("sqrt(graft_dot(v, v))"))
+      .join(assign, "id")
+    val a = v.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Symmetric int8 scalar quantization in long form (vec_id, pos, q,
     * scale): per-vector scale = max|v|/127, q = round(v/scale) ∈ [-127,127]
     * — the storage-compression step of an embedding pipeline (4x smaller
@@ -355,6 +391,11 @@ object Similarity {
     centroidAssign(Tables(s, dir).embeddings, "vec_id", "label", "embedding")
       .orderBy("vec_id")
 
+  private val semanticDedupQ: Q = (s, dir) =>
+    semanticDedupPairs(Tables(s, dir).embeddings, "vec_id", "label",
+      "embedding", 0.35)
+      .orderBy("id_a", "id_b")
+
   private val filteredTopK: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
     cosineTopKFiltered(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -379,6 +420,7 @@ object Similarity {
     "emb_label_centroids" -> centroidsQ,
     "emb_quantize_int8" -> quantizeQ,
     "emb_centroid_assign" -> centroidAssignQ,
+    "dedup_semantic" -> semanticDedupQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,5 +521,38 @@ object Similarity {
         |       CAST(CASE WHEN s = 0 THEN 0 ELSE round(unnest(v) / s) END AS INT) AS q,
         |       round(s, 6) AS scale
         |FROM e ORDER BY vec_id, pos""".stripMargin,
+    // assignment CTEs mirror emb_centroid_assign (rounded prototypes =>
+    // deterministic clusters); pairs form only within a cluster
+    "dedup_semantic" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cand, pos,
+        |         round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
+        |               / count(*), 6) AS m
+        |  FROM e GROUP BY 1, 2),
+        |cvec AS (SELECT cand, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT emb.vec_id, cvec.cand,
+        |         list_cosine_similarity(emb.embedding::DOUBLE[], cvec.cv) AS sim
+        |  FROM embeddings emb, cvec),
+        |r AS (
+        |  SELECT vec_id, cand,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cand) AS rn
+        |  FROM scored),
+        |asg AS (SELECT vec_id, cand AS cluster FROM r WHERE rn = 1),
+        |p AS (
+        |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                eb.embedding::DOUBLE[]) AS sim
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        |SELECT cluster, id_a, id_b, round(sim, 4) AS sim
+        |FROM p WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -268,6 +268,21 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("split leakage flags exactly the near-dup pairs whose splits differ") {
+    val docs = Tables(spark, sf01).documents
+    val leaked = Dedup.splitLeakage(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingleIndex(docs, "doc_id", "text").persist(), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = graft.functions.TextOps.hashSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaked === expected)
+    assert(leaked.nonEmpty, "test corpus should contain cross-split near-dups")
+    spark.catalog.clearCache()
+  }
+
   test("novelty: all-unique doc scores 1.0, duplicated docs score 0.0") {
     val df = Seq(
       (1L, "aa bb cc dd ee"),      // shingles unique to doc 1

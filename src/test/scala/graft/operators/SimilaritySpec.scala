@@ -180,6 +180,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup pairs stay within their cluster and above threshold") {
+    val e = Tables(spark, sf001).embeddings
+    val assign = Similarity.centroidAssign(e, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val out = Similarity.semanticDedupPairs(e, "vec_id", "label",
+      "embedding", 0.3).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (c, a, b, sim) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, "pairs must be canonical-oriented")
+      assert(assign(a) === c && assign(b) === c,
+        "a pair must live inside one assigned cluster")
+      assert(sim >= 0.3 - 1e-4)
+    }
+  }
+
   test("quantized L2: zero self-distance, symmetry, ascending ranks") {
     val s = spark
     import s.implicits._
