@@ -502,6 +502,28 @@ object CoreQueries {
       unix_micros(col("ts")).as("us"))
       .orderBy("event_id")
 
+  /** F12 — date ARITHMETIC family (complement of [[f1DateParts]]'s
+    * extraction family): offset, calendar-clamped month addition, period
+    * boundaries, and day differences — the expressions every partition
+    * layout, SLA window and retention policy is built from. Both engines
+    * clamp end-of-month the same way (Jan 31 + 1 month = Feb 28/29),
+    * which this entry pins cross-engine. */
+  private val f12DateArith: Q = (s, dir) => {
+    val d = to_date(col("o_orderdate"))
+    Tables(s, dir).orders.select(
+      col("o_orderkey"),
+      date_add(d, 30).as("plus30d"),
+      date_sub(d, 7).as("minus7d"),
+      add_months(d, 2).as("plus2m"),
+      last_day(d).as("eom"),
+      trunc(d, "quarter").as("qstart"),
+      trunc(d, "year").as("ystart"),
+      datediff(d, to_date(lit("1995-01-01"))).as("days_since"),
+      dayofyear(d).as("doy"),
+      quarter(d).as("q"))
+      .orderBy("o_orderkey")
+  }
+
   /** F2 — math family (error_analysis.py:241,356-359). */
   private val f2Math: Q = (s, dir) =>
     Tables(s, dir).customer.select(
@@ -655,6 +677,7 @@ object CoreQueries {
     "u3_intersect" -> u3Intersect,
     "u4_except" -> u4Except,
     "f1_date_parts" -> f1DateParts,
+    "f12_date_arith" -> f12DateArith,
     "f2_math" -> f2Math,
     "f3_null_funcs" -> f3NullFuncs,
     "f4_json_extract" -> f4JsonExtract,
@@ -916,6 +939,20 @@ object CoreQueries {
         |       CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour_bucket,
         |       epoch_us(ts) AS us
         |FROM events ORDER BY event_id""".stripMargin,
+    "f12_date_arith" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |       CAST(d + INTERVAL 30 DAY AS DATE) AS plus30d,
+        |       CAST(d - INTERVAL 7 DAY AS DATE) AS minus7d,
+        |       CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |       last_day(d) AS eom,
+        |       CAST(date_trunc('quarter', d) AS DATE) AS qstart,
+        |       CAST(date_trunc('year', d) AS DATE) AS ystart,
+        |       CAST(date_diff('day', DATE '1995-01-01', d) AS INT) AS days_since,
+        |       CAST(dayofyear(d) AS INT) AS doy,
+        |       CAST(quarter(d) AS INT) AS q
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "f2_math" ->
       """SELECT c_custkey,
         |       round(abs(c_acctbal), 2) AS abs_bal,
