@@ -791,10 +791,12 @@ object TextOps {
                vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
+    // top-K cut as orderBy+limit: plans as TakeOrderedAndProject (per-
+    // partition partial top-K, no single-partition rank window) — the
+    // same deterministic head because the (count desc, token asc) order
+    // is total
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("tok"))))
-      .filter(col("__rk") <= vocabSize)
+      .orderBy(desc("n"), asc("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("__in"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("doc_id")
