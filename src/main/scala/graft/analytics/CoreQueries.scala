@@ -390,10 +390,21 @@ object CoreQueries {
   // ---------------------------------------------------------------- windows
 
   /** W2 — running per-partition cumulative sum (beyond-parity window op;
-    * quantities are integral doubles so the cumulative sum is FP-exact). */
+    * quantities are integral doubles so the cumulative sum is FP-exact).
+    *
+    * The window order ends in l_quantity because (orderkey, linenumber) is
+    * NOT unique in the synthetic feed (sf0.1 has a (suppkey, shipdate,
+    * orderkey, linenumber) tuple duplicated with two DIFFERENT
+    * quantities): an accumulating window over a non-total order hands the
+    * tied rows each other's prefix sums nondeterministically — caught as
+    * a sometimes-flaking sf0.1 hash in round 7. With quantity as the
+    * final key, any remaining ties are identical in every output column,
+    * so the result multiset is order-invariant. The general rule: an
+    * ACCUMULATING window's ORDER BY must be total up to output-identical
+    * rows (rank()/dense_rank() tolerate ties; sum() OVER does not). */
   private val w2RunningSum: Q = (s, dir) => {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir).lineitem
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -882,7 +893,7 @@ object CoreQueries {
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "w3_lag_gap" ->
