@@ -44,6 +44,7 @@ object Bench {
     "inc_agg_merge", "inc_snapshot_diff", "b9_interval_union", "b10_ewma",
     "ann_cosine_filtered", "ann_euclidean_topk", "layout_zorder",
     "text_oov_ratio", "dedup_split_leakage", "dedup_semantic",
+    "q_k_anonymity", "ml_class_weights", "f12_date_arith",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

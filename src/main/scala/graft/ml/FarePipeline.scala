@@ -160,13 +160,39 @@ object FarePipeline {
       round(avg(abs(col("prediction") - col("label"))), 2).as("mae_insample"))
   }
 
+  /** Inverse-frequency class weights — the imbalance correction every
+    * classifier training run computes before fit: weight(c) =
+    * n_total / (n_classes * n_c), so a balanced dataset gets weight 1.0
+    * everywhere and rare classes are up-weighted proportionally. One
+    * keyed counting aggregate + a broadcast-sized scalar join; the
+    * weights frame is class-count-sized and joins back onto training
+    * rows for a `weightCol` at any corpus scale. */
+  private val mlClassWeightsQ: Q = (s, dir) => {
+    val counts = Tables(s, dir).embeddings
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("total"),
+      count(lit(1)).as("n_classes"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("label"), col("n"),
+        round(col("total").cast(org.apache.spark.sql.types.DoubleType)
+          / (col("n_classes") * col("n")), 6).as("class_weight"))
+      .orderBy("label")
+  }
+
   val entries: Map[String, Q] = Map(
     "ml_features" -> mlFeaturesQ,
+    "ml_class_weights" -> mlClassWeightsQ,
     "ml_gbt_metrics" -> mlGbtMetricsQ, // model metrics are seed/engine-specific
     "ml_batch_inference" -> mlBatchInferenceQ, // predictions engine-specific
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_class_weights" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_classes FROM c)
+        |SELECT label, n,
+        |       round(CAST(total AS DOUBLE) / (n_classes * n), 6) AS class_weight
+        |FROM c, t ORDER BY label""".stripMargin,
     "ml_features" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
         |       l_returnflag, l_linestatus,

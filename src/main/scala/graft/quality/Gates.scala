@@ -100,6 +100,24 @@ object Gates {
     Seq((feed, ok, if (ok) "RUN" else "SKIP")).toDF("feed", "available", "action")
   }
 
+  /** k-anonymity risk audit over a quasi-identifier tuple: every QI combo
+    * shared by fewer than k rows re-identifies its members when joined
+    * with an external dataset — the compliance complement of the PII
+    * scrub ([[graft.functions.TextOps]]) and GDPR erasure accounting.
+    * Reports each risky combo with its member count plus the suppression
+    * cost (rows that must be generalized or dropped to reach k). One
+    * keyed counting aggregate + a count-filter — QI-combo-sized output,
+    * map-side combinable, the same single-shuffle shape at any corpus
+    * size. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty && k > 1, s"need QI columns and k > 1")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+      .withColumn("k", lit(k))
+      .withColumn("suppression_cost", col("n_rows"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** The ingest retention gate applied to the events feed with the
@@ -132,7 +150,17 @@ object Gates {
       .select("task", "status").orderBy("task")
   }
 
+  /** QI tuple = (nation, segment, coarse balance bucket) — the classic
+    * "zip + gender + birth-date" shape at table scale. */
+  private val kAnonymityQ: Q = (s, dir) =>
+    kAnonymityAudit(
+      Tables(s, dir).customer.withColumn("balance_bucket",
+        floor(col("c_acctbal") / 2000).cast(org.apache.spark.sql.types.LongType)),
+      Seq("c_nationkey", "c_mktsegment", "balance_bucket"), k = 5)
+      .orderBy("c_nationkey", "c_mktsegment", "balance_bucket")
+
   val entries: Map[String, Q] = Map(
+    "q_k_anonymity" -> kAnonymityQ,
     "q_retention_gate" -> retentionGateQ,
     "q_floor_gate" -> floorGateQ,
     "q_availability_gate" -> availabilityGateQ,
@@ -140,6 +168,14 @@ object Gates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_bucket,
+        |       count(*) AS n_rows, CAST(5 AS INT) AS k,
+        |       count(*) AS suppression_cost
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, balance_bucket""".stripMargin,
     "q_sla_gate" ->
       """SELECT * FROM (VALUES
         |  ('dim_date_build', 'OK'), ('events_scan', 'OK'),

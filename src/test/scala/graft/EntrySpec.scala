@@ -133,4 +133,15 @@ class EntrySpec extends SparkSpec {
     assert(Gates.slaStatus(1.0, 2.0) === "OK")
     assert(Gates.slaStatus(2.1, 2.0) === "SLA_MISS")
   }
+
+  test("k-anonymity audit flags exactly the sub-k QI combos") {
+    val s = spark
+    import s.implicits._
+    // combo (a,x) has 5 members (safe at k=5); (a,y) has 2; (b,x) has 1
+    val rows = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x"))).toDF("qi1", "qi2")
+    val risky = Gates.kAnonymityAudit(rows, Seq("qi1", "qi2"), 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(risky === Map(("a", "y") -> 2L, ("b", "x") -> 1L))
+  }
 }
