@@ -65,6 +65,28 @@ object EventStream {
       col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
   }
 
+  /** LEFT OUTER stream-stream join: like [[viewToPurchaseJoin]] but a view
+    * with NO qualifying purchase is still emitted (null purchase columns)
+    * once the watermark proves no match can arrive any more — the
+    * "abandoned funnel" feed (viewed, never bought) that an inner join
+    * silently discards. The event-time bound in the condition is what
+    * makes the outer side DECIDABLE: a view older than
+    * watermark − horizon can never match a future purchase, so state is
+    * both bounded and eventually flushed. Until the watermark passes, the
+    * unmatched row is withheld — correctness over latency, the streaming
+    * contract. */
+  def viewToPurchaseJoinOuter(views: DataFrame, purchases: DataFrame,
+                              horizon: String, watermark: String): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, col("v_user") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"), "left_outer")
+  }
+
   /** Stream-static dimension enrichment: every micro-batch of the stream
     * joins the (small, broadcast) static dimension — the lookup-table
     * pattern of a streaming ingest (user profile, rate card, geo table).

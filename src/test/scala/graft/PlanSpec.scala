@@ -239,6 +239,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime (AQEShuffleRead)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // many tiny shuffle partitions vs a generous advisory size: the
+      // post-shuffle read must merge them instead of launching one
+      // micro-task per partition — at 100 TB this is what keeps a
+      // selective-filter stage from scheduling 200k empty tasks
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val agg = s.range(10000).select(($"id" % 50).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"expected runtime partition coalescing:\n${plan.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("stickiness MAU is explode+hash-aggregate — no nested-loop day join (ADVICE r6)") {
     val p = plan("b7_stickiness")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -289,6 +289,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === Seq((1L, 9.0)))
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStream.viewToPurchaseJoinOuter(
+      views.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      horizon = "1 HOUR", watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_outer").start()
+    views.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    purchases.addData((1L, ts("2024-01-01 10:30:00"), 9.0))
+    q.processAllAvailable()
+    // user 2 is unmatched but must be WITHHELD: the watermark hasn't yet
+    // proven no purchase can arrive within its horizon
+    val early = spark.table("ss_join_outer").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(early.toMap === Map(1L -> Some(9.0)))
+    // advance event time far past watermark + horizon on both sides —
+    // the join can now prove user 2's view expired unmatched and flush it
+    views.addData((9L, ts("2024-01-02 10:00:00")))
+    purchases.addData((9L, ts("2024-01-02 10:00:01"), 1.0))
+    q.processAllAvailable()
+    val late = spark.table("ss_join_outer").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    q.stop()
+    assert(late(2L) === None, "expired unmatched view must flush with null purchase")
+    assert(late(1L) === Some(9.0))
+  }
+
   test("stream-static broadcast enrichment matches batch, keeps unmatched rows") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
