@@ -350,4 +350,22 @@ class DedupSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("dedup is idempotent: canonical-keep survivors contain no pairs at threshold") {
+    // near-dup pairs connect docs into clusters; canonical keep retains one
+    // keeper per cluster, so any pair among survivors would have merged its
+    // endpoints' clusters — contradiction. Pinning it catches a regression
+    // in either the component labeling or the drop-set complement.
+    val docs = Tables(spark, sf01).documents
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text").persist()
+    val drop = Dedup.canonicalDropIds(docs, "doc_id", "text",
+      Dedup.jaccardPairs(idx, 0.8))
+    val survivors = docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    assert(drop.count() > 0, "sf0.01 corpus should have near-dups to drop")
+    val remaining = Dedup.jaccardPairs(
+      Dedup.shingleIndex(survivors, "doc_id", "text").persist(), 0.8)
+    assert(remaining.isEmpty,
+      s"survivors must be pair-free: ${remaining.take(3).mkString(",")}")
+    spark.catalog.clearCache()
+  }
 }
