@@ -268,6 +268,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval union: the whole gaps-and-islands chain rides ONE user-keyed Exchange") {
+    // two windows + two keyed aggregates must all reuse the same user_id
+    // partitioning; only the final presentation sort may add an Exchange
+    val p = plan("b9_interval_union")
+    // formatted mode puts the partitioning in the node's Arguments line
+    val keyed = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyed == 1, s"expected exactly one user-keyed Exchange, got $keyed:\n" +
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+  }
+
   test("stickiness MAU is explode+hash-aggregate — no nested-loop day join (ADVICE r6)") {
     val p = plan("b7_stickiness")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
