@@ -319,9 +319,13 @@ object Similarity {
     graft.functions.GraftDot.register(corpus.sparkSession)
     val assign = centroidAssign(corpus, idCol, labelCol, vecCol)
       .select(col("vec_id").as("id"), col("assigned_label").as("cluster"))
+    // the assigned+normed frame feeds BOTH self-join sides: persist it, or
+    // the centroid-scoring pass over the corpus runs twice (the shingle-
+    // index discipline — callers release with clearCache()/unpersist)
     val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", expr("sqrt(graft_dot(v, v))"))
       .join(assign, "id")
+      .persist()
     val a = v.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("n").as("na"))
     val b = v.select(col("cluster"), col("id").as("id_b"),
