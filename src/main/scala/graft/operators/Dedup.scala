@@ -388,7 +388,10 @@ object Dedup {
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
     val pairs = jaccardPairs(shingleIndex(docs, idCol, textCol).persist(), threshold)
-    val split = TextOps.hashSplit(docs, idCol)
+    // the (id, split) frame feeds both pair-member joins: persist the
+    // narrow two-column frame or the per-row md5 split draw runs twice
+    // over the corpus (callers release with clearCache()/unpersist)
+    val split = TextOps.hashSplit(docs, idCol).persist()
     pairs
       .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
         "id_a")
