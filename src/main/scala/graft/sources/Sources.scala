@@ -125,6 +125,24 @@ object Sources {
     s.read.orc(out).orderBy("c_custkey")
   }
 
+  /** S14 — line-delimited text roundtrip (`spark.read.text`, the rawest
+    * LLM-corpus interchange format): write the document bodies as one
+    * line each, read them back, and reduce to order-independent
+    * integrity stats (line order is not preserved by a distributed text
+    * scan, so the graded surface is count / distinct / char mass /
+    * binary-min / binary-max — equal iff the line multiset survived). */
+  private val textRoundtripQ: Q = (s, dir) => {
+    val out = tmpDir("text_docs")
+    Tables(s, dir).documents.select("text")
+      .coalesce(1).write.mode("overwrite").text(out)
+    s.read.text(out).agg(
+      count(lit(1)).as("n_lines"),
+      count_distinct(col("value")).as("n_distinct"),
+      sum(length(col("value")).cast(LongType)).as("total_chars"),
+      min(col("value")).as("first_line"),
+      max(col("value")).as("last_line"))
+  }
+
   /** S5 — partitioned overwrite roundtrip: orders partitioned by year,
     * written twice (idempotence), read back through partition pruning. */
   private val partitionedSinkQ: Q = (s, dir) => {
@@ -184,6 +202,7 @@ object Sources {
     "s11_json_roundtrip" -> jsonRoundtripQ,
     "s12_orc_roundtrip" -> orcRoundtripQ,
     "s13_xml_roundtrip" -> xmlRoundtripQ,
+    "s14_text_roundtrip" -> textRoundtripQ,
     "s5_partitioned_sink" -> partitionedSinkQ,
     "s6_jdbc_roundtrip" -> jdbcRoundtripQ,
     "s4_path_probe" -> pathProbeQ, // environment probe => rows-only
@@ -204,6 +223,12 @@ object Sources {
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
     "s13_xml_roundtrip" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s14_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+        |       count(DISTINCT text) AS n_distinct,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(text) AS first_line, max(text) AS last_line
+        |FROM documents""".stripMargin,
     "s5_partitioned_sink" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

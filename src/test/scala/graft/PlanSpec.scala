@@ -309,7 +309,9 @@ class PlanSpec extends SparkSpec {
       // round-6 entries with driver-side actions during construction
       // (ADVICE r6): corpus curation + canonical keep run eager component
       // rounds / counts; the XML entry writes during construction
-      "pipeline_corpus_curation", "dedup_canonical_keep", "s13_xml_roundtrip")
+      "pipeline_corpus_curation", "dedup_canonical_keep", "s13_xml_roundtrip",
+      // round-7: writes the text dump during construction
+      "s14_text_roundtrip")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a
