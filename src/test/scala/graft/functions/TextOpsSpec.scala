@@ -364,6 +364,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash split: stable under corpus growth and near the 80/10/10 design") {
+    val s = spark
+    import s.implicits._
+    val small = (0L until 500L).toDF("doc_id")
+    val big = (0L until 5000L).toDF("doc_id")
+    val assignSmall = TextOps.hashSplit(small, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val assignBig = TextOps.hashSplit(big, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growth stability: every doc keeps its split when the corpus grows
+    assignSmall.foreach { case (id, sp) => assert(assignBig(id) === sp) }
+    // fractions approximate the 80/10/10 design (binomial tolerance)
+    val n = assignBig.size.toDouble
+    val frac = assignBig.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.02, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.02, frac.toString)
+  }
+
   test("oov ratio: in-vocab docs score 0, out-of-vocab tokens count proportionally") {
     val s = spark
     import s.implicits._
