@@ -217,6 +217,7 @@ object Behavior {
     * comparison never hits timestamp-truncation asymmetry. */
   def intervalUnion(events: DataFrame, userCol: String, tsCol: String,
                     tieCol: String, intervalMinutes: Int): DataFrame = {
+    require(intervalMinutes > 0, s"interval must be positive, got $intervalMinutes")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
     val iv = events.select(col(userCol), col(tsCol), col(tieCol),
@@ -255,6 +256,7 @@ object Behavior {
   def ewma(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
            valCol: String, alpha: Double = 0.3, horizon: Int = 8): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(horizon >= 1, s"horizon must be at least 1, got $horizon")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
     val weights = ewmaWeights(alpha, horizon)

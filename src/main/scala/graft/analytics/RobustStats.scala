@@ -34,7 +34,11 @@ object RobustStats {
     * standard deviations from their group mean. Mean/std come from exact
     * decimal (sum, sum-of-squares) so the z expression is cross-engine
     * deterministic; std is POPULATION (n divisor) to avoid an n-1
-    * convention mismatch. */
+    * convention mismatch. Degenerate groups (zero variance — including
+    * singletons) divide by a zero std and yield NaN z-scores; both Spark
+    * and DuckDB order NaN above every threshold, so such a group reports
+    * all rows as outliers rather than failing — callers screening tiny
+    * groups should pre-filter on n. */
   def zscoreOutliers(df: DataFrame, groupCol: String, valCol: String,
                      zThresh: Double): DataFrame = {
     val x = col(valCol)

@@ -44,11 +44,13 @@ object Incremental {
     * is re-aggregated with its own combiner (counts and decimal sums add,
     * min/max fold). Associative + commutative, so state can be merged
     * shard-by-shard, day-by-day, in any order. */
-  def mergeAggState(states: Seq[DataFrame], groupCol: String): DataFrame =
+  def mergeAggState(states: Seq[DataFrame], groupCol: String): DataFrame = {
+    require(states.nonEmpty, "mergeAggState needs at least one state table")
     states.reduce(_ unionByName _)
       .groupBy(groupCol)
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
 
   /** Read-time view over merged state: exact totals plus derived mean. */
   def finalizeAggState(state: DataFrame, groupCol: String): DataFrame =
