@@ -35,10 +35,11 @@ object RobustStats {
     * decimal (sum, sum-of-squares) so the z expression is cross-engine
     * deterministic; std is POPULATION (n divisor) to avoid an n-1
     * convention mismatch. Degenerate groups (zero variance — including
-    * singletons) divide by a zero std and yield NaN z-scores; both Spark
-    * and DuckDB order NaN above every threshold, so such a group reports
-    * all rows as outliers rather than failing — callers screening tiny
-    * groups should pre-filter on n. */
+    * singletons) are guarded explicitly: a distribution with no spread
+    * has no outliers, so their z-scores are NULL, n_outliers is 0 and
+    * max_absz is NULL. (The guard is mandatory, not stylistic — Spark 4
+    * runs ANSI mode by default, where the unguarded zero division is a
+    * runtime error, and the oracle carries the identical CASE.) */
   def zscoreOutliers(df: DataFrame, groupCol: String, valCol: String,
                      zThresh: Double): DataFrame = {
     val x = col(valCol)
@@ -51,7 +52,8 @@ object RobustStats {
         sqrt(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
           .as("std"))
     df.join(broadcast(st), groupCol)
-      .select(col(groupCol), ((x - col("mean")) / col("std")).as("z"))
+      .select(col(groupCol),
+        when(col("std") > 0, (x - col("mean")) / col("std")).as("z"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         sum(when(abs(col("z")) > zThresh, 1L).otherwise(0L)).as("n_outliers"),
@@ -129,13 +131,16 @@ object RobustStats {
         |m AS (
         |  SELECT l_returnflag, s / n AS mean,
         |         sqrt(ss / n - (s / n) * (s / n)) AS std
-        |  FROM st)
-        |SELECT l.l_returnflag, count(*) AS n,
-        |       CAST(sum(CASE WHEN abs((l_extendedprice - mean) / std) > 2.5
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |       round(max(abs((l_extendedprice - mean) / std)), 6) AS max_absz
-        |FROM lineitem l JOIN m USING (l_returnflag)
-        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+        |  FROM st),
+        |z AS (
+        |  SELECT l.l_returnflag,
+        |         CASE WHEN std > 0 THEN (l_extendedprice - mean) / std END AS zv
+        |  FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN abs(zv) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(max(abs(zv)), 6) AS max_absz
+        |FROM z GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "a38_mad" ->
       """WITH med AS (
         |  SELECT l_returnflag,

@@ -36,6 +36,18 @@ class RobustStatsSpec extends SparkSpec {
     assert(out("b").getAs[Double]("mad") === 2.0)
   }
 
+  test("degenerate zero-variance group has no outliers and a null max z") {
+    val s = spark
+    import s.implicits._
+    val flat = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val row = RobustStats.zscoreOutliers(flat, "g", "v", 2.5).collect().head
+    // no spread => no outliers; the guard also keeps ANSI mode (Spark 4
+    // default) from raising DIVIDE_BY_ZERO on the unguarded expression
+    assert(row.getAs[Long]("n") === 3L)
+    assert(row.getAs[Long]("n_outliers") === 0L)
+    assert(row.isNullAt(row.fieldIndex("max_absz")))
+  }
+
   test("winsorized mean is bounded by the clip band and counts clips") {
     val out = RobustStats.winsorizedMean(df, "g", "v", 0.05, 0.95)
       .collect().map(r => r.getString(0) -> r).toMap
