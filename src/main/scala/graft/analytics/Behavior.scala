@@ -265,8 +265,10 @@ object Behavior {
       when(c.isNotNull, c * lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
     val den = lags.zip(weights).map { case (c, wt) =>
       when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    // an all-null lag window (every value in the horizon NULL) zeroes the
+    // denominator; emit NULL instead of tripping ANSI division-by-zero
     events.select(col(userCol), col(tieCol),
-      round(num / den, 6).as("ewma"))
+      round(when(den > 0, num / den), 6).as("ewma"))
   }
 
   /** (1-α)^j for j < horizon — shared with the oracle generator so the
@@ -490,7 +492,9 @@ object Behavior {
          |  SELECT user_id, event_id, $lagDefs
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT user_id, event_id, round(($num) / ($den), 6) AS ewma
+         |SELECT user_id, event_id,
+         |       CASE WHEN ($den) > 0
+         |            THEN round(($num) / ($den), 6) END AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
     },
   )

@@ -47,9 +47,9 @@ object Similarity {
                  vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
     // project BEFORE the top-k window: only (query_id, neighbor_id, sim)
     // crosses the per-query Exchange — not the 2×dim embedding arrays
     // (VERDICT r3 weak #2; ~30× fewer shuffle bytes at dim 64)
@@ -72,10 +72,10 @@ object Similarity {
     graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"),
         toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
     val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
         toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") && col("__cl") === col("__ql"))
       .select(col("query_id"), col("neighbor_id"),
@@ -158,10 +158,10 @@ object Similarity {
     graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), dim, planes))
-      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), dim, planes))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -181,7 +181,7 @@ object Similarity {
     graft.functions.GraftDot.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, planes))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("nrm", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
     val a = c.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
     val b = c.select(col("id").as("id_b"), col("v").as("vb"),
@@ -227,7 +227,7 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("bucket").fit(fitSet)
     graft.functions.GraftDot.register(spark)
     val bucketed = km.transform(c).select(col("neighbor_id"), col("cv"),
-      col("bucket")).withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      col("bucket")).withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
 
     val centers = km.clusterCenters.map(_.toArray)
     val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
@@ -242,7 +242,7 @@ object Similarity {
       }.sortBy(_._2).take(nProbe).map { case (b, _) => (qid, b) }
     }.toSeq.toDF("query_id", "bucket")
     val qVecs = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toSeq.toDF("query_id", "qv").withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+      .toSeq.toDF("query_id", "qv").withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
 
     val scored = bucketed
       .join(broadcast(probes), Seq("bucket"))
@@ -285,10 +285,10 @@ object Similarity {
       .groupBy(col("label").as("cand"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s("m")).as("cvec"))
-      .withColumn("cn", expr("sqrt(graft_dot(cvec, cvec))"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cvec, cvec)), 0d)"))
     val v = corpus.select(col(idCol).as("vec_id"),
         col(labelCol).as("true_label"), toDouble(col(vecCol)).as("__v"))
-      .withColumn("vn", expr("sqrt(graft_dot(__v, __v))"))
+      .withColumn("vn", expr("nullif(sqrt(graft_dot(__v, __v)), 0d)"))
     val scored = v.join(broadcast(cvecs))
       .select(col("vec_id"), col("true_label"), col("cand"),
         (expr("graft_dot(__v, cvec)") / (col("vn") * col("cn"))).as("sim"))
@@ -323,7 +323,7 @@ object Similarity {
     // the centroid-scoring pass over the corpus runs twice (the shingle-
     // index discipline — callers release with clearCache()/unpersist)
     val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("n", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("n", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
       .join(assign, "id")
       .persist()
     val a = v.select(col("cluster"), col("id").as("id_a"),

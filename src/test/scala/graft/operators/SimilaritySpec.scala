@@ -196,6 +196,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero vectors don't crash cosine search under ANSI mode — they rank nowhere") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f)),   // zero norm: undefined cosine
+      (2L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id",
+      "embedding", 5).collect()
+    // no DIVIDE_BY_ZERO; the zero vector's null sim ranks after real ones
+    val ranked = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(ranked.head === 2L, s"real neighbor must rank first: ${ranked.toSeq}")
+  }
+
   test("quantized L2: zero self-distance, symmetry, ascending ranks") {
     val s = spark
     import s.implicits._
