@@ -135,7 +135,11 @@ object Behavior {
     * is irregular. One lead() window on the user key yields the holding
     * duration (exact integer microseconds); the weighted sum runs in
     * DECIMAL so the result is partitioning-independent. The last reading
-    * of each user has no successor and carries no weight. */
+    * of each user has no successor and carries no weight. A user whose
+    * observed intervals all have zero duration (every event at one
+    * timestamp) has no time mass to average over — NULL twa, guarded
+    * explicitly because ANSI mode (Spark 4 default) would otherwise
+    * raise on the zero division; the oracle carries the same CASE. */
   def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
                       valueCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -147,10 +151,11 @@ object Behavior {
       .filter(col("__dt").isNotNull)
       .groupBy(col(userCol))
       .agg(count(lit(1)).as("n_intervals"),
-        round(sum((col("__v") * col("__dt"))
-            .cast(org.apache.spark.sql.types.DecimalType(30, 2)))
-          .cast(org.apache.spark.sql.types.DoubleType)
-          / sum(col("__dt")), 6).as("twa"))
+        round(when(sum(col("__dt")) > 0,
+          sum((col("__v") * col("__dt"))
+              .cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType)
+            / sum(col("__dt"))), 6).as("twa"))
   }
 
   /** Week-over-week retention RATE per cohort: the [[cohortRetention]]
@@ -441,8 +446,9 @@ object Behavior {
         |           - epoch_us(ts) AS dt
         |  FROM events)
         |SELECT user_id, count(*) AS n_intervals,
-        |       round(CAST(sum(CAST(value * dt AS DECIMAL(30,2))) AS DOUBLE)
-        |             / sum(dt), 6) AS twa
+        |       CASE WHEN sum(dt) > 0 THEN
+        |         round(CAST(sum(CAST(value * dt AS DECIMAL(30,2))) AS DOUBLE)
+        |               / sum(dt), 6) END AS twa
         |FROM d WHERE dt IS NOT NULL
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "b3_cohort_value" ->
