@@ -49,8 +49,12 @@ object RobustStats {
         sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("ss"))
       .select(col(groupCol), col("n"),
         (col("s") / col("n")).as("mean"),
-        sqrt(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
-          .as("std"))
+        // clamp the cancellation form at 0: a constant group can land an
+        // epsilon NEGATIVE variance in doubles, where Spark's sqrt gives
+        // NaN (which compares above every guard) and DuckDB's sqrt raises
+        sqrt(greatest(
+          col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")),
+          lit(0.0))).as("std"))
     df.join(broadcast(st), groupCol)
       .select(col(groupCol),
         when(col("std") > 0, (x - col("mean")) / col("std")).as("z"))
@@ -130,7 +134,7 @@ object RobustStats {
         |  FROM lineitem GROUP BY 1),
         |m AS (
         |  SELECT l_returnflag, s / n AS mean,
-        |         sqrt(ss / n - (s / n) * (s / n)) AS std
+        |         sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS std
         |  FROM st),
         |z AS (
         |  SELECT l.l_returnflag,
