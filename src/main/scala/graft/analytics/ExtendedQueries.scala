@@ -369,8 +369,12 @@ object ExtendedQueries {
       dsumWide(q * p).as("sqp"), dsumWide(q * d).as("sqd"), dsumWide(p * d).as("spd"))
     def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) = {
       val n = col("n").cast(DoubleType)
-      round((n * sxy - sx * sy) /
-        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      // NULL when either column is constant (zero variance): r is
+      // undefined there, and the unguarded form diverges between engines
+      // (Spark sqrt(0)/ANSI-zero-div vs DuckDB sqrt error) — same
+      // degenerate-input contract as RobustStats.zscoreOutliers
+      val denom2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      round(when(denom2 > 0, (n * sxy - sx * sy) / sqrt(denom2)), 6)
     }
     m.select(col("n"), explode(array(
       struct(lit("quantity_extendedprice").as("pair"),
@@ -833,15 +837,18 @@ object ExtendedQueries {
         |  FROM lineitem)
         |SELECT pair, n, r FROM (
         |  SELECT 'quantity_extendedprice' AS pair, n,
-        |         round((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS r
+        |         round(CASE WHEN (n*sqq - sq*sq) * (n*spp - sp*sp) > 0
+        |           THEN (n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)) END, 6) AS r
         |  FROM m
         |  UNION ALL
         |  SELECT 'quantity_discount', n,
-        |         round((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6)
+        |         round(CASE WHEN (n*sqq - sq*sq) * (n*sdd - sd*sd) > 0
+        |           THEN (n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)) END, 6)
         |  FROM m
         |  UNION ALL
         |  SELECT 'extendedprice_discount', n,
-        |         round((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6)
+        |         round(CASE WHEN (n*spp - sp*sp) * (n*sdd - sd*sd) > 0
+        |           THEN (n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)) END, 6)
         |  FROM m)
         |ORDER BY pair""".stripMargin,
     "a25_mode" ->
