@@ -401,12 +401,15 @@ object ExtendedQueries {
       dsumWide(x * y).as("sxy"))
     val n = col("n").cast(DoubleType)
     val num = n * col("sxy") - col("sx") * col("sy")
-    val slope = num / (n * col("sxx") - col("sx") * col("sx"))
+    // NULL when a column is constant (zero variance): the fit is
+    // undefined and ANSI mode would raise on the zero division — the
+    // shared degenerate-input contract (see a24/zscoreOutliers)
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    val slope = when(vx > 0, num / vx)
     // r² as the direct ratio (no sqrt-then-square): bit-identical to the
     // oracle's formulation, not just equal-after-rounding
-    val r2 = (num * num) /
-      ((n * col("sxx") - col("sx") * col("sx")) *
-        (n * col("syy") - col("sy") * col("sy")))
+    val r2 = when(vx > 0 && vy > 0, (num * num) / (vx * vy))
     m.select(col("n"), round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
       round(r2, 6).as("r2"))
@@ -425,11 +428,13 @@ object ExtendedQueries {
     val n = col("n").cast(DoubleType)
     val m1 = col("s1") / n
     val v = col("s2") / n - m1 * m1
-    val skew = (col("s3") / n - lit(3.0) * m1 * (col("s2") / n) +
-      lit(2.0) * m1 * m1 * m1) / pow(v, 1.5)
-    val kurt = (col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
+    // NULL shape stats for a zero-variance column (ANSI zero division /
+    // pow-of-negative-epsilon guard — the a24 degenerate-input contract)
+    val skew = when(v > 0, (col("s3") / n - lit(3.0) * m1 * (col("s2") / n) +
+      lit(2.0) * m1 * m1 * m1) / pow(v, 1.5))
+    val kurt = when(v > 0, (col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
       lit(6.0) * m1 * m1 * (col("s2") / n) -
-      lit(3.0) * m1 * m1 * m1 * m1) / (v * v) - lit(3.0)
+      lit(3.0) * m1 * m1 * m1 * m1) / (v * v) - lit(3.0))
     m.select(col("n"), round(m1, 6).as("mean_v"), round(v, 6).as("variance"),
       round(skew, 6).as("skewness"), round(kurt, 6).as("excess_kurtosis"))
   }
@@ -698,10 +703,12 @@ object ExtendedQueries {
         |d AS (SELECT n, s1 / n AS m1, s2 / n - (s1 / n) * (s1 / n) AS v,
         |             s2, s3, s4 FROM m)
         |SELECT n, round(m1, 6) AS mean_v, round(v, 6) AS variance,
-        |  round((s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1)
-        |        / pow(v, 1.5), 6) AS skewness,
-        |  round((s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n)
-        |         - 3.0 * m1 * m1 * m1 * m1) / (v * v) - 3.0, 6)
+        |  round(CASE WHEN v > 0
+        |    THEN (s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1)
+        |         / pow(v, 1.5) END, 6) AS skewness,
+        |  round(CASE WHEN v > 0
+        |    THEN (s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n)
+        |          - 3.0 * m1 * m1 * m1 * m1) / (v * v) - 3.0 END, 6)
         |    AS excess_kurtosis
         |FROM d""".stripMargin,
     "a33_bool_aggs" ->
@@ -816,11 +823,14 @@ object ExtendedQueries {
         |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
         |  FROM lineitem)
         |SELECT n,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        |  round((sy - CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx) / n, 6)
         |    AS intercept,
-        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
         |FROM m""".stripMargin,
     "a24_correlation" ->
       """WITH m AS (
