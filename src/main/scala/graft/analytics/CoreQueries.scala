@@ -207,12 +207,27 @@ object CoreQueries {
   }
 
   /** A10b — approx percentile, the actual at-scale operator (single pass,
-    * mergeable sketch). No oracle: approximation is engine-specific. */
+    * mergeable KLL-style sketch), TOLERANCE-GRADED (VERDICT r7 item 3):
+    * the entry emits the exact interpolated percentiles (which the DuckDB
+    * oracle reproduces bit-for-bit) plus within-bound flags pinning the
+    * sketch answer to ±0.5% relative of the exact one at accuracy=10000
+    * (rank error 1e-4 — far tighter than 0.5% in value on this
+    * distribution, so the bound is loose enough to be stable and tight
+    * enough to catch a broken sketch). Both aggregates run in the SAME
+    * single-pass agg, so the sketch path itself is still exercised. */
   private val a10Approx: Q = (s, dir) => {
     val x = col("l_extendedprice")
+    val eps = 0.005
     Tables(s, dir).lineitem.agg(
-      percentile_approx(x, lit(0.5), lit(10000)).as("p50_approx"),
-      percentile_approx(x, lit(0.95), lit(10000)).as("p95_approx"))
+      percentile_approx(x, array(lit(0.5), lit(0.95)), lit(10000)).as("qa"),
+      percentile(x, array(lit(0.5), lit(0.95))).as("qe"))
+      .select(
+        round(col("qe").getItem(0), 4).as("p50_exact"),
+        round(col("qe").getItem(1), 4).as("p95_exact"),
+        (abs(col("qa").getItem(0) - col("qe").getItem(0))
+          <= lit(eps) * col("qe").getItem(0)).as("p50_within_eps"),
+        (abs(col("qa").getItem(1) - col("qe").getItem(1))
+          <= lit(eps) * col("qe").getItem(1)).as("p95_within_eps"))
   }
 
   /** A11 — grouped error stats incl. RMSE per price bucket
@@ -798,6 +813,14 @@ object CoreQueries {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tolerance-graded sketch (VERDICT r7 item 3): the oracle reproduces
+    // the exact percentiles and expects the within-bound flags to hold
+    "a10_percentile_approx" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+        |       TRUE AS p50_within_eps,
+        |       TRUE AS p95_within_eps
+        |FROM lineitem""".stripMargin,
     "a10_percentiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

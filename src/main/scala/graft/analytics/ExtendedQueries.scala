@@ -278,28 +278,57 @@ object ExtendedQueries {
       count_distinct(col("l_suppkey")).as("n_supps"))
 
   /** A19 — approx_count_distinct: the mergeable single-pass sketch used at
-    * 100 TB where exact distinct would shuffle every key. Sketch estimates
-    * are engine-specific => rows-only. */
-  private val approxDistinctQ: Q = (s, dir) =>
+    * 100 TB where exact distinct would shuffle every key. TOLERANCE-GRADED
+    * (VERDICT r7 item 3): emits the exact distinct counts (oracle-
+    * reproducible) plus flags pinning the HLL++ estimate at rsd=0.01 to
+    * within ±2% relative of exact — 2σ of the configured standard error,
+    * and the sketch is deterministic per dataset so the gate is stable.
+    * Exact and sketch run in the same single aggregation pass. */
+  private val approxDistinctQ: Q = (s, dir) => {
+    val eps = 0.02
     Tables(s, dir).lineitem.agg(
-      approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
-      approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+      count_distinct(col("l_orderkey")).as("n_orders_exact"),
+      count_distinct(col("l_partkey")).as("n_parts_exact"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("__ao"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("__ap"))
+      .select(col("n_orders_exact"), col("n_parts_exact"),
+        (abs(col("__ao") - col("n_orders_exact"))
+          <= lit(eps) * col("n_orders_exact")).as("orders_within_eps"),
+        (abs(col("__ap") - col("n_parts_exact"))
+          <= lit(eps) * col("n_parts_exact")).as("parts_within_eps"))
+  }
 
   /** A23 — MERGEABLE distinct sketches (Datasketches HLL): per-group
     * sketches unioned into a global estimate. This is the cross-batch
     * pattern a19's one-shot approx_count_distinct can't do — at 100 TB you
     * persist one small sketch per partition/day and union them at query
-    * time instead of rescanning history. Sketch bytes are engine-local =>
-    * rows-only; accuracy and union-consistency are pinned in the suite. */
+    * time instead of rescanning history. TOLERANCE-GRADED (VERDICT r7
+    * item 3): emits the exact distinct count (oracle-reproducible) plus
+    * two pins — the merged-union estimate within ±2% of exact (lgK=12 →
+    * rsd ≈ 1.6%, and the sketch is deterministic per dataset), and
+    * merge-consistency: union-of-group-sketches within ±0.5% of the
+    * direct whole-table sketch. NOT exact equality: the register contents
+    * ARE losslessly merged at equal lgK, but Spark's union gadget runs in
+    * HLL_8 and the estimate after back-conversion can differ in the last
+    * digits from the direct HLL_4 sketch once past sparse mode (measured
+    * 1488 vs 1492 on sf0.01's 1500 true distincts — 0.27%). */
   private val hllMergeQ: Q = (s, dir) => {
     val o = Tables(s, dir).orders
+    val eps = 0.02
+    val mergeEps = 0.005
     val perGroup = o.groupBy("o_orderpriority")
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
     val merged = perGroup
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"))
-    val direct = o
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("n_direct"))
+    val direct = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("n_direct"),
+      count_distinct(col("o_custkey")).as("n_exact"))
     merged.crossJoin(direct)
+      .select(col("n_exact"),
+        (abs(col("n_merged") - col("n_exact"))
+          <= lit(eps) * col("n_exact")).as("merged_within_eps"),
+        (abs(col("n_merged") - col("n_direct"))
+          <= lit(mergeEps) * col("n_direct")).as("merge_consistent"))
   }
 
   /** W5 — relative-rank window family (percent_rank / cume_dist). */
@@ -674,7 +703,7 @@ object ExtendedQueries {
     "a20_collect_set" -> collectSetQ,
     "a18_count_distinct" -> distinctCountsQ,
     "a19_approx_distinct" -> approxDistinctQ,
-    "a23_hll_mergeable" -> hllMergeQ,   // sketch bytes engine-local => rows-only
+    "a23_hll_mergeable" -> hllMergeQ,   // tolerance-graded vs exact (r8)
     "s7_sql_views" -> sqlViewsQ,
     "pipeline_clean_ingest" -> cleanIngestQ,
     "a16_rollup" -> rollupQ,
@@ -908,6 +937,19 @@ object ExtendedQueries {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem""".stripMargin,
+    // tolerance-graded sketches (VERDICT r7 item 3): the oracle reproduces
+    // the exact answers and expects every within-bound flag to hold
+    "a19_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders_exact,
+        |       count(DISTINCT l_partkey) AS n_parts_exact,
+        |       TRUE AS orders_within_eps,
+        |       TRUE AS parts_within_eps
+        |FROM lineitem""".stripMargin,
+    "a23_hll_mergeable" ->
+      """SELECT count(DISTINCT o_custkey) AS n_exact,
+        |       TRUE AS merged_within_eps,
+        |       TRUE AS merge_consistent
+        |FROM orders""".stripMargin,
     "s7_sql_views" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
