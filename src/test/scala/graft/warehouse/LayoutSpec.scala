@@ -43,4 +43,26 @@ class LayoutSpec extends SparkSpec {
     assert(meanArea < domainArea / 4,
       s"z-order tiles should cluster both dims: mean box $meanArea vs domain $domainArea")
   }
+
+  test("zOrderFileStats: range-exchange shape, disjoint z-ranges, no global window") {
+    val t = graft.Tables(spark, sf001)
+    val li = t.lineitem.select("l_partkey", "l_suppkey")
+    // the production layout plans a range exchange + per-partition sort,
+    // never a single-task global Window/ntile
+    val plan = Layout.zOrderCluster(li, "l_partkey", "l_suppkey", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+    val files = Layout.zOrderFileStats(li, "l_partkey", "l_suppkey", 16).collect()
+    // every row lands in exactly one file
+    assert(files.map(_.getAs[Long]("n")).sum === li.count())
+    // range partitioning on __z gives pairwise-disjoint, ordered z-ranges
+    val byFile = files.sortBy(_.getAs[Int]("file"))
+    byFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("z_max") <= b.getAs[Long]("z_min"),
+          s"files ${a.getAs[Int]("file")} and ${b.getAs[Int]("file")} overlap in z")
+      case _ =>
+    }
+  }
 }
