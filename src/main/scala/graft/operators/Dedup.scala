@@ -387,12 +387,13 @@ object Dedup {
     * keeper forced into train, or dropping the eval member. */
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val pairs = jaccardPairs(shingleIndex(docs, idCol, textCol).persist(), threshold)
+    val idx = shingleIndex(docs, idCol, textCol).persist()
+    val pairs = jaccardPairs(idx, threshold)
     // the (id, split) frame feeds both pair-member joins: persist the
     // narrow two-column frame or the per-row md5 split draw runs twice
-    // over the corpus (callers release with clearCache()/unpersist)
+    // over the corpus
     val split = TextOps.hashSplit(docs, idCol).persist()
-    pairs
+    val flagged = pairs
       .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
         "id_a")
       .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")),
@@ -400,6 +401,13 @@ object Dedup {
       .filter(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"),
         col("split_a"), col("split_b"))
+    // Materialize the flagged-pairs result distributed (lineage truncated),
+    // then release BOTH internal corpus-derived caches inside the function —
+    // no per-invocation cache accumulation in long-lived sessions. The
+    // checkpoint blocks belong to the returned handle.
+    val out = flagged.localCheckpoint(true)
+    idx.unpersist(); split.unpersist()
+    out
   }
 
   /** Sub-document (chunk-level) exact dedup — production LLM pipelines
@@ -916,6 +924,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sharded seen-before probe (VERDICT r7 item 5): the 10^10-fingerprint
+    * production variant, graded like its driver-merged twin — same corpus
+    * slice, same batch. Sketch-table layout is engine-local => rows-only;
+    * flag agreement with the driver variant is pinned in DedupSpec. */
+  private val seenShardedQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    seenBeforeProbeSharded(d.filter(col("doc_id") % 5 =!= 0), d, "doc_id",
+      "text", nShards = 16, expectedItems = 100000L)
+      .orderBy("doc_id")
+  }
+
   /** Decontamination scan: src0 plays the held-out benchmark, the rest of
     * the corpus is scanned for >= 2 shared 3-gram shingles. */
   private val contaminationQ: Q = (s, dir) => {
@@ -968,6 +987,7 @@ object Dedup {
     "dedup_minhash_incremental" -> minhashIncrementalQ,
     "dedup_contamination" -> contaminationQ,
     "dedup_seen_before" -> seenBeforeQ, // bloom layout is engine-local => rows-only
+    "dedup_seen_sharded" -> seenShardedQ, // distributed-sketch twin, rows-only
     "dedup_substring_probe" -> substringProbeQ,
     "dedup_substring_multi" -> substringMultiQ,
   )

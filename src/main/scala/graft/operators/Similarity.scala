@@ -138,15 +138,73 @@ object Similarity {
     * normal has component hash(p, d) in dimension d, scaled to [-1, 1).
     * Deterministic (seeded by xxhash64), so bucketing needs no fitted model
     * and replays identically across the cluster. Each projection is the
-    * codegen'd [[graft.functions.GraftDot]] against a literal normal row. */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    * codegen'd [[graft.functions.GraftDot]] against a literal normal row.
+    * `planeOffset` selects a disjoint slice of the global normal sequence,
+    * so multi-TABLE LSH ([[lshIndexMulti]]) gets independent hyperplane
+    * sets per table from the same seeded stream. */
+  def lshBucket(vec: Column, dim: Int, planes: Int,
+                planeOffset: Int = 0): Column = {
     graft.functions.GraftDot.register(SparkSession.active)
-    val normals = lshNormals(dim, planes)
+    val normals = lshNormals(dim, planeOffset + planes)
     val bits = (0 until planes).map { p =>
-      val proj = call_function("graft_dot", vec, typedLit(normals(p).toSeq))
+      val proj = call_function("graft_dot", vec,
+        typedLit(normals(planeOffset + p).toSeq))
       when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Corpus-side multi-table sign-LSH index — the ONLINE-RETRIEVAL
+    * artifact (VERDICT r7 item 7): built once, persisted/materialized as a
+    * table, then probed by arbitrarily many query batches WITHOUT
+    * re-bucketing or re-shuffling the corpus. OR-amplification across
+    * `tables` independent hyperplane sets is what buys high recall (a
+    * neighbor is a candidate if it collides in ANY table: recall =
+    * 1-(1-p^planes)^tables for per-plane agreement p), at the cost of
+    * `tables` index rows per vector. At 100 TB this is the materialized
+    * index of a retrieval service, partitioned by (tbl, bucket) so one
+    * probe touches only its buckets' partitions. */
+  def lshIndexMulti(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, planes: Int = 2, tables: Int = 16): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+          lshBucket(col("cv"), dim, planes, t * planes).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("neighbor_id"), col("cv"), col("cn"))
+  }
+
+  /** Incremental ANN probe against a PREBUILT [[lshIndexMulti]] index: the
+    * batch side is bucketed (batch-sized work) and broadcast onto the
+    * index's (tbl, bucket) keys — the corpus/index side undergoes NO new
+    * shuffle or re-bucketing (plan-pinned in SimilaritySpec). A neighbor
+    * colliding in several tables is scored once per collision and
+    * collapsed by a candidates-sized max-agg before the top-k window.
+    * Recall vs brute force is ≥0.95 by parameter contract (pinned in the
+    * suite on the weak-similarity synthetic data — the hardest regime;
+    * clustered production embeddings sit far above the bound). */
+  def cosineTopKLshIncremental(index: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               dim: Int, planes: Int = 2,
+                               tables: Int = 16): DataFrame = {
+    graft.functions.GraftDot.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+          lshBucket(col("qv"), dim, planes, t * planes).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("query_id"), col("qv"), col("qn"))
+    val scored = index.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(cv, qv)") / (col("cn") * col("qn"))).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** ANN top-k: probe only the query's own LSH bucket. Approximate — a
@@ -321,7 +379,7 @@ object Similarity {
       .select(col("vec_id").as("id"), col("assigned_label").as("cluster"))
     // the assigned+normed frame feeds BOTH self-join sides: persist it, or
     // the centroid-scoring pass over the corpus runs twice (the shingle-
-    // index discipline — callers release with clearCache()/unpersist)
+    // index discipline)
     val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
       .join(assign, "id")
@@ -330,13 +388,22 @@ object Similarity {
       col("v").as("va"), col("n").as("na"))
     val b = v.select(col("cluster"), col("id").as("id_b"),
       col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("cluster"))
+    val pairs = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cluster"), col("id_a"), col("id_b"),
         (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("cluster"), col("id_a"), col("id_b"),
         round(col("sim"), 4).as("sim"))
+    // Materialize the pairs-sized result on the executors (lineage
+    // truncated), then release the corpus-sized cache inside the function —
+    // a long-lived library session must not accumulate internal caches the
+    // caller never sees. localCheckpoint (not collect) keeps the
+    // materialization distributed; the checkpoint blocks are owned by the
+    // RETURNED handle and are reclaimed when it goes out of scope.
+    val out = pairs.localCheckpoint(true)
+    v.unpersist()
+    out
   }
 
   /** Symmetric int8 scalar quantization in long form (vec_id, pos, q,
@@ -414,11 +481,26 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Online-retrieval shape: the corpus (vec_id >= 20) index is persisted
+    * once; a batch of NEW queries (vec_id < 10, disjoint from the corpus)
+    * probes it. Cache contract as minhashIncrementalPairs: caller releases
+    * with clearCache() after consuming. Approximate => rows-only; recall
+    * ≥ 0.95 vs brute force is pinned in SimilaritySpec. */
+  private val lshIncrementalQ: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val index = lshIndexMulti(e.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", dim = 64).persist()
+    cosineTopKLshIncremental(index, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", 10, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
     "ann_cosine_filtered" -> filteredTopK,
     "ann_euclidean_topk" -> euclideanTopK,
     "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
+    "ann_lsh_incremental" -> lshIncrementalQ,    // approximate => rows-only
     "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
     "emb_label_centroids" -> centroidsQ,

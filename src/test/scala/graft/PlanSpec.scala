@@ -294,6 +294,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental ANN probe: batch broadcasts onto the cached index, corpus vectors never re-shuffle") {
+    val p = plan("ann_lsh_incremental")
+    assert(p.contains("BroadcastHashJoin"), "probe batch should broadcast onto the index")
+    assert(p.contains("InMemoryTableScan"), "the index side should read its cache, not rebuild")
+    val sections = p.split("\\n\\(")
+    sections.filter(s => s.contains("Exchange") && s.contains("hashpartitioning"))
+      .foreach { s =>
+        val input = s.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("cv#") && !input.contains("qv#"),
+          s"no Exchange may carry embedding arrays: $input")
+      }
+  }
+
   test("no registered lazy query plans a CartesianProduct or BroadcastNestedLoop") {
     // entries that run driver-side actions (train/collect/write) during
     // construction are exercised elsewhere; everything lazy is checked here
@@ -311,7 +324,11 @@ class PlanSpec extends SparkSpec {
       // rounds / counts; the XML entry writes during construction
       "pipeline_corpus_curation", "dedup_canonical_keep", "s13_xml_roundtrip",
       // round-7: writes the text dump during construction
-      "s14_text_roundtrip")
+      "s14_text_roundtrip",
+      // round-8 (ADVICE r7): these materialize via localCheckpoint during
+      // construction so internal corpus-sized caches can be released
+      // inside the function instead of leaking to the caller
+      "dedup_semantic", "dedup_split_leakage")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a

@@ -127,8 +127,35 @@ class DedupSpec extends SparkSpec {
     seenTexts.keys.foreach(id => assert(out(id), s"false negative on doc $id"))
     val fpRate = newTexts.keys.count(out(_)).toDouble / math.max(newTexts.size, 1)
     assert(fpRate <= 0.1, s"false-positive rate $fpRate far above the 1% target")
-    // agreement with the driver-merged variant on the definitely-new verdicts
-    // is implied by the shared no-false-negative contract above
+  }
+
+  test("driver and sharded seen-before probes agree on the test corpus") {
+    // VERDICT r7 item 5: the two variants share the no-false-negative
+    // contract exactly; false positives COULD differ (different bitsets)
+    // but both are deterministic per dataset, so any disagreement must be
+    // (a) on a genuinely-new text and (b) rare — pin both properties.
+    val docs = Tables(spark, sf001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val driver = Dedup.seenBeforeProbe(corpus, docs, "doc_id", "text",
+      expectedItems = 100000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val sharded = Dedup.seenBeforeProbeSharded(corpus, docs, "doc_id", "text",
+      nShards = 16, expectedItems = 100000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(driver.keySet === sharded.keySet)
+    val corpusFps = corpus.select(graft.functions.TextOps.fingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    val fps = docs.select(col("doc_id"),
+      graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val disagree = driver.keys.filter(id => driver(id) != sharded(id)).toSeq
+    disagree.foreach { id =>
+      assert(!corpusFps(fps(id)),
+        s"variants disagree on doc $id whose text IS in the corpus — " +
+          "one of them has a false negative")
+    }
+    assert(disagree.size <= math.max(1, driver.size / 50),
+      s"${disagree.size}/${driver.size} disagreements — FP behavior diverged")
   }
 
   test("connectedComponents survives a deep chain (localCheckpoint cadence)") {
