@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
   * separate `errors` map instead of polluting timings.
   */
 object Bench {
-  /** Representative heavy queries (full-surface correctness is Verify's job). */
-  private val headline = Seq(
+  /** Representative heavy queries (full-surface correctness is Verify's job).
+    * Shared with [[Slope]], which measures each one's sf0.01→sf0.1 scaling. */
+  private[graft] val headline = Seq(
     "a1_kpi_global", "a5_two_key_group", "a4_daily_series", "a9_multistat",
     "a11_error_buckets", "j2_fact_join", "j4_star_join", "j5_anti_join",
     "t3_topk_rank", "w2_running_sum", "u1_union_distinct", "p8_bucketize",
