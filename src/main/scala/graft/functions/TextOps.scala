@@ -247,6 +247,47 @@ object TextOps {
     tfidfTopK(Tables(s, dir).documents, "doc_id", "text", 3)
       .orderBy("doc_id", "rank")
 
+  /** BM25 retrieval: top-k documents for a bag-of-terms query, scored with
+    * the Okapi/Lucene formula — IDF(t) = ln((N-df+0.5)/(df+0.5) + 1),
+    * term weight = idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)). The
+    * corpus-side shape is what matters at 100 TB: tokens are filtered to
+    * the query's terms BEFORE any shuffle (the explode-side filter prunes
+    * ~the whole corpus), so the (doc, term) aggregate is query-matches-
+    * sized, not corpus-sized; doc frequencies come from a window over that
+    * same small frame (no second corpus scan); N/avgdl is a one-row agg
+    * broadcast back; the final top-k is TakeOrderedAndProject. Ranking
+    * uses the ROUNDED score so order is stable across engines. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val stats = toks.agg(count(lit(1)).as("__n"),
+      avg(size(col("ts"))).as("__avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("ts")).as("dl"),
+        explode(col("ts")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
+    val scored = withDf.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+    scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
+  private val bm25Q: Q = (s, dir) =>
+    bm25TopK(Tables(s, dir).documents, "doc_id", "text",
+      Seq("hash", "join", "vector"), 10)
+      .orderBy("rank")
+
   /** Deterministic text normalization (the cleanup step before shingling /
     * fingerprinting): lower-case, strip everything outside [a-z0-9 ],
     * collapse runs of spaces, trim. Pure per-row codegen'd projection. */
@@ -819,6 +860,7 @@ object TextOps {
     "text_rolling_hash" -> rollingHashQ,
     "text_heavy_hitters" -> heavyHittersQ,
     "text_tfidf_topk" -> tfidfQ,
+    "text_bm25_topk" -> bm25Q,
     "text_normalize" -> normalizeQ,
     "text_bigram_freq" -> bigramQ,
     "text_gopher_rules" -> gopherQ,
@@ -938,6 +980,31 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, rank, token, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf FROM base
+        |  WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |wdf AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tf),
+        |scored AS (
+        |  SELECT doc_id,
+        |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+        |           AS score
+        |  FROM wdf CROSS JOIN stats GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |           AS rank, doc_id, score
+        |  FROM scored)
+        |SELECT rank, doc_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // rotl(acc,5) in HUGEINT: (acc*32 mod 2^64) + (acc div 2^59) — the two
     // terms occupy disjoint bit ranges, so + == |; DuckDB's << would raise
     // on overflow, multiplication in HUGEINT cannot. Signed conversion as

@@ -398,4 +398,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === ((4L, 0.0)))
     assert(out(3L) === ((4L, 0.75)))
   }
+
+  test("bm25: rare-term match outranks common-term match, scores hand-checked") {
+    // 4 docs, equal length 4 so the length normalizer is identical and the
+    // ranking is pure idf*tf arithmetic: "zebra" (df=1) must dominate
+    // "data" (df=2) even against a higher tf; the no-match doc is absent.
+    val d = docs(
+      1L -> "zebra zebra table table",
+      2L -> "data data data table",
+      3L -> "data table table table",
+      4L -> "table table table table")
+    val out = TextOps.bm25TopK(d, "doc_id", "text", Seq("zebra", "data"), 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L),
+      s"ranking wrong: ${out.toSeq}")
+    // hand computation, N=4 avgdl=4 dl=4 => denom = tf + 1.2:
+    // idf(zebra) = ln((4-1+0.5)/(1+0.5)+1) = ln(10/3)
+    // idf(data)  = ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+    val izebra = math.log(10.0 / 3.0); val idata = math.log(2.0)
+    def w(idf: Double, tf: Int) = idf * tf * 2.2 / (tf + 1.2)
+    val expect1 = math.round(w(izebra, 2) * 10000.0) / 10000.0
+    val expect2 = math.round(w(idata, 3) * 10000.0) / 10000.0
+    assert(out(0)._3 === expect1, s"doc 1 score ${out(0)._3} != $expect1")
+    assert(out(1)._3 === expect2, s"doc 2 score ${out(1)._3} != $expect2")
+    // scores are non-increasing down the ranking
+    assert(out.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+  }
 }
