@@ -47,7 +47,8 @@ object Bench {
     "text_oov_ratio", "dedup_split_leakage", "dedup_semantic",
     "q_k_anonymity", "ml_class_weights", "f12_date_arith",
     // round-8 entries
-    "dedup_seen_sharded", "ann_lsh_incremental",
+    "dedup_seen_sharded", "ann_lsh_incremental", "ann_ivf_incremental",
+    "text_bm25_topk",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

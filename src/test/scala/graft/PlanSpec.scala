@@ -311,6 +311,8 @@ class PlanSpec extends SparkSpec {
     // entries that run driver-side actions (train/collect/write) during
     // construction are exercised elsewhere; everything lazy is checked here
     val eager = Set("ml_gbt_metrics", "t4_top_errors_labeled", "ann_ivf_topk",
+      // round-8: same quantizer-fit + query-collect shape as ann_ivf_topk
+      "ann_ivf_incremental",
       "pipeline_clean_ingest", "s5_partitioned_sink", "s6_jdbc_roundtrip",
       "s8_csv_roundtrip", "s11_json_roundtrip", "s4_path_probe",
       // round-4 entries that run driver-side actions during construction

@@ -177,6 +177,34 @@ class SimilaritySpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("incremental IVF probe: one quantizer fit, two batches, decent recall") {
+    // the IVF twin of the incremental LSH shape: ivfIndex fits the coarse
+    // quantizer ONCE; both batches probe the same index + centers artifact.
+    val e = Tables(spark, sf001).embeddings
+    val corpus = e.filter($"vec_id" >= 20)
+    val batch = e.filter($"vec_id" < 10)
+    val (index, centers) = Similarity.ivfIndex(corpus, "vec_id", "embedding")
+    val cached = index.persist()
+    cached.count()
+    val brute = Similarity.cosineTopK(corpus, batch, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.cosineTopKIvfIncremental(cached, centers, batch,
+      "vec_id", "embedding", 10, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // weak-similarity synthetic data spreads true neighbors across
+    // centroids — 8-of-16 probes must still recover most of them
+    val recall = got.count(brute).toDouble / brute.size
+    assert(recall >= 0.6, s"incremental IVF recall $recall below bound")
+    // second disjoint batch, same artifacts — no re-fit, full k per query
+    val batch2 = e.filter($"vec_id" >= 10 && $"vec_id" < 15)
+    val got2 = Similarity.cosineTopKIvfIncremental(cached, centers, batch2,
+      "vec_id", "embedding", 10, nProbe = 8).collect()
+    assert(got2.length === 5 * 10)
+    cached.unpersist()
+  }
+
   test("centroid assign: total, deterministic, and beats chance on true labels") {
     val e = Tables(spark, sf001).embeddings
     val out = Similarity.centroidAssign(e, "vec_id", "label", "embedding")
