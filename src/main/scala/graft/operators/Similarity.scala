@@ -343,6 +343,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hybrid retrieval (the RAG-ingest search shape): BM25 over the text
+    * corpus generates `kCand` lexical candidates, then an exact-cosine
+    * rerank against a query embedding orders the final top-k. The
+    * candidate stage prunes the corpus BEFORE any vector work — the
+    * embedding join and cosine scoring touch kCand rows, never the corpus
+    * — so at 100 TB the expensive dense scoring is candidates-sized while
+    * the lexical stage stays the matches-sized shuffle of
+    * [[graft.functions.TextOps.bm25TopK]]. Fully deterministic (both
+    * scores rounded before ranking) => oracle-checked end-to-end. */
+  def hybridRerank(docs: DataFrame, emb: DataFrame, docIdCol: String,
+                   textCol: String, vecIdCol: String, vecCol: String,
+                   queryTerms: Seq[String], queryVecId: Long,
+                   kCand: Int, k: Int): DataFrame = {
+    graft.functions.GraftDot.register(docs.sparkSession)
+    val cand = graft.functions.TextOps
+      .bm25TopK(docs, docIdCol, textCol, queryTerms, kCand)
+      .select(col("doc_id"), col("score").as("bm25"))
+      .filter(col("doc_id") =!= queryVecId)
+    val cvec = emb.select(col(vecIdCol).as("doc_id"), toDouble(col(vecCol)).as("cv"))
+    val qvec = emb.filter(col(vecIdCol) === queryVecId)
+      .select(toDouble(col(vecCol)).as("qv"))
+    val scored = cand.join(cvec, "doc_id")
+      .crossJoin(broadcast(qvec))
+      .withColumn("cos", round(expr("graft_dot(cv, qv)") /
+        (expr("nullif(sqrt(graft_dot(cv, cv)), 0d)") *
+          expr("nullif(sqrt(graft_dot(qv, qv)), 0d)")), 4))
+      .select(col("doc_id"), col("bm25"), col("cos"))
+    val ord = Seq(desc("cos"), desc("bm25"), asc("doc_id"))
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      .select(col("rank"), col("doc_id"), col("bm25"), col("cos"))
+  }
+
   /** Per-label centroid (prototype) vectors in long form (label, pos, m) —
     * the class-prototype / cluster-summary aggregation of an embedding
     * pipeline (nearest-centroid classification, drift monitoring, IVF
@@ -539,6 +573,14 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid search: BM25 candidates from the documents table, reranked by
+    * cosine against doc 0's embedding (doc_id ≡ vec_id in the testdata). */
+  private val hybridQ: Q = (s, dir) =>
+    hybridRerank(Tables(s, dir).documents, Tables(s, dir).embeddings,
+      "doc_id", "text", "vec_id", "embedding",
+      Seq("hash", "join", "vector"), queryVecId = 0L, kCand = 50, k = 10)
+      .orderBy("rank")
+
   val entries: Map[String, Q] = Map(
     "ann_cosine_topk" -> bruteTopK,
     "ann_cosine_filtered" -> filteredTopK,
@@ -547,6 +589,7 @@ object Similarity {
     "ann_lsh_incremental" -> lshIncrementalQ,    // approximate => rows-only
     "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
     "ann_ivf_incremental" -> ivfIncrementalQ,    // approximate => rows-only
+    "ann_hybrid_rerank" -> hybridQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
     "emb_label_centroids" -> centroidsQ,
     "emb_quantize_int8" -> quantizeQ,
@@ -555,6 +598,47 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // BM25 candidate CTE mirrors the text_bm25_topk oracle (same terms,
+    // same rounding); the rerank joins candidates to embeddings and orders
+    // by rounded cosine. The candidate rank is computed BEFORE excluding
+    // the query doc, matching the Spark side's limit-then-filter order.
+    "ann_hybrid_rerank" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf FROM base
+        |  WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |wdf AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tf),
+        |bscored AS (
+        |  SELECT doc_id,
+        |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+        |           AS bm25
+        |  FROM wdf CROSS JOIN stats GROUP BY doc_id),
+        |cand AS (
+        |  SELECT doc_id, bm25,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS crank
+        |  FROM bscored),
+        |reranked AS (
+        |  SELECT c.doc_id, c.bm25,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                      q.embedding::DOUBLE[]), 4) AS cos
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.doc_id
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE c.crank <= 50 AND c.doc_id != 0),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cos DESC, bm25 DESC, doc_id)
+        |           AS INT) AS rank, doc_id, bm25, cos
+        |  FROM reranked)
+        |SELECT rank, doc_id, bm25, cos FROM ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "ann_cosine_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -205,6 +205,23 @@ class SimilaritySpec extends SparkSpec {
     cached.unpersist()
   }
 
+  test("hybrid rerank: results come from the lexical candidate set, cosine-ordered") {
+    val t = Tables(spark, sf001)
+    val cand = graft.functions.TextOps
+      .bm25TopK(t.documents, "doc_id", "text", Seq("hash", "join", "vector"), 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Similarity.hybridRerank(t.documents, t.embeddings,
+      "doc_id", "text", "vec_id", "embedding",
+      Seq("hash", "join", "vector"), queryVecId = 0L, kCand = 50, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length === 10)
+    // dense rerank may only REORDER the lexical candidates, never add docs
+    assert(out.forall { case (_, id, _) => cand(id) && id != 0L },
+      "reranked doc outside the BM25 candidate set")
+    // cosine non-increasing down the final ranking
+    assert(out.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+  }
+
   test("centroid assign: total, deterministic, and beats chance on true labels") {
     val e = Tables(spark, sf001).embeddings
     val out = Similarity.centroidAssign(e, "vec_id", "label", "embedding")
