@@ -27,7 +27,10 @@ object ExplainAudit {
       // round-7 heavy entries
       "ann_cosine_filtered", "ann_euclidean_topk", "layout_zorder",
       "b9_interval_union", "inc_snapshot_diff", "text_oov_ratio",
-      "dedup_split_leakage", "dedup_semantic")
+      "dedup_split_leakage", "dedup_semantic",
+      // round-8 entries
+      "ann_lsh_incremental", "text_bm25_topk", "ann_hybrid_rerank",
+      "dedup_seen_sharded")
     val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n########## $n ##########")

@@ -256,7 +256,13 @@ object TextOps {
     * sized, not corpus-sized; doc frequencies come from a window over that
     * same small frame (no second corpus scan); N/avgdl is a one-row agg
     * broadcast back; the final top-k is TakeOrderedAndProject. Ranking
-    * uses the ROUNDED score so order is stable across engines. */
+    * uses the ROUNDED score so order is stable across engines.
+    *
+    * The N/avgdl aggregate is the one full-corpus pass here (column-pruned
+    * to the text column). A 100-TB deployment computes it ONCE at indexing
+    * time and stores it as index metadata — exactly like [[ivfIndex]]'s
+    * centroid artifact in [[graft.operators.Similarity]] — leaving queries
+    * with only the matches-sized work. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
