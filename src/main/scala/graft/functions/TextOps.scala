@@ -326,6 +326,63 @@ object TextOps {
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
 
+  /** Cross-document repeated n-gram mining — the memorization-risk /
+    * boilerplate miner of an LLM curation pipeline: an n-gram present in
+    * many DISTINCT documents is either boilerplate to strip or a
+    * memorization hazard to dedup. Per-doc n-grams are deduplicated BEFORE
+    * the corpus aggregation (array_distinct inside the row), so the
+    * shuffle carries at most one (doc, ngram) per document and the groupBy
+    * is a single map-side-combinable hash agg; the >= minDocs filter makes
+    * the output heavy-hitters-sized. All per-row work (sequence/transform/
+    * slice/concat_ws) is codegen'd — no UDF. */
+  def ngramHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocs: Long): DataFrame =
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(array_distinct(
+        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+
+  private val ngramHHQ: Q = (s, dir) =>
+    ngramHeavyHitters(Tables(s, dir).documents, "doc_id", "text",
+      n = 5, minDocs = 2)
+      .orderBy(desc("df"), asc("ngram"))
+
+  /** Doc-level co-occurrence PMI pairs — the collocation / topic-structure
+    * miner: PMI(a,b) = ln(N·df_ab / (df_a·df_b)) over distinct-token
+    * document sets, reported for pairs co-occurring in >= minPairDocs
+    * docs. Pair generation is a doc_id-keyed self-join of per-doc DISTINCT
+    * tokens — quadratic only in a document's distinct vocabulary, never in
+    * the corpus; at 100 TB the token side is pruned to a bounded top-V
+    * vocabulary first (the [[heavyHitters]] output broadcast as a
+    * semi-join filter), which caps the per-doc fanout by construction. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               minPairDocs: Long, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val a = toks.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = toks.select(col("doc_id"), col("tok").as("tok_b"))
+    a.join(b, "doc_id").filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairDocs)
+      .join(dfreq.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(dfreq.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(log(col("df_ab").cast(DoubleType) * col("__n")
+        / (col("df_a") * col("df_b"))), 4))
+      .select(col("tok_a"), col("tok_b"), col("df_ab"), col("pmi"))
+      .orderBy(desc("pmi"), asc("tok_a"), asc("tok_b")).limit(k)
+  }
+
+  private val pmiQ: Q = (s, dir) =>
+    pmiPairs(Tables(s, dir).documents, "doc_id", "text",
+      minPairDocs = 3, k = 20)
+      .orderBy(desc("pmi"), asc("tok_a"), asc("tok_b"))
+
   /** The distinct-stopword containment list from the Gopher quality rules
     * (Rae et al. 2021, MassiveText filtering, appendix A1.1). */
   val gopherStopwords: Seq[String] =
@@ -867,6 +924,8 @@ object TextOps {
     "text_heavy_hitters" -> heavyHittersQ,
     "text_tfidf_topk" -> tfidfQ,
     "text_bm25_topk" -> bm25Q,
+    "text_ngram_heavy_hitters" -> ngramHHQ,
+    "text_pmi_pairs" -> pmiQ,
     "text_normalize" -> normalizeQ,
     "text_bigram_freq" -> bigramQ,
     "text_gopher_rules" -> gopherQ,
@@ -986,6 +1045,36 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, rank, token, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_ngram_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+        |           i -> array_to_string(ts[i:i+4], ' ')))) AS ngram
+        |  FROM tok WHERE len(ts) >= 5)
+        |SELECT ngram, count(*) AS df FROM grams
+        |GROUP BY ngram HAVING count(*) >= 2
+        |ORDER BY df DESC, ngram""".stripMargin,
+    "text_pmi_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS df_ab
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |scored AS (
+        |  SELECT tok_a, tok_b, df_ab,
+        |         round(ln(CAST(df_ab AS DOUBLE) * n.n / (da.df * db.df)), 4)
+        |           AS pmi
+        |  FROM pairs
+        |  JOIN dfreq da ON da.tok = tok_a
+        |  JOIN dfreq db ON db.tok = tok_b
+        |  CROSS JOIN n)
+        |SELECT tok_a, tok_b, df_ab, pmi FROM scored
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
     "text_bm25_topk" ->
       """WITH base AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,

@@ -424,4 +424,35 @@ class TextOpsSpec extends SparkSpec {
     // scores are non-increasing down the ranking
     assert(out.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
   }
+
+  test("ngram heavy hitters: df counts DOCUMENTS, within-doc repeats collapse") {
+    // doc 1 repeats the phrase twice (must count once); docs 1 and 2 share
+    // it; doc 3 has no 5-gram window at all (4 tokens)
+    val d = docs(
+      1L -> "a b c d e x a b c d e",
+      2L -> "z a b c d e",
+      3L -> "a b c d")
+    val out = TextOps.ngramHeavyHitters(d, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a b c d e") === 2L, s"per-doc dedup broken: $out")
+    assert(!out.contains("b c d e x"), "df=1 ngram must be filtered")
+    assert(out.size === 1, s"only the shared 5-gram survives minDocs=2: $out")
+  }
+
+  test("pmi pairs: perfect co-occurrence scores ln(N/df), independence scores ~0") {
+    // 4 docs; x and y always together (df 2 each, df_ab 2) => pmi = ln(4*2/4)
+    // = ln 2; p and q in every doc => pmi = ln(4*4/16) = 0
+    val d = docs(
+      1L -> "x y p q",
+      2L -> "x y p q",
+      3L -> "p q r s",
+      4L -> "p q r t")
+    val out = TextOps.pmiPairs(d, "doc_id", "text", minPairDocs = 2, k = 50)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    val ln2 = math.round(math.log(2.0) * 10000.0) / 10000.0
+    assert(out(("x", "y")) === ln2, s"perfect pair: ${out.get(("x", "y"))}")
+    assert(out(("p", "q")) === 0.0, s"independent pair: ${out.get(("p", "q"))}")
+    // ranking: the informative pair sorts above the independent one
+    assert(out(("x", "y")) > out(("p", "q")))
+  }
 }
