@@ -48,7 +48,8 @@ object Bench {
     "q_k_anonymity", "ml_class_weights", "f12_date_arith",
     // round-8 entries
     "dedup_seen_sharded", "ann_lsh_incremental", "ann_ivf_incremental",
-    "text_bm25_topk", "ann_hybrid_rerank",
+    "text_bm25_topk", "ann_hybrid_rerank", "text_ngram_heavy_hitters",
+    "text_pmi_pairs",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

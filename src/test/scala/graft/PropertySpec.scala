@@ -166,4 +166,40 @@ class PropertySpec extends AnyFunSuite {
     assert(!shouldPromote(Metrics(4.0, 2.5, 0.85), cur))  // 1 win
     assert(!shouldPromote(Metrics(6.0, 2.5, 0.85), cur))  // 0 wins
   }
+
+  test("bm25: engine scores equal a plain-Scala reference on random corpora") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x")
+    val docGen = Gen.chooseNum(1, 12)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, docGen))
+    val terms = Seq("alpha", "gamma")
+    val (k1, b) = (1.2, 0.75)
+    forAll(corpusGen, n = 12) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // plain-Scala reference, straight from the formula
+      val tokenized = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val nDocs = docs.size
+      val avgdl = tokenized.map(_._2.size).sum.toDouble / nDocs
+      val dfOf = terms.map(t =>
+        t -> tokenized.count(_._2.contains(t))).toMap
+      val expect = tokenized.flatMap { case (id, toks) =>
+        val s = terms.map { t =>
+          val tf = toks.count(_ == t)
+          if (tf == 0) 0.0 else {
+            val idf = math.log((nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5) + 1.0)
+            idf * tf * (k1 + 1.0) /
+              (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+          }
+        }.sum
+        if (s == 0.0) None
+        else Some(id -> math.round(s * 10000.0) / 10000.0)
+      }.toMap
+      val got = graft.functions.TextOps
+        .bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", terms, nDocs)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(got === expect, s"corpus: $texts")
+    }
+  }
 }

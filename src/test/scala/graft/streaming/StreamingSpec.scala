@@ -389,6 +389,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 3L))
   }
 
+  test("streaming query batches probe the prebuilt LSH index via foreachBatch") {
+    // the online-retrieval loop end-to-end: the corpus index is built and
+    // cached ONCE; each arriving micro-batch of query ids is enriched with
+    // its vectors and probes the SAME index — no per-batch rebuild, the
+    // streaming twin of the incremental ANN entries.
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables(spark, sf001).embeddings
+    val corpus = e.filter($"vec_id" >= 20)
+    val index = graft.operators.Similarity
+      .lshIndexMulti(corpus, "vec_id", "embedding", dim = 64).persist()
+    index.count()
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("vec_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withVecs = batch.join(e, "vec_id")
+        val topk = graft.operators.Similarity.cosineTopKLshIncremental(
+          index, withVecs, "vec_id", "embedding", 10, dim = 64)
+        results.synchronized {
+          results ++= topk.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    input.addData(0L to 4L: _*)
+    q.processAllAvailable()
+    input.addData(5L to 9L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byQuery = results.groupBy(_._1)
+    assert(byQuery.keySet === (0L to 9L).toSet, s"queries seen: ${byQuery.keySet}")
+    assert(byQuery.values.forall(_.size === 10), "each probe returns full k")
+    // neighbors come from the indexed corpus slice only
+    assert(results.forall(_._2 >= 20L))
+    index.unpersist()
+  }
+
   test("frame sampling picks every k-th index and handles edge sizes") {
     import graft.operators.Multimodal.sampleFrameIndexes
     assert(sampleFrameIndexes(10, 3) === Seq(0, 3, 6, 9))
