@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Ops.Q
 import graft.Tables
@@ -281,6 +281,49 @@ object Behavior {
   def ewmaWeights(alpha: Double, horizon: Int): Seq[Double] =
     (0 until horizon).map(j => math.pow(1 - alpha, j))
 
+  /** Same-weekday rolling anomaly flags over the daily revenue series — a
+    * monitoring layer's "is today out of line with recent same-weekday
+    * history" check (seasonal-naive baseline: Saturdays compare with
+    * Saturdays). Each day is z-scored against the `lookback` PRECEDING
+    * same-weekday days — the current day is excluded from its own baseline
+    * so an anomalous day cannot mask itself. Days with <2 history rows
+    * (series head) or a zero-variance baseline emit NULL z and flag false.
+    *
+    * Scale shape: the daily aggregation is the only fact-sized shuffle
+    * (DECIMAL sums keep it engine-deterministic); the baseline window runs
+    * over the AGGREGATE — one row per day, bounded by calendar time, not
+    * data volume — partitioned by day-of-week. Mean/std come from explicit
+    * lag columns with fixed left-to-right arithmetic (not a window stddev,
+    * whose accumulation order is engine-private), so the oracle evaluates
+    * bit-identical expressions; every division is CASE-gated in both
+    * engines so no NaN/Inf semantics are ever compared. */
+  def seasonalAnomaly(events: DataFrame, tsCol: String, valCol: String,
+                      lookback: Int = 4, zThreshold: Double = 2.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be at least 2, got $lookback")
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("__rev"))
+      .select(col("day"), col("__rev").cast(DoubleType).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dayofweek(col("day"))).orderBy("day")
+    val lags = (1 to lookback).map(j => lag(col("revenue"), j).over(w))
+    val n = lags.map(c => when(c.isNotNull, lit(1.0)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val sumL = lags.map(c => when(c.isNotNull, c).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val mu = when(n >= 1, sumL / n)
+    val ss = lags.map(c => when(c.isNotNull, (c - mu) * (c - mu))
+      .otherwise(lit(0.0))).reduce(_ + _)
+    val sd = when(n >= 2, sqrt(ss / (n - lit(1.0))))
+    val z = when(sd > 0, round((col("revenue") - mu) / sd, 4))
+    daily.select(col("day"), col("revenue"),
+      n.cast(LongType).as("n_hist"),
+      round(mu, 2).as("baseline_mu"),
+      z.as("z"),
+      coalesce(abs(z) > lit(zThreshold), lit(false)).as("is_anomaly"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -328,6 +371,9 @@ object Behavior {
     ewma(Tables(s, dir).events, "user_id", "ts", "event_id", "value")
       .orderBy("user_id", "event_id")
 
+  private val anomalyQ: Q = (s, dir) =>
+    seasonalAnomaly(Tables(s, dir).events, "ts", "value").orderBy("day")
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
@@ -339,6 +385,7 @@ object Behavior {
     "b3_cohort_value" -> cohortValueQ,
     "b9_interval_union" -> intervalUnionQ,
     "b10_ewma" -> ewmaQ,
+    "b11_seasonal_anomaly" -> anomalyQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,6 +549,44 @@ object Behavior {
          |       CASE WHEN ($den) > 0
          |            THEN round(($num) / ($den), 6) END AS ewma
          |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
+    // same explicit-lag arithmetic as the operator, every division
+    // CASE-gated identically (DuckDB's dayofweek numbering differs from
+    // Spark's by an offset, but only the induced GROUPING matters here)
+    "b11_seasonal_anomaly" -> {
+      val lagDefs = (1 to 4).map(j => s"lag(revenue, $j) OVER w AS l$j")
+        .mkString(", ")
+      val n = (1 to 4)
+        .map(j => s"(CASE WHEN l$j IS NOT NULL THEN 1.0 ELSE 0.0 END)")
+        .mkString(" + ")
+      val sumL = (1 to 4)
+        .map(j => s"(CASE WHEN l$j IS NOT NULL THEN l$j ELSE 0.0 END)")
+        .mkString(" + ")
+      val ss = (1 to 4)
+        .map(j => s"(CASE WHEN l$j IS NOT NULL THEN (l$j - mu) * (l$j - mu) ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |  FROM events GROUP BY 1),
+         |l AS (
+         |  SELECT day, revenue, $lagDefs FROM daily
+         |  WINDOW w AS (PARTITION BY dayofweek(day) ORDER BY day)),
+         |m AS (
+         |  SELECT *, ($n) AS n,
+         |         CASE WHEN ($n) >= 1 THEN ($sumL) / ($n) END AS mu
+         |  FROM l),
+         |sdv AS (
+         |  SELECT *, CASE WHEN n >= 2 THEN sqrt(($ss) / (n - 1.0)) END AS sd
+         |  FROM m),
+         |zz AS (
+         |  SELECT *, CASE WHEN sd > 0
+         |                 THEN round((revenue - mu) / sd, 4) END AS z
+         |  FROM sdv)
+         |SELECT day, revenue, CAST(n AS BIGINT) AS n_hist,
+         |       round(mu, 2) AS baseline_mu, z,
+         |       coalesce(abs(z) > 2.0, false) AS is_anomaly
+         |FROM zz ORDER BY day""".stripMargin
     },
   )
 }

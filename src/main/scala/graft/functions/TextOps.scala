@@ -305,13 +305,18 @@ object TextOps {
       .select(col("doc_id"), normalize(col("text")).as("norm_text"))
       .orderBy("doc_id")
 
+  /** Non-distinct word n-grams of a pre-materialized token array (docs with
+    * <n tokens yield an empty array). Unlike the dedup shingle kernel this
+    * keeps multiplicity — frequency is the point for the repetition rules. */
+  private def ngramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o + 1))): _*))
+    ).otherwise(array())
+
   /** Non-distinct word bigrams of a pre-materialized token array (docs with
     * <2 tokens yield an empty array). */
-  private def bigramsOf(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - lit(2)),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
-    ).otherwise(array())
+  private def bigramsOf(toks: Column): Column = ngramsOf(toks, 2)
 
   /** Corpus bigram frequencies, top `limit` by (count desc, bigram asc) —
     * the n-gram LM / collocation table. Non-distinct within a doc (unlike
@@ -451,6 +456,41 @@ object TextOps {
 
   private val repetitionQ: Q = (s, dir) =>
     repetitionStats(Tables(s, dir).documents, "doc_id", "text").orderBy("doc_id")
+
+  /** Per-document duplicate n-gram fractions — the remaining Gopher
+    * repetition rule ([[repetitionStats]] covers the top-word/-bigram
+    * shares): the fraction of n-gram OCCURRENCES belonging to an n-gram
+    * that appears ≥2× within the same document, and the fraction of n-gram
+    * CHARACTER MASS those occurrences carry (Rae et al. 2021 §A1.1's
+    * "duplicate n-grams" family). High values flag looping/boilerplate text
+    * that the top-share signals miss when the repeats are spread across
+    * several distinct n-grams.
+    *
+    * Scale shape: explode → two keyed map-side-combining aggregations
+    * ((doc, gram) then doc) plus one co-keyed left join back to keep
+    * gram-free docs — per-doc state only, never corpus-global. */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val occ = docs.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(ngramsOf(col("__toks"), n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val chars = length(col("gram")).cast(LongType) * col("c")
+    val per = occ.groupBy("doc_id").agg(
+      sum(col("c")).as("__total"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("__dup"),
+      sum(chars).as("__chars"),
+      sum(when(col("c") >= 2, chars).otherwise(0L)).as("__dupchars"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__total"), lit(0L)).as("n_grams"),
+        coalesce(round(col("__dup").cast(DoubleType) / col("__total"), 6),
+          lit(0.0)).as("dup_ngram_frac"),
+        coalesce(round(col("__dupchars").cast(DoubleType) / col("__chars"), 6),
+          lit(0.0)).as("dup_char_frac"))
+  }
+
+  private val dupNgramQ: Q = (s, dir) =>
+    dupNgramStats(Tables(s, dir).documents, "doc_id", "text", 3).orderBy("doc_id")
 
   /** Source mixing weights: per-source token mass plus the sampling weight
     * that rebalances the corpus toward a UNIFORM source mixture — the
@@ -930,6 +970,7 @@ object TextOps {
     "text_bigram_freq" -> bigramQ,
     "text_gopher_rules" -> gopherQ,
     "text_repetition" -> repetitionQ,
+    "text_dup_ngrams" -> dupNgramQ,
     "text_source_mix" -> sourceMixQ,
     "text_seq_packing" -> seqPackQ,
     "text_pii_scrub" -> piiScrubQ,
@@ -1174,6 +1215,25 @@ object TextOps {
         |SELECT w.doc_id, w.top_word_frac, w.distinct_word_frac,
         |       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM words w LEFT JOIN bstat b USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "text_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |           i -> array_to_string(ts[i:i+2], ' '))) AS gram
+        |  FROM t WHERE len(ts) >= 3),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, sum(c) AS total,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+        |         sum(length(gram) * c) AS chars,
+        |         sum(CASE WHEN c >= 2 THEN length(gram) * c ELSE 0 END) AS dupchars
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(coalesce(total, 0) AS BIGINT) AS n_grams,
+        |       coalesce(round(CAST(dup AS DOUBLE) / total, 6), 0.0) AS dup_ngram_frac,
+        |       coalesce(round(CAST(dupchars AS DOUBLE) / chars, 6), 0.0) AS dup_char_frac
+        |FROM documents LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" -> {
       val Seq((email, er), (intl, pr), (dashed, _), (num, nr)) = piiPatterns
       s"""SELECT doc_id,

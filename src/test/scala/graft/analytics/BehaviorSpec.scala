@@ -146,4 +146,38 @@ class BehaviorSpec extends SparkSpec {
     // (4 + 2*0.7 + 1*0.49) / (1 + 0.7 + 0.49)
     assert(math.abs(out(3L) - (4 + 1.4 + 0.49) / 2.19) < 1e-6)
   }
+
+  test("seasonal anomaly: planted spike flags, head and zero-variance don't") {
+    val s = spark
+    import s.implicits._
+    // five consecutive Mondays (2024-01-01 is a Monday): baseline 10,12,10,12
+    // then a 100 spike; plus two Tuesdays with IDENTICAL revenue (zero
+    // variance -> z must be NULL, not a division error or an Inf flag)
+    val events = Seq(
+      ts("2024-01-01 10:00:00") -> 4.0, ts("2024-01-01 11:00:00") -> 6.0,
+      ts("2024-01-08 10:00:00") -> 12.0,
+      ts("2024-01-15 10:00:00") -> 10.0,
+      ts("2024-01-22 10:00:00") -> 12.0,
+      ts("2024-01-29 10:00:00") -> 100.0,
+      ts("2024-01-02 10:00:00") -> 7.0,
+      ts("2024-01-09 10:00:00") -> 7.0,
+      ts("2024-01-16 10:00:00") -> 7.0,
+    ).toDF("ts", "value")
+    val out = Behavior.seasonalAnomaly(events, "ts", "value")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getBoolean(5))).toMap
+
+    val (n0, z0, f0) = out("2024-01-01")            // series head: no history
+    assert(n0 === 0L && z0.isEmpty && !f0)
+    val (n1, z1, f1) = out("2024-01-29")            // the planted spike
+    val mu = (10.0 + 12 + 10 + 12) / 4
+    val sd = math.sqrt((math.pow(10 - mu, 2) * 2 + math.pow(12 - mu, 2) * 2) / 3)
+    assert(n1 === 4L && f1)
+    assert(math.abs(z1.get - (100 - mu) / sd) < 1e-3)
+    val (n2, z2, f2) = out("2024-01-09")            // single-row history
+    assert(n2 === 1L && z2.isEmpty && !f2)
+    val (n3, z3, f3) = out("2024-01-16")            // zero-variance baseline
+    assert(n3 === 2L && z3.isEmpty && !f3)
+  }
 }

@@ -295,6 +295,38 @@ class TextOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("top_bigram_frac") === 0.0) // no bigram in a 1-token doc
   }
 
+  test("dup-ngram stats: repeated trigrams, clean docs, gram-free docs") {
+    val d = docs(
+      // tokens a b c a b c a b -> 6 trigrams: "a b c","b c a","c a b" ×2
+      // each -> every occurrence is a duplicate
+      1L -> "a b c a b c a b",
+      // 4 distinct tokens -> 2 distinct trigrams, nothing repeats
+      2L -> "p q r s",
+      // shorter than n -> zero grams, fractions pinned at 0.0
+      3L -> "q w")
+    val out = TextOps.dupNgramStats(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") === 6L)
+    assert(out(0).getAs[Double]("dup_ngram_frac") === 1.0)
+    assert(out(0).getAs[Double]("dup_char_frac") === 1.0)
+    assert(out(1).getAs[Long]("n_grams") === 2L)
+    assert(out(1).getAs[Double]("dup_ngram_frac") === 0.0)
+    assert(out(1).getAs[Double]("dup_char_frac") === 0.0)
+    assert(out(2).getAs[Long]("n_grams") === 0L)
+    assert(out(2).getAs[Double]("dup_ngram_frac") === 0.0)
+    assert(out(2).getAs[Double]("dup_char_frac") === 0.0)
+  }
+
+  test("dup-ngram stats: partial duplication weights chars by gram length") {
+    // tokens: aa bb aa bb aa -> trigrams "aa bb aa"(×2), "bb aa bb"(×1)
+    // dup occurrences 2/3; chars: gram len 8 each -> dup_char 16/24
+    val d = docs(1L -> "aa bb aa bb aa")
+    val r = TextOps.dupNgramStats(d, "doc_id", "text", 3).collect().head
+    assert(r.getAs[Long]("n_grams") === 3L)
+    assert(r.getAs[Double]("dup_ngram_frac") === 0.666667)
+    assert(r.getAs[Double]("dup_char_frac") === 0.666667)
+  }
+
   test("mix budget: per-source doc_id prefix, crossing doc included") {
     val s = spark
     import s.implicits._
