@@ -9,6 +9,7 @@ import graft.ml.ModelRegistry
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
 
 /** Second wave of the analytics surface: the SQL-view query path (S7), the
   * composed clean-ingest pipeline (VERDICT r2 item 10), rollup/pivot
@@ -330,6 +331,52 @@ object ExtendedQueries {
         (abs(col("n_merged") - col("n_direct"))
           <= lit(mergeEps) * col("n_direct")).as("merge_consistent"))
   }
+
+  /** A41 — mergeable Count-Min frequency sketch (the heavy-hitter /
+    * frequency twin of a23's HLL distinct sketch): per-split sketches are
+    * built distributed, merged driver-side — CMS merge is exact
+    * cell-wise table addition, so union-of-parts must equal the one-shot
+    * sketch's estimates EXACTLY (pinned as a flag, unlike the HLL case
+    * where Spark's union gadget converts representations) — then probed
+    * for every value of the low-cardinality key. TOLERANCE-GRADED like
+    * a23: emits the exact per-key counts (oracle-reproducible) plus the
+    * CMS guarantees as flags: est ≥ exact always, est ≤ exact + εN at the
+    * graded ε. The key-domain collect is DOMAIN-sized (5 event types),
+    * never data-sized; at 100 TB the per-day/per-partition sketches
+    * persist as small binaries and this merge+probe runs on that
+    * metadata, no history rescan. */
+  private val cmsQ: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir).events
+    val eps = 0.001
+    val skAgg = count_min_sketch(col("event_type"),
+      lit(eps), lit(0.99), lit(42))
+    val halves = e.withColumn("__h", pmod(col("event_id"), lit(2)))
+      .groupBy("__h").agg(skAgg.as("sk")).collect()
+      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+    val merged = halves.reduce { (a, b) => a.mergeInPlace(b); a }
+    val direct = CountMinSketch.readFrom(e.agg(skAgg).head.getAs[Array[Byte]](0))
+    val exact = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val total = exact.map(_._2).sum
+    exact.map { case (k, n) =>
+      val est = merged.estimateCount(k)
+      (k, n, est >= n && est <= n + math.ceil(eps * total).toLong,
+        est == direct.estimateCount(k))
+    }.toDF("event_type", "n_exact", "est_within_eps", "merge_consistent")
+  }
+
+  /** A42 — contingency table through the `DataFrameStatFunctions.crosstab`
+    * surface (event type × day-of-week): the second key's values pivot
+    * into columns — an EDA pass's quick-look association table. Under the
+    * hood this is a pivot aggregate: one keyed shuffle with map-side
+    * partials, output columns bounded by the dow domain (7), so it scales
+    * exactly like a plain group-by. */
+  private val crosstabQ: Q = (s, dir) =>
+    Tables(s, dir).events
+      .select(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .stat.crosstab("event_type", "dow")
+      .orderBy("event_type_dow")
 
   /** W5 — relative-rank window family (percent_rank / cume_dist). */
   private val percentRankQ: Q = (s, dir) => {
@@ -704,6 +751,8 @@ object ExtendedQueries {
     "a18_count_distinct" -> distinctCountsQ,
     "a19_approx_distinct" -> approxDistinctQ,
     "a23_hll_mergeable" -> hllMergeQ,   // tolerance-graded vs exact (r8)
+    "a41_cms_frequency" -> cmsQ,        // tolerance-graded vs exact
+    "a42_crosstab" -> crosstabQ,
     "s7_sql_views" -> sqlViewsQ,
     "pipeline_clean_ingest" -> cleanIngestQ,
     "a16_rollup" -> rollupQ,
@@ -950,6 +999,20 @@ object ExtendedQueries {
         |       TRUE AS merged_within_eps,
         |       TRUE AS merge_consistent
         |FROM orders""".stripMargin,
+    "a41_cms_frequency" ->
+      """SELECT event_type, count(*) AS n_exact,
+        |       TRUE AS est_within_eps,
+        |       TRUE AS merge_consistent
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Spark dayofweek = DuckDB dayofweek()+1 (Sunday-first 1..7)
+    "a42_crosstab" -> {
+      val dows = (1 to 7).map(d =>
+        s"""CAST(sum(CASE WHEN dayofweek(CAST(ts AS DATE)) + 1 = $d THEN 1 ELSE 0 END) AS BIGINT) AS "$d"""")
+        .mkString(",\n       ")
+      s"""SELECT event_type AS event_type_dow,
+         |       $dows
+         |FROM events GROUP BY 1 ORDER BY event_type_dow""".stripMargin
+    },
     "s7_sql_views" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

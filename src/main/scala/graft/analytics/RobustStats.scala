@@ -104,6 +104,41 @@ object RobustStats {
           / count(lit(1)), 4).as("winsorized_mean"))
   }
 
+  /** Equi-depth histogram: `k` bins holding ~equal row counts, bounded by
+    * the exact interpolated percentiles at i/k — the bucketing a query
+    * optimizer's column statistics or a feature-binning step wants, where
+    * the fixed-width histogram (`a26_histogram`) would collapse under a
+    * skewed distribution. Boundary anchors are rounded to 6 BEFORE binning
+    * (identical across engines); ties on a boundary go to the lower bin
+    * (strict `>` comparisons). A pathological distribution with coincident
+    * boundaries yields empty bins, which are simply absent — identically
+    * so in the oracle, which assigns bins by the same expression.
+    *
+    * Scale shape: one aggregate computes the k+1 anchors; bin assignment
+    * is a codegen'd sum of scalar comparisons against the broadcast
+    * single-row anchor frame; the final count is a k-row map-side
+    * combinable aggregate. Two fact passes, no windows, no sort. */
+  def eqDepthHistogram(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val x = col(valCol)
+    val interior = (1 until k).map(i =>
+      round(pct(x, i.toDouble / k), 6).as(s"b$i"))
+    val bounds = df.agg(
+      round(min(x).cast(DoubleType), 6).as("b0"),
+      (interior :+ round(max(x).cast(DoubleType), 6).as(s"b$k")): _*)
+    val bin = (1 until k).map(i => when(x > col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val barr = array((0 to k).map(i => col(s"b$i")): _*)
+    df.crossJoin(broadcast(bounds))
+      .select(bin.as("bin"), barr.as("__b"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), any_value(col("__b")).as("__b"))
+      .select(col("bin"),
+        element_at(col("__b"), col("bin") + 1).as("lo"),
+        element_at(col("__b"), col("bin") + 2).as("hi"),
+        col("n"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val zscoreQ: Q = (s, dir) =>
@@ -119,10 +154,15 @@ object RobustStats {
       0.05, 0.95)
       .orderBy("l_returnflag")
 
+  private val eqDepthQ: Q = (s, dir) =>
+    eqDepthHistogram(Tables(s, dir).lineitem, "l_extendedprice", 8)
+      .orderBy("bin")
+
   val entries: Map[String, Q] = Map(
     "a37_zscore_outliers" -> zscoreQ,
     "a38_mad" -> madQ,
     "a39_winsorize" -> winsorizeQ,
+    "a40_eqdepth_histogram" -> eqDepthQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +213,29 @@ object RobustStats {
         |             / count(*), 4) AS winsorized_mean
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // generated for k=8 with the same strict-> comparisons and rounded
+    // anchors the operator embeds
+    "a40_eqdepth_histogram" -> {
+      val k = 8
+      val qs = (1 until k).map(i =>
+        s"round(quantile_cont(l_extendedprice, ${i.toDouble / k}), 6) AS b$i")
+        .mkString(",\n         ")
+      val binExpr = (1 until k).map(i =>
+        s"(CASE WHEN l_extendedprice > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val cols = (0 to k).map(i => s"b$i").mkString(", ")
+      val lst = (0 to k).map(i => s"b$i").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT round(min(l_extendedprice), 6) AS b0,
+         |         $qs,
+         |         round(max(l_extendedprice), 6) AS b$k
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT ($binExpr) AS bin, $cols FROM lineitem, b)
+         |SELECT CAST(bin AS INT) AS bin,
+         |       min($lst[bin + 1]) AS lo,
+         |       max($lst[bin + 2]) AS hi,
+         |       count(*) AS n
+         |FROM a GROUP BY bin ORDER BY bin""".stripMargin
+    },
   )
 }

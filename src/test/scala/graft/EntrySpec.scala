@@ -110,6 +110,32 @@ class EntrySpec extends SparkSpec {
       "union-of-group-sketches drifted beyond ±0.5% of the direct sketch")
   }
 
+  test("CMS sketches: merged halves match the direct sketch and bound exact") {
+    val rows = SparkEntry.queries("a41_cms_frequency")(spark, sf001).collect()
+    val exact = Tables(spark, sf001).events
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === exact.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === exact(r.getString(0)))
+      assert(r.getAs[Boolean]("est_within_eps"),
+        s"CMS estimate for ${r.getString(0)} escaped the exact..exact+εN band")
+      assert(r.getAs[Boolean]("merge_consistent"),
+        "CMS union-of-halves must equal the one-shot sketch exactly")
+    }
+  }
+
+  test("crosstab: dow columns partition the event count") {
+    val ct = SparkEntry.queries("a42_crosstab")(spark, sf001)
+    val rows = ct.collect()
+    val ev = Tables(spark, sf001).events
+    assert(rows.length === ev.select("event_type").distinct().count())
+    val dowCols = ct.columns.filterNot(_ == "event_type_dow")
+    assert(dowCols.toSet.subsetOf((1 to 7).map(_.toString).toSet))
+    val total = rows.map(r => dowCols.map(c => r.getAs[Long](c)).sum).sum
+    assert(total === ev.count())
+  }
+
   test("observe() metrics ride the job: counts match without a second scan") {
     val ev = Tables(spark, sf001).events
     val observed = Gates.withObservedMetrics(ev, "clean_batch", col("value") >= 50)

@@ -58,4 +58,21 @@ class RobustStatsSpec extends SparkSpec {
     // clipping the 1000 down must pull the mean far below the raw 109.0
     assert(m < 109.0)
   }
+
+  test("equi-depth histogram: contiguous ascending bins, counts near-equal") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed values — the case a fixed-width histogram collapses on
+    val skewed = (1 to 400).map(i => math.pow(1.02, i)).toDF("v")
+    val bins = RobustStats.eqDepthHistogram(skewed, "v", 8)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Int]("bin")).toSeq === (0 until 8))
+    assert(bins.map(_.getAs[Long]("n")).sum === 400L)
+    // equal depth: every bin within ±1 of 50 rows despite the skew
+    assert(bins.forall(r => math.abs(r.getAs[Long]("n") - 50L) <= 1))
+    // bin ranges tile the value domain in order: lo asc, hi(i) == lo(i+1)
+    val lohi = bins.map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(lohi.forall { case (lo, hi) => lo <= hi })
+    assert(lohi.sliding(2).forall { case Array((_, h), (l, _)) => h == l })
+  }
 }
