@@ -23,6 +23,7 @@ object SparkEntry {
     analytics.CoreQueries.entries ++
       analytics.ExtendedQueries.entries ++
       analytics.Behavior.entries ++
+      analytics.Graph.entries ++
       analytics.RobustStats.entries ++
       operators.Incremental.entries ++
       warehouse.Layout.entries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     analytics.CoreQueries.oracles ++
       analytics.ExtendedQueries.oracles ++
       analytics.Behavior.oracles ++
+      analytics.Graph.oracles ++
       analytics.RobustStats.oracles ++
       operators.Incremental.oracles ++
       warehouse.Layout.oracles ++
