@@ -124,6 +124,35 @@ object Multimodal {
       octet_length(col("content")).as("n_bytes"),
       md5(col("content")).as("content_md5"))
 
+  /** Synthetic VIDEO table: the documents corpus as opaque payloads whose
+    * frame count derives deterministically from payload size (a real
+    * demuxer would read the container header; the ARITHMETIC downstream of
+    * that header read is the real part). ~1 frame per 40 payload bytes. */
+  def syntheticVideo(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"), lit("video/fake").as("media_type"),
+        encode(col("text"), "UTF-8").as("content"))
+      .withColumn("n_frames",
+        (expr("octet_length(content) div 40") + lit(1L)).cast(IntegerType))
+
+  /** Frame sampling over the video table: every k-th frame index per
+    * payload, exploded to one row per sampled frame — the fan-out step
+    * before a per-frame decode/feature kernel ([[MediaDecoder]]) runs.
+    * `sequence(0, n-1, k)` is the engine-expressible twin of
+    * [[sampleFrameIndexes]] (equality pinned in the suite), so the whole
+    * sampling plan — unlike the decode kernel itself — is oracle-green.
+    *
+    * Scale shape: a scan-side Generate (explode) with no shuffle at all;
+    * output size is rows × (frames/k), controlled by the sampling stride.
+    * The downstream decode would then mapPartitions over THIS frame, one
+    * open/close per partition. */
+  def frameSample(video: DataFrame, every: Int): DataFrame = {
+    require(every >= 1, s"sampling stride must be positive, got $every")
+    video.select(col("media_id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(every)))
+        .as("frame_idx"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** Binary decode plumbing: stable ids/sizes/checksums + fake features.
@@ -138,9 +167,14 @@ object Multimodal {
   private val binaryStatsQ: Q = (s, dir) =>
     binaryStats(syntheticMedia(s, dir).toDF()).orderBy("media_id")
 
+  private val frameSampleQ: Q = (s, dir) =>
+    frameSample(syntheticVideo(s, dir), every = 4)
+      .orderBy("media_id", "frame_idx")
+
   val entries: Map[String, Q] = Map(
     "mm_decode_features" -> decodeQ,
     "mm_binary_stats" -> binaryStatsQ,
+    "mm_frame_sample" -> frameSampleQ,
   )
 
   /** CRC32 exists in DuckDB? No — keep n_bytes oracle-checkable instead:
@@ -155,5 +189,15 @@ object Multimodal {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    // same header-derived frame count (bytes div 40 + 1) and stride-4
+    // index range as the operator
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) // 40 + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, n_frames,
+        |       CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx
+        |FROM v ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -434,6 +434,20 @@ class StreamingSpec extends SparkSpec {
     assert(sampleFrameIndexes(0, 2) === Seq.empty)
   }
 
+  test("distributed frame sampling equals the pure index helper per payload") {
+    import graft.operators.Multimodal
+    val video = Multimodal.syntheticVideo(spark, sf001)
+    val sampled = Multimodal.frameSample(video, every = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("media_id"))
+      .map { case (id, rows) =>
+        id -> rows.map(_.getAs[Int]("frame_idx")).sorted.toSeq }
+    val expected = video.select("media_id", "n_frames").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        Multimodal.sampleFrameIndexes(r.getAs[Int]("n_frames"), 4)).toMap
+    assert(sampled.nonEmpty && sampled === expected)
+  }
+
   test("multimodal decode is deterministic and streams through partitions") {
     val media = graft.operators.Multimodal.syntheticMedia(spark, sf001)
     val f1 = graft.operators.Multimodal.decodeFeatures(media)
