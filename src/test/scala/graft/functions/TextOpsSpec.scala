@@ -327,6 +327,29 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("dup_char_frac") === 0.666667)
   }
 
+  test("cdc chunks: boundaries re-sync after an insertion; tokens conserved") {
+    val base = (0 until 60).map(i => s"w$i")
+    val edited = base.take(10) ++ Seq("INS1", "INS2", "INS3") ++ base.drop(10)
+    val d = docs(1L -> base.mkString(" "), 2L -> edited.mkString(" "))
+    val out = TextOps.cdcChunks(d, "doc_id", "text", 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    val hashes = out.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[String]("chunk_hash")).toSeq }
+    // token conservation: chunk sizes sum back to the doc's token count
+    val sizes = out.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    assert(sizes(1L) === 60L && sizes(2L) === 63L)
+    // content-defined re-sync: once past the edit and the next boundary,
+    // both docs chunk identically — a long common hash SUFFIX survives,
+    // which fixed-width chunking (everything shifts by 3) cannot produce
+    val common = hashes(1L).reverse.zip(hashes(2L).reverse)
+      .takeWhile { case (a, b) => a == b }.length
+    assert(common >= 3,
+      s"expected >=3 shared tail chunks after re-sync, got $common " +
+        s"(A=${hashes(1L).length} chunks, B=${hashes(2L).length})")
+  }
+
   test("mix budget: per-source doc_id prefix, crossing doc included") {
     val s = spark
     import s.implicits._

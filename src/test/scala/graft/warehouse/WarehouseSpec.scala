@@ -90,4 +90,21 @@ class WarehouseSpec extends SparkSpec {
     val twice = spark.read.parquet(out).count()
     assert(once === twice && once > 0)
   }
+
+  test("SCD2 point-in-time entry: events split across versions at the boundary") {
+    val out = graft.SparkEntry.queries("j12_scd2_pit")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
+    val t = graft.Tables(spark, sf001)
+    import org.apache.spark.sql.functions._
+    val key5 = t.events.filter(pmod(col("user_id"), lit(25L)) === 5L)
+    val before = key5.filter(to_date(col("ts")) < lit("2024-01-15")).count()
+    val after = key5.count() - before
+    // the renamed version catches exactly the at-or-after-effective events
+    assert(out.getOrElse("NATION_5_RENAMED", 0L) === after)
+    assert(before > 0 && after > 0, "the feed must straddle the rename date")
+    // no event ever double-joins: per-version counts sum to the feed size
+    assert(out.values.sum === t.events.count())
+    // the unseen key 99's version matches nothing (inner join) — absent
+    assert(!out.contains("NATION_99"))
+  }
 }
