@@ -13,7 +13,38 @@ object ExplainAudit {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Mechanical shuffle tally for the COVERAGE.md cost table (VERDICT r7
+    * item 8): per query, the number of hash/range Exchanges (each one is a
+    * full reshuffle of its input at scale) and BroadcastExchanges (driver-
+    * collected small side, no data-sized shuffle) in the UNOPTIMIZED-by-AQE
+    * initial physical plan. Counts come from the same plan text PlanSpec
+    * pins, so the table is reproducible: `runMain graft.ExplainAudit counts`. */
+  def shuffleCounts(spark: SparkSession, dir: String, name: String): (Int, Int) = {
+    val p = plan(spark, dir, name)
+    def occurrences(needle: String) =
+      p.sliding(needle.length).count(_ == needle)
+    val broadcasts = occurrences("BroadcastExchange")
+    (occurrences("Exchange") - broadcasts, broadcasts)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("counts")) {
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+      val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
+      val names =
+        if (args.length > 2) args.drop(2).toSeq
+        else SparkEntry.queries.keys.toSeq.sorted
+      names.foreach { n =>
+        try {
+          val (ex, bc) = shuffleCounts(spark, dir, n)
+          println(f"$n%-34s shuffles=$ex broadcasts=$bc")
+        } catch { case e: Throwable =>
+          println(f"$n%-34s ERROR ${e.getClass.getSimpleName}")
+        }
+      }
+      spark.stop()
+      return
+    }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "p9_range_limit", "j1_broadcast_dim", "j4_star_join", "t3_topk_rank",

@@ -28,20 +28,42 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** The events feed is written with TIMESTAMP(NANOS) parquet type, which
-    * Spark's vectorized reader rejects outright. Read nanos as long
-    * (SPARK-40819 legacy flag) and rebuild a microsecond timestamp with an
-    * exact integral division — the feed carries no sub-microsecond values.
-    * The cast blocks parquet filter pushdown on `ts`; at scale this table
-    * would be re-encoded to TIMESTAMP_MICROS at the bronze->silver hop
-    * (the reference's clean/ingest stage) precisely to keep pushdown. */
+  /** The events feed's `ts` encoding has varied across testdata
+    * generations, so the loader adapts to whichever physical type is on
+    * disk and always hands operators a session-zone `TimestampType`:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright —
+    *    read nanos as long (SPARK-40819 legacy flag) and rebuild a
+    *    microsecond timestamp with exact integral division (the feed has
+    *    no sub-microsecond values). The rebuild blocks parquet filter
+    *    pushdown on `ts`; at scale this table would be re-encoded at the
+    *    bronze->silver hop precisely to keep pushdown.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    *    TIMESTAMP_NTZ — cast to TimestampType (a no-op under the
+    *    session's pinned UTC zone, and DuckDB reads the same naive
+    *    micros, so oracle comparisons stay exact).
+    *  - already TimestampType: pass through untouched (pushdown intact). */
   def events: DataFrame = cache.getOrElseUpdate("events", {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    Tables.normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
   })
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Encoding-adaptive `ts` normalization (see [[Tables.events]]). Shared
+    * with the file-based streaming reads in StreamingSpec, which stream the
+    * same feed and must apply the identical rebuild; works on streaming
+    * frames too (pure projection). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 }

@@ -77,8 +77,8 @@ class StreamingSpec extends SparkSpec {
       srcDir.toPath.resolve("part-0.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath))
     val q = EventStream.streamingTumbling(stream, "1 hour", "1 hour")
       .writeStream.outputMode("complete")
       .format("memory").queryName("file_stream").start()
@@ -349,10 +349,10 @@ class StreamingSpec extends SparkSpec {
       srcDir.toPath.resolve("part-0.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1) // still drains everything: AvailableNow
-      .parquet(srcDir.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // still drains everything: AvailableNow
+        .parquet(srcDir.getAbsolutePath))
     // the batch-catchup trigger: process all data available NOW in bounded
     // micro-batches, then terminate — the scheduled-backfill shape (the
     // reference's monthly catch-up DAG) without leaving a daemon running
