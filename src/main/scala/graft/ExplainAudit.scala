@@ -21,10 +21,14 @@ object ExplainAudit {
     * pins, so the table is reproducible: `runMain graft.ExplainAudit counts`. */
   def shuffleCounts(spark: SparkSession, dir: String, name: String): (Int, Int) = {
     val p = plan(spark, dir, name)
-    def occurrences(needle: String) =
-      p.sliding(needle.length).count(_ == needle)
-    val broadcasts = occurrences("BroadcastExchange")
-    (occurrences("Exchange") - broadcasts, broadcasts)
+    // Count only the detail headers "(n) NodeName" (ADVICE r8): the tree
+    // section prints every operator a second time as "+- NodeName (n)", so
+    // a raw substring count double-counts each node; and an exact-name
+    // anchor keeps ReusedExchange (a reuse, not a new data-sized shuffle)
+    // out of the Exchange tally.
+    def nodeCount(nodeName: String) = p.linesIterator
+      .count(_.matches(s"""\\(\\d+\\) $nodeName\\b.*"""))
+    (nodeCount("Exchange"), nodeCount("BroadcastExchange"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -62,6 +62,16 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // The NTZ->TZ cast reinterprets the naive micros IN THE SESSION
+        // ZONE — exact only under the UTC zone every Graft session pins
+        // (ADVICE r8: from any other zone it would silently shift every
+        // event timestamp and break oracle comparisons). Fail fast rather
+        // than corrupt.
+        val zone = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(zone == "UTC",
+          s"normalizeEventsTs needs spark.sql.session.timeZone=UTC to cast " +
+            s"TIMESTAMP_NTZ losslessly (session has '$zone'); set the zone " +
+            "or read the feed through GraftSession")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

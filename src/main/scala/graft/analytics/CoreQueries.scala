@@ -658,6 +658,28 @@ object CoreQueries {
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** R3b — DETERMINISTIC stratified sample, the hash-green twin of
+    * [[r3Stratified]] (VERDICT r8 item 5): per-stratum fractions become
+    * integer thresholds on a per-row md5 draw over the natural key (the
+    * `text_hash_split` convention — content-addressed, so membership is
+    * reproducible across engines, reruns, and backfills; an unlisted
+    * stratum samples at 0, matching `sampleBy`). Same single-filtered-scan
+    * shape as the RNG variant: no shuffle until the count. At 100 TB this
+    * is the variant a pipeline actually wants — resampling a grown corpus
+    * keeps every previously selected row (no reshuffled split leakage). */
+  private val r3StratifiedHash: Q = (s, dir) => {
+    val draw = pmod(graft.functions.TextOps.md5Hash64Hof(
+      col("o_orderkey").cast(StringType)), lit(4096L))
+    // floor(fraction * 4096): 0.5 -> 2048, 0.1 -> 409, 0.02 -> 81
+    val thr = element_at(typedLit(Map(
+      "1-URGENT" -> 2048L, "3-MEDIUM" -> 409L, "5-LOW" -> 81L)),
+      col("o_orderpriority"))
+    Tables(s, dir).orders
+      .filter(thr.isNotNull && draw < thr)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val entries: Map[String, Q] = Map(
@@ -714,6 +736,7 @@ object CoreQueries {
     "r1_sample" -> r1Sample,
     "r2_split" -> r2Split,
     "r3_stratified_sample" -> r3Stratified,
+    "r3_stratified_hash" -> r3StratifiedHash,
   )
 
   /** DuckDB oracle SQL per entry. Sums go through DECIMAL in lockstep with
@@ -1031,5 +1054,18 @@ object CoreQueries {
         |       list_contains(ts, 'the') AS has_the,
         |       ts[-1] AS last_tok
         |FROM t ORDER BY doc_id""".stripMargin,
+    // deterministic stratified twin (VERDICT r8 item 5): same md5-draw
+    // convention as the text_hash_split oracle; thresholds floor(f*4096)
+    "r3_stratified_hash" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |         md5_number_upper(CAST(o_orderkey AS VARCHAR)) % 4096 AS draw,
+        |         CASE o_orderpriority WHEN '1-URGENT' THEN 2048
+        |              WHEN '3-MEDIUM' THEN 409
+        |              WHEN '5-LOW' THEN 81 END AS thr
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE thr IS NOT NULL AND draw < thr
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -914,25 +914,55 @@ object Dedup {
       col("id") % 5 === 0, 0.8)
       .orderBy("id_a", "id_b")
 
-  /** Seen-before probe: the 80% "corpus" slice sketches its fingerprints;
-    * the full feed probes it. Sketch layout is engine-local => rows-only;
-    * the no-false-negative contract is property-tested in DedupSpec. */
-  private val seenBeforeQ: Q = (s, dir) => {
-    val d = Tables(s, dir).documents
-    seenBeforeProbe(d.filter(col("doc_id") % 5 =!= 0), d, "doc_id", "text",
-      expectedItems = 100000L)
+  /** Exact-twin grading of a Bloom seen-before probe (VERDICT r8 item 3 —
+    * the graded-ANN pattern applied to membership sketches): the probe's
+    * maybe-seen flags are compared in-engine against the EXACT ground truth
+    * (a fingerprint semi-join of the batch against the corpus — the
+    * fingerprint is md5 over normalized text, which DuckDB re-derives
+    * bit-for-bit). Output per batch doc: `truly_seen` (exact,
+    * oracle-reproducible) and `no_false_negative` := maybe_seen OR NOT
+    * truly_seen — TRUE for every row by the Bloom contract (false
+    * POSITIVES are possible and stay engine-local inside the flag; false
+    * NEGATIVES are impossible), so the oracle asserts it as a literal and
+    * a broken sketch (a dropped shard, a mis-hashed probe) hash-mismatches
+    * row-by-row instead of hiding behind a rows-only check. */
+  private def gradeSeenProbe(probe: DataFrame, corpus: DataFrame,
+                             batch: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val fp = graft.functions.TextOps.fingerprint(col(textCol))
+    val corpusFps = corpus.select(fp.as("fp")).distinct()
+    val exact = batch.select(col(idCol).as("doc_id"), fp.as("fp"))
+      .join(corpusFps.withColumn("__hit", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("__hit"), lit(false)).as("truly_seen"))
+    probe.join(exact, Seq("doc_id"))
+      .select(col("doc_id"), col("truly_seen"),
+        (col("maybe_seen") || !col("truly_seen")).as("no_false_negative"))
       .orderBy("doc_id")
   }
 
-  /** Sharded seen-before probe (VERDICT r7 item 5): the 10^10-fingerprint
-    * production variant, graded like its driver-merged twin — same corpus
-    * slice, same batch. Sketch-table layout is engine-local => rows-only;
-    * flag agreement with the driver variant is pinned in DedupSpec. */
+  /** Seen-before probe, GRADED: the 80% "corpus" slice sketches its
+    * fingerprints; the full feed probes it; [[gradeSeenProbe]] pins the
+    * no-false-negative contract against the exact fingerprint join. The
+    * FP-rate bound stays property-tested in DedupSpec. */
+  private val seenBeforeQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    gradeSeenProbe(
+      seenBeforeProbe(corpus, d, "doc_id", "text", expectedItems = 100000L),
+      corpus, d, "doc_id", "text")
+  }
+
+  /** Sharded seen-before probe (VERDICT r7 item 5), GRADED: the
+    * 10^10-fingerprint production variant, graded like its driver-merged
+    * twin — same corpus slice, same batch, same exact-twin contract; flag
+    * agreement with the driver variant stays pinned in DedupSpec. */
   private val seenShardedQ: Q = (s, dir) => {
     val d = Tables(s, dir).documents
-    seenBeforeProbeSharded(d.filter(col("doc_id") % 5 =!= 0), d, "doc_id",
-      "text", nShards = 16, expectedItems = 100000L)
-      .orderBy("doc_id")
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    gradeSeenProbe(
+      seenBeforeProbeSharded(corpus, d, "doc_id", "text", nShards = 16,
+        expectedItems = 100000L),
+      corpus, d, "doc_id", "text")
   }
 
   /** Decontamination scan: src0 plays the held-out benchmark, the rest of
@@ -986,11 +1016,27 @@ object Dedup {
     "dedup_jaccard_incremental" -> jaccardIncrementalQ,
     "dedup_minhash_incremental" -> minhashIncrementalQ,
     "dedup_contamination" -> contaminationQ,
-    "dedup_seen_before" -> seenBeforeQ, // bloom layout is engine-local => rows-only
-    "dedup_seen_sharded" -> seenShardedQ, // distributed-sketch twin, rows-only
+    "dedup_seen_before" -> seenBeforeQ, // graded vs exact fingerprint join
+    "dedup_seen_sharded" -> seenShardedQ, // distributed-sketch twin, graded
     "dedup_substring_probe" -> substringProbeQ,
     "dedup_substring_multi" -> substringMultiQ,
   )
+
+  /** Shared oracle of both graded seen-before entries: the exact membership
+    * ground truth via the same md5-over-normalized-text fingerprint the
+    * engine uses ([[graft.functions.TextOps.fingerprint]] — DuckDB's
+    * regexp_replace needs the explicit 'g' flag Spark applies by default),
+    * with the Bloom no-false-negative guarantee asserted per row. */
+  private val seenOracleSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+      |SELECT f.doc_id, (c.fp IS NOT NULL) AS truly_seen,
+      |       TRUE AS no_false_negative
+      |FROM fp f LEFT JOIN corpus c ON f.fp = c.fp
+      |ORDER BY f.doc_id""".stripMargin
 
   /** Shared exact-Jaccard oracle text (inverted-index formulation in SQL).
     * With a doc-frequency cap, the capped index feeds BOTH pair counts and
@@ -1196,6 +1242,11 @@ object Dedup {
       |  FROM usig)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // graded seen-before probes (VERDICT r8 item 3): DuckDB re-derives the
+    // md5-over-normalized-text fingerprint and the exact membership join;
+    // the no-false-negative Bloom contract is asserted TRUE per row
+    "dedup_seen_before" -> seenOracleSql,
+    "dedup_seen_sharded" -> seenOracleSql,
     "dedup_simhash" ->
       s"""$simhashSigCte
          |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin,

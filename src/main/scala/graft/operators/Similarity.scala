@@ -490,6 +490,73 @@ object Similarity {
         round(col("__s"), 6).as("scale"))
       .select("vec_id", "pos", "q", "scale")
 
+  /** Tolerance-grading of an ANN result against its exact brute-force twin
+    * (VERDICT r8 item 1 — the `a10_percentile_approx` sketch pattern applied
+    * to retrieval): the approximate member set is engine-local (bucket
+    * layouts hash with engine kernels the oracle can't replay), so the
+    * graded output carries only columns DuckDB re-derives bit-for-bit from
+    * the EXACT twin — query count, exact-row count, the exact neighbor-id
+    * checksum, the exact rounded-sim checksum (DECIMAL sum, order-free) —
+    * plus the recall floor and a guarantee flag computed in-engine:
+    * |approx ∩ exact| >= bound · |exact|. The oracle reproduces the exact
+    * columns and asserts the flag TRUE, so a broken index (bad bucketing,
+    * lost candidates, a recall collapse) hash-mismatches instead of hiding
+    * behind a rows-only check. Per-entry bounds match the SimilaritySpec
+    * pins on this weak-similarity synthetic data — the hardest regime;
+    * clustered production embeddings sit far above them. */
+  def recallGraded(approx: DataFrame, exact: DataFrame, bound: Double): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val overlap = approx.select(col("query_id"), col("neighbor_id"))
+      .join(e, Seq("query_id", "neighbor_id"), "left_semi")
+    val sums = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"),
+      sum(col("neighbor_id")).cast(LongType).as("exact_id_sum"),
+      round(sum(col("sim").cast(DecimalType(18, 4))).cast(DoubleType), 4)
+        .as("exact_sim_sum"))
+    sums.crossJoin(broadcast(overlap.agg(count(lit(1)).as("__overlap"))))
+      .select(col("n_queries"), col("n_exact"), col("exact_id_sum"),
+        col("exact_sim_sum"), lit(bound).as("recall_floor"),
+        (col("__overlap") >= lit(bound) * col("n_exact")).as("recall_ok"))
+  }
+
+  /** Per-entry recall floors for the graded ANN entries — each one the
+    * corresponding SimilaritySpec pin (see the entry scaladocs). A literal
+    * here and in the oracle SQL, asserted equal by the hash check. */
+  private val lshTopKBound = 0.05
+  private val ivfTopKBound = 0.2
+  private val lshIncBound = 0.95
+  private val ivfIncBound = 0.6
+
+  /** Shared WITH-prefix of every graded-ANN oracle: the exact top-k CTE
+    * (identical semantics to the `ann_cosine_topk` oracle, parameterized by
+    * the corpus filter) aggregated to the graded checksum row. One source
+    * of truth so the exact-twin semantics can never drift between the four
+    * graded variants. */
+  private def recallOracleSql(corpusPred: String, k: Int, bound: Double): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+       |  FROM embeddings c
+       |  JOIN embeddings q ON q.vec_id < 10 AND q.vec_id != c.vec_id
+       |  WHERE $corpusPred),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |topk AS (
+       |  SELECT query_id, neighbor_id, round(sim, 4) AS sim
+       |  FROM ranked WHERE rank <= $k)
+       |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(neighbor_id) AS BIGINT) AS exact_id_sum,
+       |       round(CAST(sum(CAST(sim AS DECIMAL(18,4))) AS DOUBLE), 4)
+       |         AS exact_sim_sum,
+       |       CAST($bound AS DOUBLE) AS recall_floor,
+       |       TRUE AS recall_ok
+       |FROM topk""".stripMargin
+
   // ---------------------------------------------------------------- entries
 
   private val bruteTopK: Q = (s, dir) => {
@@ -498,10 +565,17 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Graded (VERDICT r8 item 1): single-bucket sign-LSH probed against its
+    * exact twin. The recall floor is the SimilaritySpec self-bucket pin —
+    * deliberately low: on weak-similarity synthetic data a 4-plane single
+    * table only finds same-bucket neighbors (the multi-table incremental
+    * variant is the high-recall configuration). */
   private val lshTopK: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
-    cosineTopKLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10, 64)
-      .orderBy("query_id", "rank")
+    val q = e.filter(col("vec_id") < 10)
+    recallGraded(
+      cosineTopKLsh(e, q, "vec_id", "embedding", 10, 64),
+      cosineTopK(e, q, "vec_id", "embedding", 10), lshTopKBound)
   }
 
   private val cosinePairsQ: Q = (s, dir) => {
@@ -510,10 +584,13 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Graded: IVF (4-of-16 probes) against its exact twin. */
   private val ivfTopK: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
-    cosineTopKIvf(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
-      .orderBy("query_id", "rank")
+    val q = e.filter(col("vec_id") < 10)
+    recallGraded(
+      cosineTopKIvf(e, q, "vec_id", "embedding", 10),
+      cosineTopK(e, q, "vec_id", "embedding", 10), ivfTopKBound)
   }
 
   private val centroidsQ: Q = (s, dir) =>
@@ -547,30 +624,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Online-retrieval shape: the corpus (vec_id >= 20) index is persisted
-    * once; a batch of NEW queries (vec_id < 10, disjoint from the corpus)
-    * probes it. Cache contract as minhashIncrementalPairs: caller releases
-    * with clearCache() after consuming. Approximate => rows-only; recall
-    * ≥ 0.95 vs brute force is pinned in SimilaritySpec. */
+  /** Online-retrieval shape, GRADED: the corpus (vec_id >= 20) index is
+    * persisted once; a batch of NEW queries (vec_id < 10, disjoint from the
+    * corpus) probes it, and the probe result is graded against the exact
+    * twin over the SAME corpus slice. Cache contract as
+    * minhashIncrementalPairs: caller releases with clearCache() after
+    * consuming. The 0.95 floor is the OR-amplification parameter contract
+    * pinned in SimilaritySpec. */
   private val lshIncrementalQ: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
-    val index = lshIndexMulti(e.filter(col("vec_id") >= 20), "vec_id",
-      "embedding", dim = 64).persist()
-    cosineTopKLshIncremental(index, e.filter(col("vec_id") < 10), "vec_id",
-      "embedding", 10, dim = 64)
-      .orderBy("query_id", "rank")
+    val corpus = e.filter(col("vec_id") >= 20)
+    val q = e.filter(col("vec_id") < 10)
+    val index = lshIndexMulti(corpus, "vec_id", "embedding", dim = 64).persist()
+    recallGraded(
+      cosineTopKLshIncremental(index, q, "vec_id", "embedding", 10, dim = 64),
+      cosineTopK(corpus, q, "vec_id", "embedding", 10), lshIncBound)
   }
 
   /** IVF twin of [[lshIncrementalQ]]: index + quantizer built once on the
-    * corpus slice, the disjoint query batch probes it. Same cache
-    * contract; approximate => rows-only; recall pinned in the suite. */
+    * corpus slice, the disjoint query batch probes it, graded against the
+    * exact twin. Same cache contract; floor = the SimilaritySpec pin. The
+    * entry probes 6 of 16 buckets: measured recall on the weak-similarity
+    * testdata is 0.81 (sf0.01) / 0.77 (sf0.1) — the 4-probe default sits at
+    * 0.59-0.67, astride the floor, so the graded configuration buys the
+    * margin with 2 extra bucket reads (3/8 of the index per probe). */
   private val ivfIncrementalQ: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
-    val (index, centers) =
-      ivfIndex(e.filter(col("vec_id") >= 20), "vec_id", "embedding")
-    cosineTopKIvfIncremental(index.persist(), centers,
-      e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
-      .orderBy("query_id", "rank")
+    val corpus = e.filter(col("vec_id") >= 20)
+    val q = e.filter(col("vec_id") < 10)
+    val (index, centers) = ivfIndex(corpus, "vec_id", "embedding")
+    recallGraded(
+      cosineTopKIvfIncremental(index.persist(), centers, q, "vec_id",
+        "embedding", 10, nProbe = 6),
+      cosineTopK(corpus, q, "vec_id", "embedding", 10), ivfIncBound)
   }
 
   /** Hybrid search: BM25 candidates from the documents table, reranked by
@@ -585,10 +671,10 @@ object Similarity {
     "ann_cosine_topk" -> bruteTopK,
     "ann_cosine_filtered" -> filteredTopK,
     "ann_euclidean_topk" -> euclideanTopK,
-    "ann_lsh_topk" -> lshTopK,                   // approximate => rows-only
-    "ann_lsh_incremental" -> lshIncrementalQ,    // approximate => rows-only
-    "ann_ivf_topk" -> ivfTopK,                   // approximate => rows-only
-    "ann_ivf_incremental" -> ivfIncrementalQ,    // approximate => rows-only
+    "ann_lsh_topk" -> lshTopK,                   // recall-graded vs exact twin
+    "ann_lsh_incremental" -> lshIncrementalQ,    // recall-graded vs exact twin
+    "ann_ivf_topk" -> ivfTopK,                   // recall-graded vs exact twin
+    "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
     "emb_label_centroids" -> centroidsQ,
@@ -598,6 +684,12 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // graded-ANN oracles (VERDICT r8 item 1): DuckDB reproduces the exact
+    // twin's checksum row and asserts the in-engine recall flag TRUE
+    "ann_lsh_topk" -> recallOracleSql("TRUE", 10, lshTopKBound),
+    "ann_ivf_topk" -> recallOracleSql("TRUE", 10, ivfTopKBound),
+    "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
+    "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),
     // BM25 candidate CTE mirrors the text_bm25_topk oracle (same terms,
     // same rounding); the rerank joins candidates to embeddings and orders
     // by rounded cosine. The candidate rank is computed BEFORE excluding
