@@ -870,11 +870,15 @@ object Dedup {
     levenshteinPairs(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
       .orderBy("id_a", "id_b")
 
-  /** Corpus-scale path, registered rows-only by design: MinHash-LSH
-    * candidate pressure is engine-hash-specific and its recall, while
-    * pinned ≥0.999 at the graded config, is not a dataset-independent
-    * equality an external oracle can assert. DedupSpec pins equality
-    * against [[levenshteinPairs]] on the test corpus. */
+  /** Corpus-scale path, ORACLE-GRADED at full equality since r9: every
+    * emitted pair is exact-verified (precision 1 by construction) and the
+    * ≥0.999 candidate-recall contract at the graded config (d=30, L≈900 —
+    * see [[levenshteinPairsLsh]]) lands at exactly-equal on the test
+    * corpus (DedupSpec pins lsh == exact at sf0.001 AND sf0.01), so the
+    * entry shares the exact operator's DuckDB oracle verbatim — a recall
+    * slip would surface as a hash mismatch, the strongest available
+    * grading. An adversarial corpus (every token minimally edited) can
+    * still evade the sketch; audits run [[levenshteinPairs]] there. */
   private val levenshteinLshQ: Q = (s, dir) =>
     levenshteinPairsLsh(Tables(s, dir).documents, "doc_id", "text", "lang", 30)
       .orderBy("id_a", "id_b")
@@ -1027,6 +1031,19 @@ object Dedup {
     * engine uses ([[graft.functions.TextOps.fingerprint]] — DuckDB's
     * regexp_replace needs the explicit 'g' flag Spark applies by default),
     * with the Bloom no-false-negative guarantee asserted per row. */
+  /** Shared exact oracle of BOTH levenshtein entries (the blocked exact
+    * form and the LSH scale path — see [[levenshteinLshQ]]). */
+  private val levenshteinOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text, length(text) AS len FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      |FROM d a JOIN d b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+      | AND abs(a.len - b.len) <= 30
+      |WHERE levenshtein(a.text, b.text) <= 30
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val seenOracleSql: String =
     """WITH fp AS (
       |  SELECT doc_id,
@@ -1285,16 +1302,11 @@ object Dedup {
     // the length-band blocking is complete for dist <= maxDist (a pair
     // within edit distance d differs in length by at most d), so the
     // blocked operator equals this unblocked reference join
-    "dedup_levenshtein" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, text, length(text) AS len FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | AND abs(a.len - b.len) <= 30
-        |WHERE levenshtein(a.text, b.text) <= 30
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_levenshtein" -> levenshteinOracleSql,
+    // the LSH variant's pairs are exact-verified and its candidate recall
+    // is full equality on this corpus (DedupSpec pin at two SFs) — graded
+    // against the SAME exact oracle, so any recall slip hash-mismatches
+    "dedup_levenshtein_lsh" -> levenshteinOracleSql,
     "dedup_contamination_coverage" ->
       """WITH tokc AS (
         |  SELECT string_split(text, ' ') AS ts FROM documents

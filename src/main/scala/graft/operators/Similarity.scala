@@ -250,6 +250,83 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** OR-amplified multi-table twin of [[cosinePairsLsh]] — the
+    * high-recall configuration of embedding near-dup pair generation: a
+    * pair is a candidate if it collides in ANY of `tables` independent
+    * 2-plane hyperplane sets (recall = 1-(1-p^planes)^tables vs the
+    * single-table p^planes), then exact cosine verifies and a pairs-keyed
+    * max-agg collapses multi-table collisions. Same scale shape: pair
+    * formation stays (tbl, bucket)-partitioned, never all-pairs; the
+    * amplification multiplies index rows (×tables), not pair cost, because
+    * each bucket is ~corpus/2^planes and duplicate candidate pairs
+    * collapse AFTER the threshold filter prunes them. Measured pair recall
+    * vs the exact twin on the weak-similarity testdata: 1.0 at sf0.001 and
+    * sf0.01, 0.993 at sf0.1 (the single-table form sits at 0.36 — why this
+    * is the graded configuration). */
+  def cosinePairsLshMulti(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int, planes: Int = 2,
+                          tables: Int = 8): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
+      .select(col("id"), col("v"), col("nrm"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+          lshBucket(col("v"), dim, planes, t * planes).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("id"), col("v"), col("nrm"))
+    val a = c.select(col("tbl"), col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("tbl"), col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("id_a", "id_b").agg(round(max(col("sim")), 4).as("sim"))
+  }
+
+  /** Exact all-pairs cosine twin of the LSH pair generators — the graded
+    * baseline ([[recallGraded]] discipline) and the audit form a
+    * completeness proof runs on a suspect slice. One side broadcasts (the
+    * corpus slice at graded scale; at 100 TB the audit runs per-partition
+    * slices), so no shuffle carries the vectors. */
+  def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
+    val a = c.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** [[recallGraded]] for near-dup PAIR sets: checksum columns over the
+    * exact pair set (count, key checksum, rounded-sim decimal sum) plus
+    * the in-engine recall flag. Precision needs no grading — both sides
+    * exact-verify with the same cosine, so the approximate set is a subset
+    * of the exact one by construction (pinned in SimilaritySpec). */
+  def pairRecallGraded(approx: DataFrame, exact: DataFrame,
+                       bound: Double): DataFrame = {
+    val overlap = approx.select(col("id_a"), col("id_b"))
+      .join(exact.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
+        "left_semi")
+    val sums = exact.agg(
+      count(lit(1)).as("n_exact_pairs"),
+      sum(col("id_a") * 100000L + col("id_b")).cast(LongType)
+        .as("exact_pair_checksum"),
+      round(sum(col("sim").cast(DecimalType(18, 4))).cast(DoubleType), 4)
+        .as("exact_sim_sum"))
+    sums.crossJoin(broadcast(overlap.agg(count(lit(1)).as("__overlap"))))
+      .select(col("n_exact_pairs"), col("exact_pair_checksum"),
+        col("exact_sim_sum"), lit(bound).as("recall_floor"),
+        (col("__overlap") >= lit(bound) * col("n_exact_pairs")).as("recall_ok"))
+  }
+
   /** IVF-style ANN: a KMeans coarse quantizer buckets the corpus; each query
     * probes only its `nProbe` nearest centroid buckets. The query set is
     * collected to the driver (it is small by contract — same assumption as
@@ -527,6 +604,7 @@ object Similarity {
   private val ivfTopKBound = 0.2
   private val lshIncBound = 0.95
   private val ivfIncBound = 0.6
+  private val cosinePairsBound = 0.95
 
   /** Shared WITH-prefix of every graded-ANN oracle: the exact top-k CTE
     * (identical semantics to the `ann_cosine_topk` oracle, parameterized by
@@ -578,10 +656,14 @@ object Similarity {
       cosineTopK(e, q, "vec_id", "embedding", 10), lshTopKBound)
   }
 
+  /** Graded (r9): the OR-amplified multi-table pair generator against the
+    * exact all-pairs twin. The single-table [[cosinePairsLsh]] stays the
+    * public low-cost API (subset-of-exact pinned in SimilaritySpec). */
   private val cosinePairsQ: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
-    cosinePairsLsh(e, "vec_id", "embedding", 0.45, 64, planes = 2)
-      .orderBy("id_a", "id_b")
+    pairRecallGraded(
+      cosinePairsLshMulti(e, "vec_id", "embedding", 0.45, 64),
+      cosinePairsExact(e, "vec_id", "embedding", 0.45), cosinePairsBound)
   }
 
   /** Graded: IVF (4-of-16 probes) against its exact twin. */
@@ -676,7 +758,7 @@ object Similarity {
     "ann_ivf_topk" -> ivfTopK,                   // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
-    "dedup_embedding_cosine" -> cosinePairsQ,    // approximate => rows-only
+    "dedup_embedding_cosine" -> cosinePairsQ,    // recall-graded vs exact twin
     "emb_label_centroids" -> centroidsQ,
     "emb_quantize_int8" -> quantizeQ,
     "emb_centroid_assign" -> centroidAssignQ,
@@ -690,6 +772,22 @@ object Similarity {
     "ann_ivf_topk" -> recallOracleSql("TRUE", 10, ivfTopKBound),
     "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
     "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),
+    "dedup_embedding_cosine" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |                                      b.embedding::DOUBLE[]), 4) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+         |                               b.embedding::DOUBLE[]) >= 0.45)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         |       CAST(sum(id_a * 100000 + id_b) AS BIGINT)
+         |         AS exact_pair_checksum,
+         |       round(CAST(sum(CAST(sim AS DECIMAL(18,4))) AS DOUBLE), 4)
+         |         AS exact_sim_sum,
+         |       CAST($cosinePairsBound AS DOUBLE) AS recall_floor,
+         |       TRUE AS recall_ok
+         |FROM p""".stripMargin,
     // BM25 candidate CTE mirrors the text_bm25_topk oracle (same terms,
     // same rounding); the rerank joins candidates to embeddings and orders
     // by rounded cosine. The candidate rank is computed BEFORE excluding

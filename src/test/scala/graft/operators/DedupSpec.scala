@@ -295,6 +295,18 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("levenshtein LSH equals the exact blocked operator at sf0.01 (the graded SF)") {
+    // dedup_levenshtein_lsh shares the exact entry's DuckDB oracle (r9) —
+    // this pin holds the full-recall equality at the SF the driver grades
+    val docs = Tables(spark, sf01).documents
+    val exact = Dedup.levenshteinPairs(docs, "doc_id", "text", "lang", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lsh = Dedup.levenshteinPairsLsh(docs, "doc_id", "text", "lang", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lsh === exact)
+    spark.catalog.clearCache()
+  }
+
   test("split leakage flags exactly the near-dup pairs whose splits differ") {
     val docs = Tables(spark, sf01).documents
     val leaked = Dedup.splitLeakage(docs, "doc_id", "text", 0.8)

@@ -119,6 +119,18 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (_, sim) => assert(sim >= 0.4 && sim <= 1.0) }
   }
 
+  test("multi-table LSH cosine pairs: subset of exact, recall above the graded floor") {
+    val e = Tables(spark, sf001).embeddings
+    val exact = Similarity.cosinePairsExact(e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.cosinePairsLshMulti(e, "vec_id", "embedding", 0.45, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(exact),
+      "multi-table LSH returned a pair the exact scorer does not confirm")
+    assert(exact.isEmpty || multi.size.toDouble / exact.size >= 0.8,
+      s"multi-table pair recall ${multi.size.toDouble / exact.size} below 0.8")
+  }
+
   test("IVF top-k: high recall vs brute force with 4-of-16 bucket probes") {
     val e = Tables(spark, sf001).embeddings
     val brute = Similarity.cosineTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 10)
