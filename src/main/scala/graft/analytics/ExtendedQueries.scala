@@ -230,7 +230,10 @@ object ExtendedQueries {
     }.toSeq.toDF("rank", "l_orderkey", "l_linenumber", "abs_err", "likely_cause")
   }
 
-  /** M8 — sliding train/test window surfaced as data (rows-only). */
+  /** M8 — sliding train/test window surfaced as data. Oracle-graded since
+    * r9: the window derivation is pure month arithmetic (no RNG, no model
+    * state), so DuckDB re-derives the exact (window_for, role, month) rows
+    * — including the year wraps the ScalaTest pin covers. */
   private val slidingWindowQ: Q = (s, dir) => {
     import s.implicits._
     Seq("2023-02", "2024-01", "2024-12").flatMap { m =>
@@ -770,6 +773,19 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // pure month arithmetic (r9): DuckDB re-derives the train/test window
+    // rows exactly, year wraps included
+    "ml_sliding_window" ->
+      """WITH m(window_for) AS (VALUES ('2023-02'), ('2024-01'), ('2024-12')),
+        |t AS (
+        |  SELECT window_for, 'train' AS role,
+        |         strftime(CAST(window_for || '-01' AS DATE)
+        |                  - k * INTERVAL 1 MONTH, '%Y-%m') AS month
+        |  FROM m, unnest([3, 2, 1]) AS u(k)
+        |  UNION ALL
+        |  SELECT window_for, 'test', window_for FROM m)
+        |SELECT window_for, role, month FROM t
+        |ORDER BY window_for, role, month""".stripMargin,
     "a32_skew_kurtosis" ->
       """WITH m AS (
         |  SELECT count(*) AS n,
