@@ -25,6 +25,7 @@ object SparkEntry {
       analytics.Behavior.entries ++
       analytics.Graph.entries ++
       analytics.RobustStats.entries ++
+      analytics.Drift.entries ++
       operators.Incremental.entries ++
       warehouse.Layout.entries ++
       warehouse.StarSchema.entries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       analytics.Behavior.oracles ++
       analytics.Graph.oracles ++
       analytics.RobustStats.oracles ++
+      analytics.Drift.oracles ++
       operators.Incremental.oracles ++
       warehouse.Layout.oracles ++
       warehouse.StarSchema.oracles ++

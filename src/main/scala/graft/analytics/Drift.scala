@@ -1,0 +1,239 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Ops.{Q, pct}
+import graft.Tables
+
+/** Distribution-drift detection — the monitoring layer a training pipeline
+  * runs between a reference window and the current window before trusting
+  * new data (the role the reference delegates to eyeballing dashboard
+  * charts, `ex04_dashboard/streamlit_app/app.py:239-320`, made a measured
+  * gate instead). Three standard detectors: PSI over reference-quantile
+  * bins (the model-monitoring industry default), a grid-quantized
+  * two-sample Kolmogorov–Smirnov statistic, and a chi-squared test on a
+  * categorical mix. Together with [[RobustStats]] they make the
+  * profile→gate→alert loop fully in-engine.
+  *
+  * Determinism discipline: bin anchors are exact interpolated percentiles
+  * rounded to 6 BEFORE assignment (the [[RobustStats]] contract);
+  * proportions are exact count ratios (identical doubles in any engine);
+  * every `ln` term rounds to 6 before a DECIMAL sum (the `text_source_kl`
+  * contract — ulp differences between libm and StrictMath vanish under the
+  * rounding); chi-squared is pure rational arithmetic rounded once.
+  *
+  * Scale shape: each detector is two passes — one aggregate for anchors /
+  * totals (broadcast back as a single row), one map-side-combinable keyed
+  * aggregate of bin/category counts. No windows over the fact table, no
+  * global sort: the KS cumulative runs over the k-row bin frame, never the
+  * data. 100 TB flows through two hash shuffles of k-row results.
+  */
+object Drift {
+
+  /** Population Stability Index between the `refPred` rows (reference
+    * window) and the rest (current window), over `bins` equi-depth bins of
+    * the REFERENCE distribution — so a shifted current window shows up as
+    * mass leaving reference deciles. Proportions are clipped at 1e-6
+    * (standard PSI practice: an emptied bin contributes a large finite
+    * term, not infinity). Returns one row per bin with both proportions
+    * and the PSI term; Σ psi_term is the headline index (> 0.2 = major
+    * shift, the industry rule of thumb). */
+  def psi(df: DataFrame, valCol: String, refPred: Column,
+          bins: Int = 10): DataFrame = {
+    val x = col(valCol)
+    val ref = df.filter(refPred)
+    val anchors = ref.agg(
+      (1 until bins).map(i =>
+        round(pct(x, i.toDouble / bins), 6).as(s"a$i")).head,
+      (1 until bins).map(i =>
+        round(pct(x, i.toDouble / bins), 6).as(s"a$i")).tail: _*)
+    val binExpr = (1 until bins)
+      .map(i => when(x > col(s"a$i"), 1).otherwise(0))
+      .reduce(_ + _).as("bin")
+    val eps = lit(1e-6)
+    df.select(x, refPred.as("__is_ref")).crossJoin(broadcast(anchors))
+      .select(binExpr, col("__is_ref"))
+      .groupBy("bin")
+      .agg(sum(when(col("__is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__is_ref"), 0L).otherwise(1L)).as("n_cur"))
+      .crossJoin(broadcast(df.agg(
+        sum(when(refPred, 1L).otherwise(0L)).as("__tr"),
+        sum(when(refPred, 0L).otherwise(1L)).as("__tc"))))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        greatest(col("n_ref").cast(DoubleType) / col("__tr"), eps).as("__pr"),
+        greatest(col("n_cur").cast(DoubleType) / col("__tc"), eps).as("__pc"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__pr"), 6).as("p_ref"), round(col("__pc"), 6).as("p_cur"),
+        round((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")), 6)
+          .as("psi_term"))
+      .orderBy("bin")
+  }
+
+  /** Grid-quantized two-sample Kolmogorov–Smirnov statistic: both samples
+    * are histogrammed onto `grid` equal-width bins between the pooled
+    * min/max (anchors rounded to 6), the two ECDFs accumulate over the
+    * GRID rows (never the data), and the statistic is the max absolute
+    * ECDF gap with the bin where it occurs. Quantization makes the
+    * statistic a lower bound of the exact KS within 1/grid — the standard
+    * streaming/distributed trade — and keeps the cumulative pass on a
+    * k-row frame instead of a global data sort. */
+  def ksDrift(df: DataFrame, valCol: String, refPred: Column,
+              grid: Int = 256): DataFrame = {
+    val x = col(valCol)
+    val b = df.agg(round(min(x), 6).as("lo"), round(max(x), 6).as("hi"))
+    val binned = df.select(x, refPred.as("__is_ref"))
+      .crossJoin(broadcast(b))
+      .select(least(floor((x - col("lo")) / ((col("hi") - col("lo")) / grid))
+        .cast("int"), lit(grid - 1)).as("bin"), col("__is_ref"))
+      .groupBy("bin")
+      .agg(sum(when(col("__is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("__is_ref"), 0L).otherwise(1L)).as("nc"))
+    // the cumulative window runs over <= grid rows — a driver-sized frame,
+    // single partition by construction and bounded by the grid parameter
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = binned
+      .crossJoin(broadcast(binned.agg(sum("nr").as("tr"), sum("nc").as("tc"))))
+      .select(col("bin"),
+        (sum(col("nr")).over(w) / col("tr")).as("er"),
+        (sum(col("nc")).over(w) / col("tc")).as("ec"))
+      .select(col("bin"), round(abs(col("er") - col("ec")), 6).as("gap"))
+    ecdf.orderBy(desc("gap"), asc("bin")).limit(1)
+      .select(col("gap").as("ks_stat"), col("bin").as("at_bin"))
+  }
+
+  /** Chi-squared homogeneity statistic over a categorical column between
+    * the reference and current windows: per category, observed counts in
+    * each window vs the expected split under the pooled distribution —
+    * Σ (o-e)²/e, in exact rational arithmetic rounded once per term.
+    * Per-category rows expose WHICH category moved; Σ chi2_term against a
+    * χ² table (df = categories-1) is the gate. */
+  def chi2Drift(df: DataFrame, catCol: String, refPred: Column): DataFrame = {
+    val counts = df.groupBy(col(catCol).as("category"))
+      .agg(sum(when(refPred, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(refPred, 0L).otherwise(1L)).as("n_cur"))
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum("n_ref").as("tr"), sum("n_cur").as("tc"))))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + col("n_cur")) * col("tr") /
+          (col("tr") + col("tc"))).as("__er"),
+        ((col("n_ref") + col("n_cur")) * col("tc") /
+          (col("tr") + col("tc"))).as("__ec"))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("__er"), 6).as("exp_ref"),
+        round(col("__ec"), 6).as("exp_cur"),
+        round((col("n_ref") - col("__er")) * (col("n_ref") - col("__er"))
+          / col("__er") +
+          (col("n_cur") - col("__ec")) * (col("n_cur") - col("__ec"))
+            / col("__ec"), 6).as("chi2_term"))
+      .orderBy("category")
+  }
+
+  // ---------------------------------------------------------------- entries
+
+  /** Window split shared by all three graded entries: reference = orders
+    * (or events) before the fixed boundary, current = the rest. */
+  private val boundary = "1998-01-01"
+
+  private val psiQ: Q = (s, dir) =>
+    psi(Tables(s, dir).orders, "o_totalprice",
+      col("o_orderdate") < lit(boundary).cast("timestamp"))
+
+  private val ksQ: Q = (s, dir) =>
+    ksDrift(Tables(s, dir).orders, "o_totalprice",
+      col("o_orderdate") < lit(boundary).cast("timestamp"))
+
+  private val chi2Q: Q = (s, dir) =>
+    chi2Drift(Tables(s, dir).events, "event_type",
+      dayofmonth(col("ts")) <= 15)
+
+  val entries: Map[String, Q] = Map(
+    "a41_psi_drift" -> psiQ,
+    "a42_ks_drift" -> ksQ,
+    "a43_chi2_drift" -> chi2Q,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a41_psi_drift" -> {
+      val bins = 10
+      val qs = (1 until bins).map(i =>
+        s"round(quantile_cont(o_totalprice, ${i.toDouble / bins}), 6) AS a$i")
+        .mkString(",\n         ")
+      val binExpr = (1 until bins)
+        .map(i => s"(CASE WHEN o_totalprice > a$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH anch AS (
+         |  SELECT $qs
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$boundary'),
+         |a AS (
+         |  SELECT ($binExpr) AS bin,
+         |         (o_orderdate < TIMESTAMP '$boundary') AS is_ref
+         |  FROM orders, anch),
+         |c AS (
+         |  SELECT bin,
+         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         |  FROM a GROUP BY 1),
+         |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c),
+         |p AS (
+         |  SELECT bin, n_ref, n_cur,
+         |         greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6) AS pr,
+         |         greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6) AS pc
+         |  FROM c, t)
+         |SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+         |       round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+         |       round((pc - pr) * ln(pc / pr), 6) AS psi_term
+         |FROM p ORDER BY bin""".stripMargin
+    },
+    "a42_ks_drift" -> {
+      val grid = 256
+      s"""WITH b AS (
+         |  SELECT round(min(o_totalprice), 6) AS lo,
+         |         round(max(o_totalprice), 6) AS hi
+         |  FROM orders),
+         |a AS (
+         |  SELECT least(CAST(floor((o_totalprice - lo)
+         |                          / ((hi - lo) / $grid)) AS INT),
+         |               ${grid - 1}) AS bin,
+         |         (o_orderdate < TIMESTAMP '$boundary') AS is_ref
+         |  FROM orders, b),
+         |c AS (
+         |  SELECT bin,
+         |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         |         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+         |  FROM a GROUP BY 1),
+         |t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM c),
+         |e AS (
+         |  SELECT bin,
+         |         round(abs(CAST(sum(nr) OVER (ORDER BY bin) AS DOUBLE) / tr
+         |                 - CAST(sum(nc) OVER (ORDER BY bin) AS DOUBLE) / tc),
+         |               6) AS gap
+         |  FROM c, t)
+         |SELECT gap AS ks_stat, CAST(bin AS INT) AS at_bin
+         |FROM e ORDER BY gap DESC, bin LIMIT 1""".stripMargin
+    },
+    "a43_chi2_drift" ->
+      """WITH c AS (
+        |  SELECT event_type AS category,
+        |         CAST(sum(CASE WHEN extract(day FROM ts) <= 15
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN extract(day FROM ts) <= 15
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c),
+        |e AS (
+        |  SELECT category, n_ref, n_cur,
+        |         (n_ref + n_cur) * CAST(tr AS DOUBLE) / (tr + tc) AS er,
+        |         (n_ref + n_cur) * CAST(tc AS DOUBLE) / (tr + tc) AS ec
+        |  FROM c, t)
+        |SELECT category, n_ref, n_cur,
+        |       round(er, 6) AS exp_ref, round(ec, 6) AS exp_cur,
+        |       round((n_ref - er) * (n_ref - er) / er
+        |             + (n_cur - ec) * (n_cur - ec) / ec, 6) AS chi2_term
+        |FROM e ORDER BY category""".stripMargin,
+  )
+}

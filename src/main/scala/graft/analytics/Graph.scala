@@ -85,6 +85,176 @@ object Graph {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
+  /** User co-activity graph: an undirected edge `(s1 < s2, w)` between
+    * every pair of users sharing at least `minShared` distinct
+    * (event_type, hour) activity buckets. The same inverted-index shape as
+    * the shingle dedup join ([[graft.operators.Dedup.jaccardPairs]]): a
+    * bucket with B users emits B² pairs, so `maxBucketUsers` drops
+    * hot buckets outright before pairing — a bucket half the user base
+    * visits carries no co-activity signal, exactly as an every-doc shingle
+    * carries no dedup signal. With the cap, pair generation is bounded by
+    * cap² per bucket regardless of corpus size; the pair count aggregate
+    * is the only data-sized shuffle. */
+  def coActivityEdges(events: DataFrame, minShared: Int = 3,
+                      maxBucketUsers: Int = 64): DataFrame = {
+    val buckets = events.select(col("user_id").as("u"),
+        col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val cool = buckets.groupBy("et", "h").agg(count(lit(1)).as("__bu"))
+      .filter(col("__bu") <= maxBucketUsers).select("et", "h")
+    val b = buckets.join(cool, Seq("et", "h"))
+    val a1 = b.select(col("et"), col("h"), col("u").as("s1"))
+    val a2 = b.select(col("et"), col("h"), col("u").as("s2"))
+    a1.join(a2, Seq("et", "h")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+  }
+
+  /** Per-node triangle participation over an undirected `(s1 < s2)` edge
+    * list: the classic ordered-wedge join — wedges `(a<b<c)` keyed on the
+    * middle node, closed against the edge list itself — so each triangle
+    * is enumerated exactly once and every join is equi-keyed
+    * (no enumeration of non-edges, no cartesian anywhere). Each closed
+    * triangle credits all three corners; nodes in no triangle are absent.
+    *
+    * Scale shape: wedge generation is a self-join keyed on the shared
+    * endpoint; closure is an equi-join on the (a, c) pair key. Cost is
+    * Σ deg(v)² wedge rows — the standard distributed triangle-count bound;
+    * the [[coActivityEdges]] bucket cap keeps degrees bounded upstream. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select("s1", "s2").persist()
+    val wedges = e.select(col("s1").as("a"), col("s2").as("b"))
+      .join(e.select(col("s1").as("b"), col("s2").as("c")), "b")
+    val tris = wedges.join(e.select(col("s1").as("a"), col("s2").as("c")),
+      Seq("a", "c"))
+    val perCorner = tris.select(explode(array(col("a"), col("b"), col("c")))
+      .as("node"))
+    val out = perCorner.groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node").persist()
+    out.count() // materialize before releasing the 3-way-reused edge cache
+    e.unpersist()
+    // NOTE: caller-release contract as on [[pageRank]]'s returned frame.
+    out
+  }
+
+  /** Bounded k-core peel: `rounds` synchronous rounds of dropping every
+    * node with degree < k, recomputing degrees against the surviving set
+    * each round. Returns the surviving nodes with their in-core degree.
+    * A fixed round budget makes the operator a deterministic dataflow (the
+    * exact fixpoint needs a data-dependent loop; in practice degeneracy
+    * cores stabilize in a handful of rounds, and the budget is a parameter).
+    * All-integer arithmetic — bit-equal in any engine.
+    *
+    * Scale shape: per round, one degree aggregate over the edge list plus
+    * two semi-joins to drop edges with a peeled endpoint. State is
+    * (node)-keyed; edges are never rekeyed off their endpoints. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("s1").as("node")).union(e.select(col("s2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Each round is materialized before the next references it (3×):
+    // unpersisted, round r's plan re-derives the upstream edge build 3^r
+    // times — measured 440 s vs ~2 s at sf0.01. Same per-round persist +
+    // release discipline as [[graft.operators.Dedup.connectedComponents]].
+    var cur = edges.select("s1", "s2").persist()
+    var curN = cur.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val keep = degrees(cur).filter(col("deg") >= k).select("node")
+      val next = cur
+        .join(keep.withColumnRenamed("node", "s1"), Seq("s1"), "left_semi")
+        .join(keep.withColumnRenamed("node", "s2"), Seq("s2"), "left_semi")
+        .persist()
+      val nextN = next.count()
+      // Fixpoint early-exit is semantics-preserving, not an approximation:
+      // once a peel round removes no edge, every further round is the
+      // identity, so the round budget and the fixpoint agree exactly.
+      stable = nextN == curN
+      cur.unpersist()
+      cur = next
+      curN = nextN
+      r += 1
+    }
+    val out = degrees(cur).filter(col("deg") >= k).orderBy("node").persist()
+    out.count()
+    cur.unpersist()
+    // NOTE: caller-release contract as on [[pageRank]]'s returned frame.
+    out
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair at
+    * distance 2, the number of shared neighbors and the neighborhood
+    * Jaccard |N∩N| / |N∪N|, top `topK` by (common desc, jaccard desc,
+    * pair) — fully tie-broken, so the cut is deterministic. Candidates
+    * come only from wedges (pairs sharing at least one neighbor) — the
+    * non-edge universe is never enumerated. Jaccard is an exact integer
+    * ratio rounded once, so it is cross-engine stable.
+    *
+    * Scale shape: wedge join keyed on the shared neighbor, one pair-count
+    * aggregate, an anti-join against the edge list, a broadcast-sized
+    * degree join, then TakeOrderedAndProject for the top-k cut. */
+  def linkPrediction(edges: DataFrame, topK: Int = 100): DataFrame = {
+    val e = edges.select("s1", "s2").persist()
+    val nbrs = e.select(col("s1").as("node"), col("s2").as("nbr"))
+      .union(e.select(col("s2").as("node"), col("s1").as("nbr")))
+    val deg = nbrs.groupBy("node").agg(count(lit(1)).as("deg"))
+    val cand = nbrs.select(col("nbr").as("mid"), col("node").as("a"))
+      .join(nbrs.select(col("nbr").as("mid"), col("node").as("c")), "mid")
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("common"))
+      .join(e.select(col("s1").as("a"), col("s2").as("c")), Seq("a", "c"),
+        "left_anti")
+    val out = cand
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("c"), col("deg").as("dc")), "c")
+      .select(col("a"), col("c"), col("common"),
+        round(col("common").cast(DoubleType) /
+          (col("da") + col("dc") - col("common")), 6).as("nbr_jaccard"))
+      .orderBy(col("common").desc, col("nbr_jaccard").desc, col("a"), col("c"))
+      .limit(topK)
+      .persist()
+    out.count() // materialize before releasing the twice-read edge cache
+    e.unpersist()
+    // NOTE: caller-release contract as on [[pageRank]]'s returned frame.
+    out
+  }
+
+  /** Synchronous label propagation, `rounds` fixed rounds: every node
+    * adopts the most frequent label among its neighbors, smallest label
+    * winning ties (the deterministic variant of Raghavan et al.'s LPA —
+    * async adoption with random tie-breaks is irreproducible across
+    * engines by construction). Labels start as the node's own id; isolated
+    * vote sets keep the current label. All-integer — bit-equal anywhere.
+    *
+    * Scale shape: per round, one adjacency⋈labels equi-join, one
+    * (node, label) count aggregate, and a struct-max argmin — no window
+    * over the fact-sized frame. Label state is one row per node. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = edges.select("s1", "s2")
+    val adj = e.select(col("s1").as("node"), col("s2").as("nbr"))
+      .union(e.select(col("s2").as("node"), col("s1").as("nbr"))).persist()
+    val nodes = adj.select("node").distinct()
+    val init = nodes.select(col("node"), col("node").as("label"))
+    val result = (1 to rounds).foldLeft(init) { (labels, _) =>
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        // struct max = (max cnt, then min label via negation): the argmin
+        // without a per-node window pass
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+        .select(col("node"), (-col("top.nl")).as("label"))
+      nodes.join(votes, Seq("node"), "left")
+        .select(nodes("node"), coalesce(votes("label"), nodes("node"))
+          .as("label"))
+    }.orderBy("node")
+    result.persist().count() // materialize, then release the adjacency cache
+    adj.unpersist()
+    result
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val pageRankQ: Q = (s, dir) => {
@@ -93,9 +263,39 @@ object Graph {
       "event_id")).orderBy("node")
   }
 
+  private val triangleQ: Q = (s, dir) =>
+    triangleCounts(coActivityEdges(Tables(s, dir).events))
+
+  private val kcoreQ: Q = (s, dir) =>
+    kCore(coActivityEdges(Tables(s, dir).events), k = 3, rounds = 4)
+
+  private val linkPredQ: Q = (s, dir) =>
+    linkPrediction(coActivityEdges(Tables(s, dir).events), topK = 100)
+
+  private val lpaQ: Q = (s, dir) =>
+    labelPropagation(coActivityEdges(Tables(s, dir).events), rounds = 3)
+
   val entries: Map[String, Q] = Map(
     "g1_pagerank" -> pageRankQ,
+    "g2_triangle_count" -> triangleQ,
+    "g3_kcore" -> kcoreQ,
+    "g4_link_prediction" -> linkPredQ,
+    "g5_label_propagation" -> lpaQ,
   )
+
+  /** Shared oracle prefix: the [[coActivityEdges]] build in DuckDB SQL —
+    * same bucket cap (64), same distinct-pair count, same `w >= 3` floor. */
+  private val edgeCtes =
+    """b AS (
+      |  SELECT DISTINCT user_id AS u, event_type AS et,
+      |         date_trunc('hour', ts) AS h
+      |  FROM events),
+      |cool AS (SELECT et, h FROM b GROUP BY 1, 2 HAVING count(*) <= 64),
+      |bb AS (SELECT b.u, b.et, b.h FROM b JOIN cool USING (et, h)),
+      |ed AS (
+      |  SELECT x.u AS s1, y.u AS s2, count(*) AS w
+      |  FROM bb x JOIN bb y ON x.et = y.et AND x.h = y.h AND x.u < y.u
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
 
   // generated: the identical contribution/teleport expressions per
   // iteration, decimal-summed, so all five rounds stay bit-equal
@@ -134,6 +334,89 @@ object Graph {
          |       FROM nodes CROSS JOIN nn),
          |$iterCtes
          |SELECT node, p FROM r$iters ORDER BY node""".stripMargin
+    },
+
+    "g2_triangle_count" ->
+      s"""WITH $edgeCtes,
+         |tri AS (
+         |  SELECT e1.s1 AS a, e1.s2 AS b2, e2.s2 AS c
+         |  FROM ed e1 JOIN ed e2 ON e1.s2 = e2.s1
+         |  JOIN ed e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+         |corners AS (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b2 FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |SELECT node, count(*) AS n_triangles
+         |FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "g3_kcore" -> {
+      val (k, rounds) = (3, 4)
+      val roundCtes = (1 to rounds).map { r =>
+        s"""d${r - 1} AS (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT s1 AS node FROM e${r - 1}
+           |    UNION ALL SELECT s2 FROM e${r - 1})
+           |  GROUP BY 1),
+           |keep${r - 1} AS (SELECT node FROM d${r - 1} WHERE deg >= $k),
+           |e$r AS (
+           |  SELECT e.s1, e.s2 FROM e${r - 1} e
+           |  JOIN keep${r - 1} k1 ON e.s1 = k1.node
+           |  JOIN keep${r - 1} k2 ON e.s2 = k2.node)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |e0 AS (SELECT s1, s2 FROM ed),
+         |$roundCtes
+         |SELECT node, count(*) AS deg FROM (
+         |  SELECT s1 AS node FROM e$rounds
+         |  UNION ALL SELECT s2 FROM e$rounds)
+         |GROUP BY 1 HAVING count(*) >= $k ORDER BY node""".stripMargin
+    },
+
+    "g4_link_prediction" ->
+      s"""WITH $edgeCtes,
+         |nb AS (
+         |  SELECT s1 AS node, s2 AS nbr FROM ed
+         |  UNION ALL SELECT s2, s1 FROM ed),
+         |dg AS (SELECT node, count(*) AS deg FROM nb GROUP BY 1),
+         |cd AS (
+         |  SELECT x.node AS a, y.node AS c, count(*) AS common
+         |  FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.node < y.node
+         |  GROUP BY 1, 2),
+         |ne AS (
+         |  SELECT cd.* FROM cd
+         |  WHERE NOT EXISTS (SELECT 1 FROM ed
+         |                    WHERE ed.s1 = cd.a AND ed.s2 = cd.c))
+         |SELECT ne.a, ne.c, ne.common,
+         |       round(ne.common * 1.0 / (da.deg + dc.deg - ne.common), 6)
+         |         AS nbr_jaccard
+         |FROM ne JOIN dg da ON da.node = ne.a JOIN dg dc ON dc.node = ne.c
+         |ORDER BY ne.common DESC, nbr_jaccard DESC, ne.a, ne.c
+         |LIMIT 100""".stripMargin,
+
+    "g5_label_propagation" -> {
+      val rounds = 3
+      val roundCtes = (1 to rounds).map { r =>
+        s"""v$r AS (
+           |  SELECT nb.node, l.label, count(*) AS cnt
+           |  FROM nb JOIN l${r - 1} l ON nb.nbr = l.node GROUP BY 1, 2),
+           |t$r AS (
+           |  SELECT node, label,
+           |         row_number() OVER (PARTITION BY node
+           |                            ORDER BY cnt DESC, label) AS rn
+           |  FROM v$r),
+           |l$r AS (
+           |  SELECT n.node, coalesce(t.label, n.node) AS label
+           |  FROM nodes n LEFT JOIN (SELECT node, label FROM t$r WHERE rn = 1) t
+           |  USING (node))"""
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |nb AS (
+         |  SELECT s1 AS node, s2 AS nbr FROM ed
+         |  UNION ALL SELECT s2, s1 FROM ed),
+         |nodes AS (SELECT DISTINCT node FROM nb),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$roundCtes
+         |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
     },
   )
 }

@@ -93,6 +93,30 @@ object Layout {
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"),
         min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
 
+  /** Small-file compaction PLAN (the other half of `OPTIMIZE`): given a
+    * file inventory (partition key, file id, size), assign files to
+    * target-sized output bins — size-descending greedy running-sum
+    * packing, `bin = floor(bytes_before_me / target)` within the
+    * partition. Deterministic (integer arithmetic, fully tie-broken
+    * ordering) and windowed PER PARTITION KEY — the inventory is metadata
+    * (one row per FILE, not per data row), so even a 100-TB table's plan
+    * is a few million rows keyed by partition, never data-sized. Returns
+    * one row per output bin with its file count and byte total; bins at
+    * or above `targetBytes` (one oversized file alone) ship as-is. */
+  def compactionPlan(inventory: DataFrame, partCol: String, fileCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0)
+    val w = Window.partitionBy(partCol)
+      .orderBy(col(sizeCol).desc, col(fileCol))
+    inventory
+      .withColumn("__before",
+        sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("bin", floor(col("__before") / targetBytes).cast("int"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bytes"))
+      .orderBy(col(partCol), col("bin"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val zorderQ: Q = (s, dir) =>
@@ -101,7 +125,23 @@ object Layout {
       "l_partkey", "l_suppkey", 32)
       .orderBy("tile")
 
-  val entries: Map[String, Q] = Map("layout_zorder" -> zorderQ)
+  /** A deterministic stand-in file inventory: one "file" per
+    * (event_type, day) of the events feed, sized by its payload bytes
+    * (16-byte row header + props length) — the shape a real inventory has
+    * after a day of streaming micro-batch writes. Target bin: 32 KiB at
+    * test scale. */
+  private val compactionQ: Q = (s, dir) =>
+    compactionPlan(
+      Tables(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(coalesce(octet_length(col("props")), lit(0)))
+          + lit(16L) * count(lit(1))).as("size_bytes")),
+      "event_type", "day", "size_bytes", targetBytes = 32768L)
+
+  val entries: Map[String, Q] = Map(
+    "layout_zorder" -> zorderQ,
+    "layout_compaction_plan" -> compactionQ,
+  )
 
   private def zTerms(xc: String, yc: String, bits: Int): String =
     (0 until bits).map { i =>
@@ -124,5 +164,25 @@ object Layout {
          |       min(l_suppkey) AS y_min, max(l_suppkey) AS y_max,
          |       min(zv) AS z_min, max(zv) AS z_max
          |FROM t GROUP BY 1 ORDER BY tile""".stripMargin,
+    "layout_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         -- DuckDB's byte length for VARCHAR is strlen (octet_length
+        |         -- is BLOB/BIT-only); Spark's is octet_length
+        |         sum(coalesce(strlen(props), 0))
+        |           + 16 * count(*) AS size_bytes
+        |  FROM events GROUP BY 1, 2),
+        |packed AS (
+        |  SELECT event_type,
+        |         CAST(floor((sum(size_bytes) OVER (
+        |                 PARTITION BY event_type
+        |                 ORDER BY size_bytes DESC, day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - size_bytes) / 32768) AS INT) AS bin,
+        |         size_bytes
+        |  FROM inv)
+        |SELECT event_type, bin, count(*) AS n_files,
+        |       CAST(sum(size_bytes) AS BIGINT) AS bytes
+        |FROM packed GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
   )
 }

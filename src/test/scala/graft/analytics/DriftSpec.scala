@@ -1,0 +1,70 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1..400 in both windows => identical distributions
+  private def samePop = (1 to 400).flatMap(i =>
+    Seq((i.toDouble, true), (i.toDouble, false))).toDF("x", "ref")
+
+  test("psi: identical windows score zero in every bin") {
+    val out = Drift.psi(samePop, "x", col("ref")).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getAs[Double]("psi_term") === 0.0))
+    assert(out.forall(r => r.getAs[Long]("n_ref") === r.getAs[Long]("n_cur")))
+  }
+
+  test("psi: a shifted current window scores above the 0.2 alarm rule") {
+    // current = reference + 60% of range: mass leaves the low deciles
+    val df = (1 to 400).map(d => (d.toDouble, true)) ++
+      (1 to 400).map(d => (d.toDouble + 240.0, false))
+    val out = Drift.psi(df.toDF("x", "ref"), "x", col("ref")).collect()
+    val total = out.map(_.getAs[Double]("psi_term")).sum
+    assert(total > 0.2, s"shift must trip the PSI alarm, got $total")
+    // low bins drained: the bin-0 term must be positive (p_cur << p_ref)
+    assert(out.find(_.getAs[Int]("bin") == 0).get
+      .getAs[Double]("psi_term") > 0.0)
+  }
+
+  test("ks: identical windows have zero statistic, disjoint windows ~1") {
+    val same = Drift.ksDrift(samePop, "x", col("ref")).collect().head
+    assert(same.getAs[Double]("ks_stat") === 0.0)
+    val disjoint = ((1 to 300).map(d => (d.toDouble, true)) ++
+      (1 to 300).map(d => (d.toDouble + 1000.0, false)))
+      .toDF("x", "ref")
+    val ks = Drift.ksDrift(disjoint, "x", col("ref")).collect().head
+    assert(ks.getAs[Double]("ks_stat") > 0.99,
+      s"disjoint supports must max the ECDF gap: $ks")
+  }
+
+  test("chi2: same mix scores zero; a swapped mix scores per category") {
+    val same = ((1 to 90).map(_ => ("a", true)) ++
+      (1 to 30).map(_ => ("b", true)) ++
+      (1 to 90).map(_ => ("a", false)) ++
+      (1 to 30).map(_ => ("b", false))).toDF("c", "ref")
+    val z = Drift.chi2Drift(same, "c", col("ref")).collect()
+    assert(z.forall(_.getAs[Double]("chi2_term") === 0.0))
+
+    // 90/30 vs 30/90: chi-squared term per category = 2 * (30^2/60) = 30
+    val moved = ((1 to 90).map(_ => ("a", true)) ++
+      (1 to 30).map(_ => ("b", true)) ++
+      (1 to 30).map(_ => ("a", false)) ++
+      (1 to 90).map(_ => ("b", false))).toDF("c", "ref")
+    val m = Drift.chi2Drift(moved, "c", col("ref")).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Double]("chi2_term"))
+      .toMap
+    assert(m("a") === 30.0 && m("b") === 30.0)
+  }
+
+  test("graded entries run on sf0.001 with full bin/category coverage") {
+    val psiOut = Drift.entries("a41_psi_drift")(spark, sf001).collect()
+    assert(psiOut.length === 10)
+    val ks = Drift.entries("a42_ks_drift")(spark, sf001).collect()
+    assert(ks.length === 1 && ks.head.getAs[Double]("ks_stat") >= 0.0)
+    val chi = Drift.entries("a43_chi2_drift")(spark, sf001).collect()
+    assert(chi.length === 5) // one row per event type
+  }
+}

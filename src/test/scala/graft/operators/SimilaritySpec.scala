@@ -316,4 +316,35 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank.sorted.toSeq === byRank.toSeq)
     }
   }
+
+  test("kmeans: two separated blobs recover their clusters exactly") {
+    val s = spark
+    import s.implicits._
+    // seeds are the 2 smallest ids: id 0 (blob A), id 1 (blob B) — one
+    // seed lands in each blob, so Lloyd must separate them perfectly
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(10.0f, 9.9f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(10.1f, 10.0f)),
+      (4L, Array(0.2f, 0.1f)), (5L, Array(9.9f, 10.1f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(vecs, "vec_id", "embedding", k = 2,
+      iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) === out(2L) && out(2L) === out(4L))
+    assert(out(1L) === out(3L) && out(3L) === out(5L))
+    assert(out(0L) !== out(1L))
+    // seed 0 keeps cluster 0, seed 1 keeps cluster 1 (ids are the seeds)
+    assert(out(0L) === 0 && out(1L) === 1)
+  }
+
+  test("kmeans: deterministic across runs, one row per vector") {
+    val e = Tables(spark, sf001).embeddings
+    val a = Similarity.kmeansLloyd(e, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val b = Similarity.kmeansLloyd(e, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(a.toSeq === b.toSeq, "fixed seeding + decimal sums => bit-equal")
+    assert(a.length.toLong === e.count())
+    assert(a.map(_._2).distinct.length > 1, "multiple clusters must be used")
+  }
 }

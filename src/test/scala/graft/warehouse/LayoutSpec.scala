@@ -65,4 +65,25 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compaction plan: size-descending running-sum packing, per partition") {
+    val s = spark
+    import s.implicits._
+    // partition p: sizes 70, 60, 30, 20, 10 against target 100:
+    // before-me prefix sums 0, 70, 130, 160, 180 -> bins 0, 0, 1, 1, 1
+    val inv = Seq(
+      ("p", "f1", 70L), ("p", "f2", 60L), ("p", "f3", 30L),
+      ("p", "f4", 20L), ("p", "f5", 10L),
+      ("q", "g1", 250L), ("q", "g2", 10L),
+    ).toDF("part", "file", "size")
+    val out = Layout.compactionPlan(inv, "part", "file", "size", 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("p", 0)) === ((2L, 130L)))
+    assert(out(("p", 1)) === ((3L, 60L)))
+    // the oversized file fills bins 0-2 alone; g2 starts at prefix 250
+    assert(out(("q", 0)) === ((1L, 250L)))
+    assert(out(("q", 2)) === ((1L, 10L)))
+  }
 }
