@@ -54,6 +54,9 @@ object Bench {
     "g2_triangle_count", "g3_kcore", "g4_link_prediction",
     "g5_label_propagation", "emb_kmeans",
     "a41_psi_drift", "a42_ks_drift", "a43_chi2_drift",
+    "j13_bloom_prefilter", "q_l_diversity", "a44_corr_matrix",
+    "inc_cdc_apply", "b12_rfm_segments", "ml_target_encoding",
+    "r4_group_sample",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

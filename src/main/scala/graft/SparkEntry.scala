@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Similarity.entries ++
       operators.Multimodal.entries ++
       operators.Skew.entries ++
+      operators.RuntimeFilters.entries ++
       operators.AsOfJoin.entries ++
       operators.RangeJoin.entries ++
       warehouse.Bucketing.entries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Skew.oracles ++
+      operators.RuntimeFilters.oracles ++
       operators.AsOfJoin.oracles ++
       operators.RangeJoin.oracles ++
       warehouse.Bucketing.oracles ++

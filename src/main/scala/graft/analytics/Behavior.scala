@@ -374,6 +374,52 @@ object Behavior {
   private val anomalyQ: Q = (s, dir) =>
     seasonalAnomaly(Tables(s, dir).events, "ts", "value").orderBy("day")
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value grid. Quartile BUCKETS come from exact interpolated
+    * percentile anchors over the per-user frame (rounded before the
+    * comparisons, so both engines bucket on identical doubles) rather
+    * than a global ntile window: at 10^9 users ntile needs a total sort
+    * of the user frame, while three broadcast anchors bucket each user
+    * with two scans of the (already user-sized) aggregate and no global
+    * ordering anywhere. Monetary rides exact DECIMAL, rounded per user
+    * before the anchors so every downstream comparison is bit-stable.
+    * Output is the 4×4×4 segment grid with user counts and segment value
+    * — grid-sized, not user-sized. */
+  private val rfmQ: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables(s, dir).events.filter(col("value").isNotNull)
+    val perUser = e.groupBy("user_id").agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(lit(1)).as("freq"),
+      round(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+        .as("monetary"))
+    val refDay = perUser.agg(max(col("last_day")).as("ref_day"))
+    val rfm = perUser.crossJoin(broadcast(refDay))
+      .select(col("user_id"),
+        datediff(col("ref_day"), col("last_day")).cast(LongType)
+          .as("recency_days"),
+        col("freq"), col("monetary"))
+    val anchorCols = for {
+      (m, c) <- Seq("r" -> "recency_days", "f" -> "freq", "m" -> "monetary")
+      q <- 1 to 3
+    } yield round(graft.Ops.pct(col(c).cast(DoubleType), q * 0.25), 6)
+      .as(s"$m$q")
+    val anchors = rfm.agg(anchorCols.head, anchorCols.tail: _*)
+    def bucket(x: Column, p: String): Column =
+      lit(1) + (1 to 3).map(q =>
+        when(x > col(s"$p$q"), 1).otherwise(0)).reduce(_ + _)
+    rfm.crossJoin(broadcast(anchors))
+      .select(bucket(col("recency_days"), "r").as("r_bucket"),
+        bucket(col("freq"), "f").as("f_bucket"),
+        bucket(col("monetary"), "m").as("m_bucket"),
+        col("monetary"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+          .as("segment_value"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
   val entries: Map[String, Q] = Map(
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
@@ -386,9 +432,53 @@ object Behavior {
     "b9_interval_union" -> intervalUnionQ,
     "b10_ewma" -> ewmaQ,
     "b11_seasonal_anomaly" -> anomalyQ,
+    "b12_rfm_segments" -> rfmQ,
   )
 
   val oracles: Map[String, String] = Map(
+    // quartile anchors rounded to 6 before bucketing, in lockstep with rfmQ
+    "b12_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS freq,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |           AS monetary
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |rr AS (SELECT max(last_day) AS ref_day FROM pu),
+        |rfm AS (
+        |  SELECT user_id, date_diff('day', last_day, ref_day) AS recency_days,
+        |         freq, monetary
+        |  FROM pu, rr),
+        |a AS (
+        |  SELECT round(quantile_cont(CAST(recency_days AS DOUBLE), 0.25), 6) AS r1,
+        |         round(quantile_cont(CAST(recency_days AS DOUBLE), 0.50), 6) AS r2,
+        |         round(quantile_cont(CAST(recency_days AS DOUBLE), 0.75), 6) AS r3,
+        |         round(quantile_cont(CAST(freq AS DOUBLE), 0.25), 6) AS f1,
+        |         round(quantile_cont(CAST(freq AS DOUBLE), 0.50), 6) AS f2,
+        |         round(quantile_cont(CAST(freq AS DOUBLE), 0.75), 6) AS f3,
+        |         round(quantile_cont(monetary, 0.25), 6) AS m1,
+        |         round(quantile_cont(monetary, 0.50), 6) AS m2,
+        |         round(quantile_cont(monetary, 0.75), 6) AS m3
+        |  FROM rfm),
+        |b AS (
+        |  SELECT CAST(1 + (CASE WHEN recency_days > r1 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN recency_days > r3 THEN 1 ELSE 0 END) AS INT)
+        |           AS r_bucket,
+        |         CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) AS INT)
+        |           AS f_bucket,
+        |         CAST(1 + (CASE WHEN monetary > m1 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN monetary > m2 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN monetary > m3 THEN 1 ELSE 0 END) AS INT)
+        |           AS m_bucket,
+        |         monetary
+        |  FROM rfm, a)
+        |SELECT r_bucket, f_bucket, m_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS segment_value
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "b1_funnel_steps" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events

@@ -680,6 +680,30 @@ object CoreQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** R4 — deterministic k-PER-GROUP sample: rank rows inside each stratum
+    * by a content-addressed md5 draw (ties broken by the natural key) and
+    * keep the first k. The "give me 20 representative rows per class"
+    * sampler of a training-data audit, with the same reproducibility
+    * contract as [[r3StratifiedHash]]: membership survives reruns,
+    * engines, and corpus growth (a grown group only ever APPENDS
+    * higher-ranked rows after the kept ones are fixed... new rows can
+    * displace old ones only by drawing a lower hash, which is the
+    * documented uniform-without-replacement semantics). One
+    * hash-partitioned window per stratum — k·strata output rows; the
+    * rank's sort is per-group, never global. */
+  private val r4GroupSample: Q = (s, dir) => {
+    val draw = pmod(graft.functions.TextOps.md5Hash64Hof(
+      col("o_orderkey").cast(StringType)), lit(1048576L))
+    Tables(s, dir).orders
+      .withColumn("__draw", draw)
+      .withColumn("rank_in_group", row_number().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("__draw"), col("o_orderkey"))))
+      .filter(col("rank_in_group") <= 20)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("rank_in_group"))
+      .orderBy("o_orderpriority", "rank_in_group")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val entries: Map[String, Q] = Map(
@@ -737,6 +761,7 @@ object CoreQueries {
     "r2_split" -> r2Split,
     "r3_stratified_sample" -> r3Stratified,
     "r3_stratified_hash" -> r3StratifiedHash,
+    "r4_group_sample" -> r4GroupSample,
   )
 
   /** DuckDB oracle SQL per entry. Sums go through DECIMAL in lockstep with
@@ -1067,5 +1092,18 @@ object CoreQueries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
         |FROM t WHERE thr IS NOT NULL AND draw < thr
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same md5-draw convention; ties broken by the natural key so the
+    // per-group ranking is a total order in both engines
+    "r4_group_sample" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY md5_number_upper(CAST(o_orderkey AS VARCHAR))
+        |                      % 1048576, o_orderkey) AS INT) AS rank_in_group
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, rank_in_group
+        |FROM t WHERE rank_in_group <= 20
+        |ORDER BY o_orderpriority, rank_in_group""".stripMargin,
   )
 }

@@ -139,6 +139,50 @@ object RobustStats {
         col("n"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * feature-redundancy screen a training pipeline runs before assembling
+    * a feature vector (the reference computes the same matrix driver-side
+    * with pandas `.corr()`, `ex04_dashboard/notebooks/ex04_eda.ipynb`
+    * heatmap cell; here it is ONE distributed aggregate).
+    *
+    * All moments (n, Σx, Σx², Σxy for every pair) come out of a single
+    * map-side-combinable pass — 1 + 2c + c(c-1)/2 aggregate expressions
+    * for c columns, one row total — then the c(c-1)/2 correlations are
+    * pure arithmetic on that row, exploded into (col_x, col_y, corr)
+    * rows. Never a per-pair pass, never a shuffle of the fact: 100 TB
+    * flows through one scan regardless of how many column pairs are
+    * screened. Sums ride exact DECIMAL so the double arithmetic both
+    * engines run downstream starts from identical inputs;
+    * `corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)(n·Σy²−Σy²))`, rounded. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        cols.flatMap { c =>
+          Seq(sum(col(c).cast(DecimalType(24, 6))).cast(DoubleType).as(s"s_$c"),
+            sum((col(c) * col(c)).cast(DecimalType(30, 6))).cast(DoubleType)
+              .as(s"ss_$c"))
+        } ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(DecimalType(30, 6))).cast(DoubleType)
+            .as(s"sp_${a}_$b")
+        }
+    val aggRow = df.agg(moments.head, moments.tail: _*)
+    def corrOf(a: String, b: String) = round(
+      (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+          (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+    aggRow.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          corrOf(a, b).as("corr"))
+      }: _*)).as("r"))
+      .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),
+        col("r.corr").as("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val zscoreQ: Q = (s, dir) =>
@@ -158,11 +202,16 @@ object RobustStats {
     eqDepthHistogram(Tables(s, dir).lineitem, "l_extendedprice", 8)
       .orderBy("bin")
 
+  private val corrQ: Q = (s, dir) =>
+    corrMatrix(Tables(s, dir).lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   val entries: Map[String, Q] = Map(
     "a37_zscore_outliers" -> zscoreQ,
     "a38_mad" -> madQ,
     "a39_winsorize" -> winsorizeQ,
     "a40_eqdepth_histogram" -> eqDepthQ,
+    "a44_corr_matrix" -> corrQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +285,34 @@ object RobustStats {
          |       max($lst[bin + 2]) AS hi,
          |       count(*) AS n
          |FROM a GROUP BY bin ORDER BY bin""".stripMargin
+    },
+    // generated for the same column list as the entry; the moment casts
+    // (DECIMAL(24,6) sums, DECIMAL(30,6) squares/products) and the final
+    // double arithmetic mirror corrMatrix exactly
+    "a44_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cs.indices; j <- i + 1 until cs.size }
+        yield (cs(i), cs(j))
+      val moments =
+        (cs.flatMap { c => Seq(
+          s"CAST(sum(CAST($c AS DECIMAL(24,6))) AS DOUBLE) AS s_$c",
+          s"CAST(sum(CAST($c * $c AS DECIMAL(30,6))) AS DOUBLE) AS ss_$c")
+        } ++ pairs.map { case (a, b) =>
+          s"CAST(sum(CAST($a * $b AS DECIMAL(30,6))) AS DOUBLE) AS sp_${a}_$b"
+        }).mkString(",\n         ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |       round((n * sp_${a}_$b - s_$a * s_$b) /
+           |             sqrt((n * ss_$a - s_$a * s_$a) *
+           |                  (n * ss_$b - s_$b * s_$b)), 6) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |         $moments
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY col_x, col_y""".stripMargin
     },
   )
 }

@@ -179,14 +179,56 @@ object FarePipeline {
       .orderBy("label")
   }
 
+  /** Smoothed target-mean encoding of a categorical feature — the
+    * high-cardinality-safe alternative to one-hot (M2): each category is
+    * encoded as a shrunk mean of the target,
+    * `enc(c) = (S_c + m·μ) / (n_c + m)` with global prior μ and
+    * smoothing mass m, so rare categories pull toward the prior instead
+    * of memorizing noise. All sums ride exact DECIMAL and μ is rounded
+    * BEFORE it feeds the encoding, so both engines compute the final
+    * arithmetic on identical doubles. One keyed aggregate + a
+    * broadcast-sized scalar join — the encoder table is category-count-
+    * sized and joins back onto training rows at any corpus scale. */
+  private val mlTargetEncodingQ: Q = (s, dir) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = 100.0
+    val e = Tables(s, dir).events.filter(col("value").isNotNull)
+    val perClass = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("s"))
+    val global = e.agg(
+      round(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+        / count(lit(1)), 6).as("mu"))
+    perClass.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n"),
+        round((col("s") + lit(m) * col("mu")) / (col("n") + lit(m)), 6)
+          .as("enc_smoothed"),
+        col("mu").as("global_mean"))
+      .orderBy("event_type")
+  }
+
   val entries: Map[String, Q] = Map(
     "ml_features" -> mlFeaturesQ,
+    "ml_target_encoding" -> mlTargetEncodingQ,
     "ml_class_weights" -> mlClassWeightsQ,
     "ml_gbt_metrics" -> mlGbtMetricsQ, // model metrics are seed/engine-specific
     "ml_batch_inference" -> mlBatchInferenceQ, // predictions engine-specific
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_target_encoding" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               / count(*), 6) AS mu
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, n,
+        |       round((s + 100.0 * mu) / (n + 100.0), 6) AS enc_smoothed,
+        |       mu AS global_mean
+        |FROM c, g ORDER BY event_type""".stripMargin,
     "ml_class_weights" ->
       """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
         |t AS (SELECT sum(n) AS total, count(*) AS n_classes FROM c)

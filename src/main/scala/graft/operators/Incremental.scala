@@ -80,6 +80,34 @@ object Incremental {
         col("old_val"), col("new_val"))
   }
 
+  /** Apply a CDC change log onto a keyed snapshot — the MERGE INTO shape
+    * of a lakehouse table format (Delta/Iceberg merge, or the reference's
+    * `ON CONFLICT` upsert generalized with deletes and out-of-order
+    * arrivals). The log carries (key, payload, version, op ∈ I/U/D);
+    * within a key the HIGHEST version wins (late-arriving older changes
+    * are ignored), a winning D removes the row, a winning I/U replaces
+    * the full row, and log keys absent from the snapshot insert.
+    *
+    * Scale shape: the latest-change-per-key window runs over the LOG
+    * (delta-sized, partitioned by key — never a global window), then one
+    * anti join carves the untouched snapshot rows and a union appends the
+    * survivors. The snapshot shuffles once on the key — or not at all
+    * when snapshot and log are both bucketed on it
+    * ([[graft.warehouse.Bucketing]]). */
+  def applyChangeLog(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+                     versionCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol)
+          .orderBy(col(versionCol).desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn", versionCol)
+    val untouched = snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** Snapshot = keys not divisible by 5, delta = the rest: merged state
@@ -113,9 +141,37 @@ object Incremental {
       .orderBy("o_orderkey")
   }
 
+  /** Deterministic change log derived from the snapshot itself: keys
+    * %10==0 get a delete; keys %10==1 get TWO updates (v1 +5.00, v2
+    * +7.00 — latest-wins must surface +7); keys %10==2 spawn an insert
+    * under a fresh key (base + 10^8). The oracle replays the identical
+    * log with SQL window + anti-join semantics. */
+  private val cdcApplyQ: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+    val deletes = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(null).cast("double").as("price"),
+        lit(1L).as("version"), lit("D").as("op"))
+    val updates1 = o.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), (col("price") + 5.0).as("price"),
+        lit(1L).as("version"), lit("U").as("op"))
+    val updates2 = o.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), (col("price") + 7.0).as("price"),
+        lit(2L).as("version"), lit("U").as("op"))
+    val inserts = o.filter(col("o_orderkey") % 10 === 2)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("price"), lit(1L).as("version"), lit("I").as("op"))
+    val log = deletes.unionByName(updates1).unionByName(updates2)
+      .unionByName(inserts)
+    applyChangeLog(o, log, "o_orderkey", "version", "op")
+      .select(col("o_orderkey"), round(col("price"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   val entries: Map[String, Q] = Map(
     "inc_agg_merge" -> aggMergeQ,
     "inc_snapshot_diff" -> snapshotDiffQ,
+    "inc_cdc_apply" -> cdcApplyQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,6 +203,31 @@ object Incremental {
         |         round(o.price, 2) AS old_val, round(n.price, 2) AS new_val
         |  FROM o FULL OUTER JOIN n USING (o_orderkey))
         |SELECT * FROM d WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "inc_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS price,
+        |         1 AS version, 'D' AS op FROM snap WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price + 5.0, 1, 'U' FROM snap WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, price + 7.0, 2, 'U' FROM snap WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, price, 1, 'I' FROM snap
+        |  WHERE o_orderkey % 10 = 2),
+        |latest AS (
+        |  SELECT o_orderkey, price, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY version DESC) AS rn
+        |    FROM log) WHERE rn = 1)
+        |SELECT o_orderkey, round(price, 2) AS price FROM (
+        |  SELECT s.o_orderkey, s.price FROM snap s
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                    WHERE l.o_orderkey = s.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, price FROM latest WHERE op != 'D')
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -118,6 +118,24 @@ object Gates {
       .withColumn("suppression_cost", col("n_rows"))
   }
 
+  /** l-diversity risk audit — the follow-up attack k-anonymity misses: a
+    * QI group can hold k rows and STILL leak if all k share one sensitive
+    * value (the homogeneity attack — "everyone in that zip+age bucket has
+    * the same diagnosis"). Flags every QI combo whose sensitive column
+    * carries fewer than l distinct values, with the group size and the
+    * observed diversity. Distinct-count per group is one shuffle on the QI
+    * key with map-side partial distinct — same scale shape as
+    * [[kAnonymityAudit]]; output is QI-combo-sized. */
+  def lDiversityAudit(df: DataFrame, quasiIds: Seq[String],
+                      sensitive: String, l: Int): DataFrame = {
+    require(quasiIds.nonEmpty && l > 1, s"need QI columns and l > 1")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+      .withColumn("l", lit(l))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** The ingest retention gate applied to the events feed with the
@@ -159,8 +177,19 @@ object Gates {
       Seq("c_nationkey", "c_mktsegment", "balance_bucket"), k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "balance_bucket")
 
+  /** QI tuple = (nation, coarse balance bucket); sensitive = market
+    * segment. A bucket whose members all shop one segment leaks the
+    * segment of anyone whose nation+balance is known. */
+  private val lDiversityQ: Q = (s, dir) =>
+    lDiversityAudit(
+      Tables(s, dir).customer.withColumn("balance_bucket",
+        floor(col("c_acctbal") / 2000).cast(org.apache.spark.sql.types.LongType)),
+      Seq("c_nationkey", "balance_bucket"), sensitive = "c_mktsegment", l = 3)
+      .orderBy("c_nationkey", "balance_bucket")
+
   val entries: Map[String, Q] = Map(
     "q_k_anonymity" -> kAnonymityQ,
+    "q_l_diversity" -> lDiversityQ,
     "q_retention_gate" -> retentionGateQ,
     "q_floor_gate" -> floorGateQ,
     "q_availability_gate" -> availabilityGateQ,
@@ -176,6 +205,15 @@ object Gates {
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING count(*) < 5
         |ORDER BY c_nationkey, c_mktsegment, balance_bucket""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT c_nationkey,
+        |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_bucket,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT c_mktsegment) AS n_sensitive,
+        |       CAST(3 AS INT) AS l
+        |FROM customer
+        |GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3
+        |ORDER BY c_nationkey, balance_bucket""".stripMargin,
     "q_sla_gate" ->
       """SELECT * FROM (VALUES
         |  ('dim_date_build', 'OK'), ('events_scan', 'OK'),

@@ -34,4 +34,20 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
+
+  test("change-log apply: latest version wins, D deletes, I inserts, rest untouched") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    val log = Seq(
+      (2L, 21.0, 1L, "U"), (2L, 22.0, 2L, "U"),   // out-of-order safe: v2 wins
+      (3L, 0.0, 1L, "D"),                          // delete
+      (5L, 50.0, 1L, "I"),                         // insert under a fresh key
+      (4L, 41.0, 1L, "U"), (4L, 0.0, 2L, "D"))     // update then delete => gone
+      .toDF("k", "v", "version", "op")
+    val out = Incremental.applyChangeLog(snap, log, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 10.0, 2L -> 22.0, 5L -> 50.0))
+  }
 }
