@@ -56,7 +56,7 @@ object Bench {
     "a41_psi_drift", "a42_ks_drift", "a43_chi2_drift",
     "j13_bloom_prefilter", "q_l_diversity", "a44_corr_matrix",
     "inc_cdc_apply", "b12_rfm_segments", "ml_target_encoding",
-    "r4_group_sample",
+    "r4_group_sample", "g6_bfs_layers",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

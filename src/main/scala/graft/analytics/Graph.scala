@@ -255,6 +255,43 @@ object Graph {
     result
   }
 
+  /** Multi-source BFS layers over an undirected `(s1 < s2)` edge list:
+    * hop distance from the seed set, up to `maxHops` — the reachability /
+    * blast-radius query (how far does influence from these accounts
+    * spread; which docs sit within k citation hops of a contaminated
+    * seed). Textbook frontier expansion as keyed joins: each hop joins
+    * the (shrinking-or-growing) frontier against the adjacency list,
+    * anti-joins the visited set, and tags survivors with the hop number.
+    * Set semantics + integer distances => deterministic, no tie-breaks
+    * needed.
+    *
+    * Scale shape: `maxHops` rounds of (equi-join + distinct + anti join),
+    * all keyed on the node — the Pregel BFS shape. The visited set is
+    * re-persisted per hop and released in-function; at web scale you'd
+    * localCheckpoint it every few hops to cap lineage, exactly as
+    * [[graft.operators.Dedup.connectedComponents]] does. */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need at least one hop, got $maxHops")
+    val adj = edges.select(col("s1").as("a"), col("s2").as("b"))
+      .union(edges.select(col("s2").as("a"), col("s1").as("b"))).persist()
+    val hop0 = seeds.select(col("node"), lit(0).as("dist")).persist()
+    val (visited, _) = (1 to maxHops).foldLeft((hop0, hop0)) {
+      case ((vis, frontier), h) =>
+        val next = adj.join(frontier.select(col("node").as("a")), "a")
+          .select(col("b").as("node")).distinct()
+          .join(vis.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("dist"))
+        val v2 = vis.unionByName(next).persist()
+        v2.count() // materialize so the anti join of hop h+1 reads state,
+                   // not a rebuilt lineage; previous layer stays cached
+        (v2, next)
+    }
+    val out = visited.orderBy("node")
+    out.persist().count()
+    adj.unpersist()
+    out
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val pageRankQ: Q = (s, dir) => {
@@ -275,12 +312,25 @@ object Graph {
   private val lpaQ: Q = (s, dir) =>
     labelPropagation(coActivityEdges(Tables(s, dir).events), rounds = 3)
 
+  /** Seeds = the 5 lowest node ids in the edge list (deterministic). */
+  private val bfsQ: Q = (s, dir) => {
+    val edges = coActivityEdges(Tables(s, dir).events).persist()
+    val seeds = edges.select(col("s1").as("node"))
+      .union(edges.select(col("s2").as("node")))
+      .distinct().orderBy("node").limit(5)
+    val out = bfsLayers(edges, seeds, maxHops = 3).orderBy("dist", "node")
+    out.persist().count()
+    edges.unpersist()
+    out
+  }
+
   val entries: Map[String, Q] = Map(
     "g1_pagerank" -> pageRankQ,
     "g2_triangle_count" -> triangleQ,
     "g3_kcore" -> kcoreQ,
     "g4_link_prediction" -> linkPredQ,
     "g5_label_propagation" -> lpaQ,
+    "g6_bfs_layers" -> bfsQ,
   )
 
   /** Shared oracle prefix: the [[coActivityEdges]] build in DuckDB SQL —
@@ -417,6 +467,33 @@ object Graph {
          |l0 AS (SELECT node, node AS label FROM nodes),
          |$roundCtes
          |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+    },
+
+    // generated: one (frontier-join + anti-join) CTE pair per hop,
+    // mirroring bfsLayers' visited-set recursion exactly
+    "g6_bfs_layers" -> {
+      val maxHops = 3
+      val hopCtes = (1 to maxHops).map { h =>
+        s"""f$h AS (
+           |  SELECT DISTINCT nb.b AS node, $h AS dist
+           |  FROM nb JOIN v${h - 1} v ON nb.a = v.node
+           |  WHERE nb.b NOT IN (SELECT node FROM v${h - 1})),
+           |v$h AS (SELECT node, dist FROM v${h - 1}
+           |        UNION ALL SELECT node, dist FROM f$h)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |nb AS (
+         |  SELECT s1 AS a, s2 AS b FROM ed
+         |  UNION ALL SELECT s2, s1 FROM ed),
+         |seeds AS (
+         |  SELECT node FROM (
+         |    SELECT DISTINCT s1 AS node FROM ed
+         |    UNION SELECT s2 FROM ed)
+         |  ORDER BY node LIMIT 5),
+         |v0 AS (SELECT node, 0 AS dist FROM seeds),
+         |$hopCtes
+         |SELECT node, CAST(dist AS INT) AS dist FROM v$maxHops
+         |ORDER BY dist, node""".stripMargin
     },
   )
 }

@@ -98,6 +98,43 @@ object Sources {
     s.read.schema(schema).json(out).orderBy("s_suppkey")
   }
 
+  /** S15 — schema-evolution scan: two parquet generations of the same
+    * table — the old files lack a column the new files carry — read back
+    * as ONE frame via `mergeSchema` (the footer-union read every
+    * long-lived lakehouse table needs once a column is added; without it
+    * the scan silently takes the first file's schema and DROPS the new
+    * column). Old-generation rows surface NULL for the added column, new
+    * rows keep real values; the oracle re-derives the same union from the
+    * original table. At scale `mergeSchema` is a footer-only pass (no
+    * data read) — still O(files), which is why the compaction planner
+    * (`layout_compaction_plan`) keeps file counts bounded. */
+  private val schemaEvolutionQ: Q = (s, dir) => {
+    val out = tmpDir("evolving_orders")
+    val o = Tables(s, dir).orders
+    // generation 1: no discount column yet (even keys)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/gen=1")
+    // generation 2: the discount column exists (odd keys)
+    // the added column is price * 2 — a pure exponent bump, so the double
+    // is bit-identical in any IEEE engine (a * 0.1 here would trip the
+    // engines' different double-rounding modes)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") * 2.0).as("o_doubled"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"),
+        sum(when(col("o_doubled").isNull, 1L).otherwise(0L))
+          .as("n_null_doubled"),
+        round(sum(col("o_doubled").cast(DecimalType(18, 2)))
+          .cast(DoubleType), 2).as("doubled_total"))
+      .orderBy("gen")
+  }
+
   /** S13 — XML sink + source roundtrip (native in Spark 4 — the spark-xml
     * datasource merged upstream): region -> row-tagged XML -> explicit
     * schema read, oracle vs the original parquet table. The enterprise
@@ -203,6 +240,7 @@ object Sources {
     "s12_orc_roundtrip" -> orcRoundtripQ,
     "s13_xml_roundtrip" -> xmlRoundtripQ,
     "s14_text_roundtrip" -> textRoundtripQ,
+    "s15_schema_evolution" -> schemaEvolutionQ,
     "s5_partitioned_sink" -> partitionedSinkQ,
     "s6_jdbc_roundtrip" -> jdbcRoundtripQ,
     "s4_path_probe" -> pathProbeQ, // environment probe => rows-only
@@ -235,5 +273,19 @@ object Sources {
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "s6_jdbc_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // generation 1 = even keys (no o_doubled column => all NULL),
+    // generation 2 = odd keys carrying price * 2 (exact in any IEEE engine)
+    "s15_schema_evolution" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT)
+        |         AS gen,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_doubled,
+        |       round(CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |                     THEN CAST(o_totalprice * 2.0 AS DECIMAL(18,2))
+        |                     END) AS DOUBLE), 2) AS doubled_total
+        |FROM orders GROUP BY 1 ORDER BY gen""".stripMargin,
   )
 }

@@ -136,4 +136,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 2L, 3L)))
   }
+
+  test("BFS layers: hop distances on a path + branch, horizon respected") {
+    val s = spark
+    import s.implicits._
+    // 1-2-3-4-5 path, 2-6 branch, 8-9 disconnected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L)).toDF("s1", "s2")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfsLayers(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 5 is 4 hops out -> beyond the horizon; 8/9 unreachable
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3))
+  }
 }
