@@ -57,6 +57,9 @@ object Bench {
     "j13_bloom_prefilter", "q_l_diversity", "a44_corr_matrix",
     "inc_cdc_apply", "b12_rfm_segments", "ml_target_encoding",
     "r4_group_sample", "g6_bfs_layers",
+    "b13_activity_streaks", "b15_assoc_rules", "b16_attribution",
+    "b17_survival_km", "q_t_closeness", "text_zipf_fit",
+    "a45_ab_test", "a46_calibration_bins",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

@@ -324,6 +324,157 @@ object Behavior {
       coalesce(abs(z) > lit(zThreshold), lit(false)).as("is_anomaly"))
   }
 
+  /** Consecutive-calendar-day activity streaks per user — the calendar
+    * cousin of [[intervalUnion]]'s interval islands and the engagement
+    * metric behind "current/longest streak" product surfaces. Island id =
+    * `day - row_number()` over the user's DISTINCT active days (consecutive
+    * days share the difference; any gap shifts it), so streaks fall out of
+    * one user-keyed window plus two keyed aggregates — no self-join, no
+    * day-spine explosion. Everything runs on the distinct (user, day)
+    * frame, ≤ users × calendar-days rows regardless of event volume. */
+  def activityStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("uid").orderBy("day")
+    val days = events
+      .select(col(userCol).as("uid"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    days
+      .withColumn("__island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("uid"), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("uid")
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
+
+  /** Cumulative distinct active users by day — the "total users to date"
+    * growth curve. Distinct users ever seen by day D = users whose FIRST
+    * event is on or before D, so the running total needs no per-day
+    * distinct-over-history pass: one keyed first-seen aggregate (the only
+    * fact-sized shuffle), a day count, and a running sum over the DAILY
+    * frame — calendar-bounded, thousands of rows at any corpus size, so
+    * the single-partition cumulative window is deliberate and safe. */
+  def cumulativeActives(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    events
+      .groupBy(col(userCol).as("uid"))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
+  /** Directed association rules over per-user event-type baskets (market-
+    * basket analysis, A => B): support = users with both / all users,
+    * confidence = users with both / users with A, lift = confidence over
+    * B's base rate. Runs on the DISTINCT (user, type) frame (≤ users ×
+    * type-domain rows); the pair join is keyed by user with per-user
+    * fanout bounded by the type domain squared — never all-pairs across
+    * users. Support/confidence/lift each reduce to integer products with
+    * ONE final double division (`lift = n_ab·N / (n_a·n_b)`), so both
+    * engines agree bit-for-bit before the round. Rules below `minSupport`
+    * are pruned. */
+  def associationRules(events: DataFrame, userCol: String, typeCol: String,
+                       minSupport: Double = 0.01): DataFrame = {
+    val ut = events.select(col(userCol).as("uid"), col(typeCol).as("t"))
+      .distinct()
+    val total = ut.select("uid").distinct().agg(count(lit(1)).as("__N"))
+    val typeCounts = ut.groupBy(col("t")).agg(count(lit(1)).as("__n"))
+    val pairs = ut.join(ut.withColumnRenamed("t", "t2"), "uid")
+      .filter(col("t") =!= col("t2"))
+      .groupBy(col("t").as("antecedent"), col("t2").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.select(col("t").as("antecedent"),
+        col("__n").as("__na"))), "antecedent")
+      .join(broadcast(typeCounts.select(col("t").as("consequent"),
+        col("__n").as("__nb"))), "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        round(col("n_both").cast(DoubleType) / col("__N"), 6).as("support"),
+        round(col("n_both").cast(DoubleType) / col("__na"), 6).as("confidence"),
+        round((col("n_both") * col("__N")).cast(DoubleType)
+          / (col("__na") * col("__nb")), 6).as("lift"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Last-touch revenue attribution: each purchase is credited to the
+    * user's most recent PRECEDING non-purchase event type (the classic
+    * marketing-attribution question "what drove this conversion");
+    * purchases with no prior touch fall into the 'direct' bucket. One
+    * user-keyed ordered window (`last(..., ignoreNulls)` over PRECEDING
+    * rows — a user's timeline fits a task by construction) followed by a
+    * channel-sized aggregate; revenue sums ride DECIMAL per the
+    * [[graft.Ops.dsum]] discipline. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, idCol: String, valueCol: String,
+                           conversionType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    events
+      .withColumn("__chan",
+        last(when(col(typeCol) =!= conversionType, col(typeCol)), true).over(w))
+      .filter(col(typeCol) === conversionType && col(valueCol).isNotNull)
+      .groupBy(coalesce(col("__chan"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        graft.Ops.dsum(col(valueCol)).as("attributed_value"))
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes (time-to-churn): the
+    * estimator behind every retention/LTV projection that must respect
+    * CENSORING — users still active near the end of the observation window
+    * haven't churned, they're censored, and dropping them biases survival
+    * down. Lifetime = days from first to last event (inclusive); a user
+    * churns (event observed) iff their last day is more than `censorDays`
+    * before the corpus max day, else censored.
+    *
+    * KM survival S(t) = Π_{t'≤t} (1 − d/n) is a cumulative PRODUCT — the
+    * one shape neither engine sums natively in a deterministic order — so
+    * it runs in log space under the repo's `text_source_kl` contract: each
+    * ln(1 − d/n) term rounds to 6, the cumulative sum rides EXACT
+    * DECIMAL(18,6) (associative, order-independent), and one final exp
+    * rounds to 6 — bit-stable across engines and partitionings. A risk set
+    * fully consumed at t (d = n) pins S(t) = 0 without evaluating ln(0).
+    *
+    * Shape at scale: one user-keyed aggregate is the only fact-sized
+    * shuffle; the risk table, reverse-cumulative n-at-risk and the KM
+    * windows all run over the LIFETIME-DOMAIN frame (≤ calendar days,
+    * bounded by time, not data), where the deliberate global windows are
+    * safe. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = events.groupBy(col(userCol).as("uid"))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+    val maxDay = perUser.agg(max(col("__last")).as("__max_day"))
+    val life = perUser.crossJoin(broadcast(maxDay))
+      .select((datediff(col("__last"), col("__first")) + 1).cast(LongType)
+        .as("t"),
+        when(col("__last") < date_sub(col("__max_day"), censorDays), 1L)
+          .otherwise(0L).as("__ev"))
+    val riskTable = life.groupBy("t")
+      .agg(count(lit(1)).as("__n_total"), sum(col("__ev")).as("d_churned"))
+      .withColumn("n_risk",
+        sum(col("__n_total")).over(Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val term = when(col("d_churned") < col("n_risk"),
+      round(log(lit(1.0) - col("d_churned").cast(DoubleType) / col("n_risk")), 6)
+        .cast(DecimalType(18, 6)))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable
+      .withColumn("__cum", sum(term).over(wCum))
+      .select(col("t"), col("n_risk"), col("d_churned"),
+        (col("__n_total") - col("d_churned")).as("n_censored"),
+        when(col("d_churned") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(col("__cum").cast(DoubleType)), 6))
+          .as("km_survival"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -420,7 +571,38 @@ object Behavior {
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
 
+  private val streaksQ: Q = (s, dir) =>
+    activityStreaks(Tables(s, dir).events, "user_id", "ts").orderBy("uid")
+
+  private val cumulativeQ: Q = (s, dir) =>
+    cumulativeActives(Tables(s, dir).events, "user_id", "ts").orderBy("day")
+
+  private val assocQ: Q = (s, dir) =>
+    associationRules(Tables(s, dir).events, "user_id", "event_type",
+      minSupport = 0.05)
+      .orderBy("antecedent", "consequent")
+
+  private val attributionQ: Q = (s, dir) =>
+    lastTouchAttribution(Tables(s, dir).events, "user_id", "ts", "event_type",
+      "event_id", "value", conversionType = "purchase")
+      .orderBy("channel")
+
+  /** Survival of the PURCHASE lifecycle (first to last purchase): the
+    * all-events lifetime is degenerate on this feed (every user stays
+    * active to the corpus edge, so everything censors flat at 1.0);
+    * last-purchase recency spreads 0–11 days, so a 3-day horizon yields a
+    * real mixed churned/censored risk table with a stepping curve. */
+  private val kmQ: Q = (s, dir) =>
+    kaplanMeier(Tables(s, dir).events.filter(col("event_type") === "purchase"),
+      "user_id", "ts", censorDays = 3)
+      .orderBy("t")
+
   val entries: Map[String, Q] = Map(
+    "b17_survival_km" -> kmQ,
+    "b13_activity_streaks" -> streaksQ,
+    "b14_cumulative_actives" -> cumulativeQ,
+    "b15_assoc_rules" -> assocQ,
+    "b16_attribution" -> attributionQ,
     "b1_funnel_steps" -> funnelQ,
     "b4_funnel_windowed" -> funnelWindowedQ,
     "b5_transition_matrix" -> transitionQ,
@@ -436,6 +618,101 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    // cumulative product in log space: ln terms round to 6, the running
+    // sum rides exact DECIMAL(18,6), one exp at the end (the
+    // text_source_kl determinism contract)
+    "b17_survival_km" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+        |         max(CAST(ts AS DATE)) AS last_day
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS max_day FROM pu),
+        |life AS (
+        |  SELECT CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+        |           AS t,
+        |         CASE WHEN last_day < max_day - 3 THEN 1 ELSE 0 END AS ev
+        |  FROM pu, mx),
+        |bt AS (
+        |  SELECT t, count(*) AS n_total, CAST(sum(ev) AS BIGINT) AS d
+        |  FROM life GROUP BY 1),
+        |rt AS (
+        |  SELECT t, n_total, d,
+        |         CAST(sum(n_total) OVER (ORDER BY t ROWS BETWEEN CURRENT
+        |              ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM bt),
+        |tm AS (
+        |  SELECT *, CASE WHEN d < n_risk
+        |                 THEN CAST(round(ln(1 - CAST(d AS DOUBLE) / n_risk),
+        |                                 6) AS DECIMAL(18,6)) END AS term
+        |  FROM rt)
+        |SELECT t, n_risk, d AS d_churned, n_total - d AS n_censored,
+        |       CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE)
+        |            ELSE round(exp(CAST(sum(term) OVER (ORDER BY t ROWS
+        |                 BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS DOUBLE)), 6) END AS km_survival
+        |FROM tm ORDER BY t""".stripMargin,
+    "b13_activity_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT uid, day,
+        |         day - CAST(row_number() OVER (PARTITION BY uid
+        |                                       ORDER BY day) AS INT) AS island
+        |  FROM du),
+        |st AS (SELECT uid, island, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT uid, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       count(*) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM st GROUP BY 1 ORDER BY uid""".stripMargin,
+    "b14_cumulative_actives" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |nd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1)
+        |SELECT day, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM nd ORDER BY day""".stripMargin,
+    // lift folds to n_both*N/(n_a*n_b): integer products, ONE division —
+    // bit-identical across engines before the round
+    "b15_assoc_rules" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS uid, event_type AS t FROM events),
+        |tot AS (SELECT CAST(count(DISTINCT uid) AS BIGINT) AS n FROM ut),
+        |tc AS (SELECT t, count(*) AS n FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS antecedent, b.t AS consequent,
+        |         count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.uid = b.uid AND a.t <> b.t
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_both,
+        |       round(CAST(n_both AS DOUBLE) / tot.n, 6) AS support,
+        |       round(CAST(n_both AS DOUBLE) / ta.n, 6) AS confidence,
+        |       round(CAST(n_both * tot.n AS DOUBLE) / (ta.n * tb.n), 6)
+        |         AS lift
+        |FROM p
+        |JOIN tc ta ON p.antecedent = ta.t
+        |JOIN tc tb ON p.consequent = tb.t
+        |CROSS JOIN tot
+        |WHERE round(CAST(n_both AS DOUBLE) / tot.n, 6) >= 0.05
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "b16_attribution" ->
+      """WITH tagged AS (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS chan
+        |  FROM events)
+        |SELECT coalesce(chan, 'direct') AS channel,
+        |       count(*) AS n_conversions,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS attributed_value
+        |FROM tagged
+        |WHERE event_type = 'purchase' AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     // quartile anchors rounded to 6 before bucketing, in lockstep with rfmQ
     "b12_rfm_segments" ->
       """WITH pu AS (

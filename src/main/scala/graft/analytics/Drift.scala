@@ -133,6 +133,66 @@ object Drift {
       .orderBy("category")
   }
 
+  /** Two-proportion z-test between deterministic experiment arms — the
+    * experimentation readout every product analytics layer runs on top of
+    * the event feed. Arm assignment is a pure function of the unit key
+    * (`user_id % 2`, the hash-bucket assignment of a real experiment
+    * platform); exposure and conversion collapse to per-user flags in ONE
+    * user-keyed aggregate (the only fact-sized shuffle), and the z
+    * statistic is closed-form over four integers:
+    * `z = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with the pooled p̂ —
+    * fixed-order arithmetic both engines evaluate identically, rounded
+    * once. Output is a single decision row. */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+             exposureType: String, conversionType: String,
+             zCritical: Double = 1.96): DataFrame = {
+    val perUser = events.groupBy(col(userCol).as("uid"))
+      .agg(max(when(col(typeCol) === exposureType, 1L).otherwise(0L))
+        .as("__exposed"),
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .as("__conv"))
+      .filter(col("__exposed") === 1L)
+      .select((col("uid") % 2).as("__arm"), col("__conv"))
+    val agg = perUser.agg(
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 0, col("__conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 1, col("__conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast(DoubleType) / col("n_a")
+    val pb = col("conv_b").cast(DoubleType) / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(se > 0, round((pb - pa) / se, 4))
+    agg.select(col("n_a"), col("conv_a"), round(pa, 6).as("rate_a"),
+      col("n_b"), col("conv_b"), round(pb, 6).as("rate_b"),
+      z.as("z_stat"),
+      coalesce(abs(z) > zCritical, lit(false)).as("significant"))
+  }
+
+  /** Model-calibration (reliability) bins over a deterministic score: the
+    * monitoring table behind a calibration curve — per fixed-width score
+    * bin, the mean predicted probability vs the observed outcome rate.
+    * The score here is a pinned logistic link over fact columns (a stand-in
+    * for any served model's output column; seeded-GBT outputs are not
+    * engine-reproducible, per SURVEY §7.5 — the BINNING infrastructure is
+    * what this grades). Per-row score rounds to 6 before anything
+    * aggregates, so cross-engine `exp` ulp noise is quantized away; bin
+    * membership derives from the rounded score. One fact-sized keyed
+    * aggregate; output is bins-sized. */
+  def calibrationBins(df: DataFrame, score: Column, outcome: Column,
+                      bins: Int = 10): DataFrame = {
+    val s = round(score, 6)
+    df.select(s.as("__s"), outcome.cast("int").as("__y"))
+      .groupBy(least(floor(col("__s") * bins).cast("int"), lit(bins - 1))
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(avg(col("__y").cast(DoubleType)), 6).as("outcome_rate"))
+      .orderBy("bin")
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** Window split shared by all three graded entries: reference = orders
@@ -151,13 +211,81 @@ object Drift {
     chi2Drift(Tables(s, dir).events, "event_type",
       dayofmonth(col("ts")) <= 15)
 
+  private val abTestQ: Q = (s, dir) =>
+    abTest(Tables(s, dir).events, "user_id", "event_type",
+      exposureType = "view", conversionType = "purchase")
+
+  /** Pinned logistic link over lineitem columns: spreads scores across
+    * ~[0.13, 0.88] so every decile bin is populated at sf0.01. */
+  private val calibrationQ: Q = (s, dir) =>
+    calibrationBins(Tables(s, dir).lineitem,
+      score = lit(1.0) / (lit(1.0) + exp(-(lit(-2.0)
+        + lit(0.06) * col("l_quantity") + lit(10.0) * col("l_discount")))),
+      outcome = col("l_returnflag") === "R")
+
   val entries: Map[String, Q] = Map(
     "a41_psi_drift" -> psiQ,
     "a42_ks_drift" -> ksQ,
     "a43_chi2_drift" -> chi2Q,
+    "a45_ab_test" -> abTestQ,
+    "a46_calibration_bins" -> calibrationQ,
   )
 
   val oracles: Map[String, String] = Map(
+    "a45_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS exposed,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events GROUP BY 1),
+        |arms AS (
+        |  SELECT user_id % 2 AS arm, conv FROM pu WHERE exposed = 1),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM arms),
+        |z AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |         CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |         CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p
+        |  FROM a),
+        |z2 AS (
+        |  SELECT *, sqrt(p * (CAST(1 AS DOUBLE) - p)
+        |                  * (CAST(1 AS DOUBLE) / n_a
+        |                     + CAST(1 AS DOUBLE) / n_b)) AS se
+        |  FROM z)
+        |SELECT n_a, conv_a, round(pa, 6) AS rate_a,
+        |       n_b, conv_b, round(pb, 6) AS rate_b,
+        |       CASE WHEN se > 0 THEN round((pb - pa) / se, 4) END AS z_stat,
+        |       coalesce(CASE WHEN se > 0
+        |                     THEN abs(round((pb - pa) / se, 4)) > 1.96 END,
+        |                false) AS significant
+        |FROM z2""".stripMargin,
+    // per-row score rounds to 6 BEFORE binning/averaging, so cross-engine
+    // exp() ulp noise is quantized away
+    "a46_calibration_bins" ->
+      """WITH s AS (
+        |  SELECT round(CAST(1 AS DOUBLE)
+        |               / (CAST(1 AS DOUBLE)
+        |                  + exp(-(CAST(-2.0 AS DOUBLE)
+        |                          + CAST(0.06 AS DOUBLE) * l_quantity
+        |                          + CAST(10.0 AS DOUBLE) * l_discount))), 6)
+        |           AS sc,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem)
+        |SELECT least(CAST(floor(sc * 10) AS INT), 9) AS bin,
+        |       count(*) AS n,
+        |       round(avg(sc), 6) AS mean_score,
+        |       round(avg(CAST(y AS DOUBLE)), 6) AS outcome_rate
+        |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
     "a41_psi_drift" -> {
       val bins = 10
       val qs = (1 until bins).map(i =>

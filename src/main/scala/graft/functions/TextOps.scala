@@ -281,6 +281,54 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
   }
 
+  /** Zipf rank-frequency fit per source: OLS slope/intercept of
+    * ln(freq) ~ ln(rank) over the top `topN` terms, plus the Heaps-law
+    * raw material (corpus token count and vocabulary size). A healthy
+    * natural-language source fits slope ≈ −1; machine-generated or
+    * template text bends the curve — a cheap corpus-health fingerprint
+    * for training-data intake, per source.
+    *
+    * Shape at scale: term counting is the only corpus-sized shuffle
+    * (token-keyed, map-side combinable); the rank window partitions by
+    * source over the term-frequency frame and the regression runs on
+    * ≤ topN rows per source via the closed-form moment sums — the
+    * slope is `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, one division,
+    * CASE-gated against a degenerate single-rank fit. Outputs round at
+    * 6 so last-ulp `ln` differences across engines can't surface. */
+  def zipfFit(docs: DataFrame, sourceCol: String, textCol: String,
+              topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
+    val tf = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val totals = tf.groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("cnt"), asc("token"))
+    val fit = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("source"),
+        log(col("rank").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("x") * col("y")).as("__sxy"))
+    val den = col("n_terms") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) / den
+    fit.join(totals, "source")
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n_terms"),
+        round(when(den > 0, slope), 6).as("zipf_slope"),
+        round(when(den > 0,
+          (col("__sy") - slope * col("__sx")) / col("n_terms")), 6)
+          .as("zipf_intercept"))
+  }
+
+  private val zipfQ: Q = (s, dir) =>
+    zipfFit(Tables(s, dir).documents, "source", "text", topN = 100)
+      .orderBy("source")
+
   private val tfidfQ: Q = (s, dir) =>
     tfidfTopK(Tables(s, dir).documents, "doc_id", "text", 3)
       .orderBy("doc_id", "rank")
@@ -1001,6 +1049,7 @@ object TextOps {
     "text_rolling_hash" -> rollingHashQ,
     "text_heavy_hitters" -> heavyHittersQ,
     "text_tfidf_topk" -> tfidfQ,
+    "text_zipf_fit" -> zipfQ,
     "text_bm25_topk" -> bm25Q,
     "text_ngram_heavy_hitters" -> ngramHHQ,
     "text_pmi_pairs" -> pmiQ,
@@ -1055,6 +1104,42 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // closed-form OLS on ln/ln moments; one CASE-gated division per output
+    "text_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |         count(*) AS vocab
+        |  FROM tf GROUP BY 1),
+        |rk AS (
+        |  SELECT source, cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, token) AS rank
+        |  FROM tf),
+        |xy AS (
+        |  SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+        |         ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM rk WHERE rank <= 100),
+        |fit AS (
+        |  SELECT source, count(*) AS n_terms,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM xy GROUP BY 1),
+        |s AS (
+        |  SELECT source, n_terms, sx, sy,
+        |         n_terms * sxx - sx * sx AS den,
+        |         n_terms * sxy - sx * sy AS num
+        |  FROM fit)
+        |SELECT s.source, t.n_tokens, t.vocab, s.n_terms,
+        |       round(CASE WHEN den > 0 THEN num / den END, 6) AS zipf_slope,
+        |       round(CASE WHEN den > 0
+        |                  THEN (sy - (num / den) * sx) / n_terms END, 6)
+        |         AS zipf_intercept
+        |FROM s JOIN tot t USING (source)
+        |ORDER BY source""".stripMargin,
     "text_oov_ratio" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -136,6 +136,53 @@ object Gates {
       .withColumn("l", lit(l))
   }
 
+  /** t-closeness risk audit — the distributional attack l-diversity misses:
+    * a QI group can carry l distinct sensitive values and STILL leak if its
+    * sensitive-value MIX diverges from the corpus (e.g. a bucket that is 90%
+    * one diagnosis when the corpus is 20% tells an attacker the likely value
+    * even though others appear). Flags every QI combo whose total-variation
+    * distance from the global sensitive distribution exceeds `t`.
+    *
+    * The TVD is computed in INTEGER arithmetic with one final division —
+    * `0.5 * (Σ_v∈g |n_vg·N − n_v·n_g| + (N·n_g − Σ_v∈g n_v·n_g)) / (n_g·N)`
+    * where the second term folds every sensitive value ABSENT from the
+    * group (there p=0, so |p−q| collapses to q) without materializing the
+    * group×domain cross product. Integer numerators make the result
+    * bit-identical across engines and summation orders; products stay under
+    * Long range up to N·n_g ≈ 9e18 (a 1e10-row corpus with 1e8-row groups).
+    * Shape at scale: one (QI, sensitive) counting shuffle, a QI-partitioned
+    * window for group totals, and two broadcast joins (sensitive domain +
+    * the 1-row corpus count) — output is QI-combo-sized. */
+  def tClosenessAudit(df: DataFrame, quasiIds: Seq[String],
+                      sensitive: String, t: Double): DataFrame = {
+    require(quasiIds.nonEmpty && t > 0 && t < 1, "need QI columns and 0 < t < 1")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val base = df.select((quasiIds :+ sensitive).map(col): _*)
+    val total = base.agg(count(lit(1)).as("__N"))
+    val domain = base.groupBy(col(sensitive)).agg(count(lit(1)).as("__nv"))
+    val grp = base.groupBy((quasiIds :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__nvg"))
+      .withColumn("__ng",
+        sum(col("__nvg")).over(Window.partitionBy(quasiIds.map(col): _*)))
+    grp.join(broadcast(domain), sensitive)
+      .crossJoin(broadcast(total))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(
+        max(col("__ng")).as("n_rows"),
+        max(col("__N")).as("__n"),
+        sum(abs(col("__nvg") * col("__N") - col("__nv") * col("__ng")))
+          .as("__present"),
+        sum(col("__nv") * col("__ng")).as("__covered"))
+      .select(quasiIds.map(col) ++ Seq(
+        col("n_rows"),
+        round((lit(0.5) * (col("__present") +
+          (col("__n") * col("n_rows") - col("__covered"))).cast(DoubleType) /
+          (col("n_rows") * col("__n")).cast(DoubleType)), 6).as("tvd")): _*)
+      .filter(col("tvd") > t)
+      .withColumn("t", lit(t))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** The ingest retention gate applied to the events feed with the
@@ -187,9 +234,20 @@ object Gates {
       Seq("c_nationkey", "balance_bucket"), sensitive = "c_mktsegment", l = 3)
       .orderBy("c_nationkey", "balance_bucket")
 
+  /** QI tuple = (nation, coarse balance bucket); sensitive = market
+    * segment; t = 0.4 — flags buckets whose segment mix sits more than
+    * 0.4 total-variation away from the corpus mix. */
+  private val tClosenessQ: Q = (s, dir) =>
+    tClosenessAudit(
+      Tables(s, dir).customer.withColumn("balance_bucket",
+        floor(col("c_acctbal") / 2000).cast(org.apache.spark.sql.types.LongType)),
+      Seq("c_nationkey", "balance_bucket"), sensitive = "c_mktsegment", t = 0.4)
+      .orderBy("c_nationkey", "balance_bucket")
+
   val entries: Map[String, Q] = Map(
     "q_k_anonymity" -> kAnonymityQ,
     "q_l_diversity" -> lDiversityQ,
+    "q_t_closeness" -> tClosenessQ,
     "q_retention_gate" -> retentionGateQ,
     "q_floor_gate" -> floorGateQ,
     "q_availability_gate" -> availabilityGateQ,
@@ -213,6 +271,41 @@ object Gates {
         |       CAST(3 AS INT) AS l
         |FROM customer
         |GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3
+        |ORDER BY c_nationkey, balance_bucket""".stripMargin,
+    // integer-exact TVD: one division at the end, so both engines agree
+    // bit-for-bit before the round
+    "q_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_bucket,
+        |         c_mktsegment
+        |  FROM customer),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |dom AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS nv
+        |  FROM base GROUP BY 1),
+        |grp AS (
+        |  SELECT c_nationkey, balance_bucket, c_mktsegment,
+        |         CAST(count(*) AS BIGINT) AS nvg
+        |  FROM base GROUP BY 1, 2, 3),
+        |gt AS (
+        |  SELECT *, CAST(sum(nvg) OVER (PARTITION BY c_nationkey,
+        |                                 balance_bucket) AS BIGINT) AS ng
+        |  FROM grp),
+        |agg AS (
+        |  SELECT c_nationkey, balance_bucket,
+        |         max(ng) AS n_rows, max(n) AS n,
+        |         CAST(sum(abs(nvg * n - nv * ng)) AS BIGINT) AS present,
+        |         CAST(sum(nv * ng) AS BIGINT) AS covered
+        |  FROM gt JOIN dom USING (c_mktsegment) CROSS JOIN tot
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey, balance_bucket, n_rows,
+        |       round(0.5 * CAST(present + (n * n_rows - covered) AS DOUBLE)
+        |             / CAST(n_rows * n AS DOUBLE), 6) AS tvd,
+        |       CAST(0.4 AS DOUBLE) AS t
+        |FROM agg
+        |WHERE round(0.5 * CAST(present + (n * n_rows - covered) AS DOUBLE)
+        |            / CAST(n_rows * n AS DOUBLE), 6) > 0.4
         |ORDER BY c_nationkey, balance_bucket""".stripMargin,
     "q_sla_gate" ->
       """SELECT * FROM (VALUES

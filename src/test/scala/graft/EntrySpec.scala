@@ -171,4 +171,22 @@ class EntrySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(risky === Map(("a", "y") -> 2L, ("b", "x") -> 1L))
   }
+
+  test("t-closeness audit computes the closed-form TVD and folds absent values") {
+    val s = spark
+    import s.implicits._
+    // corpus: 8 rows, global mix s=4/8, t=2/8, u=2/8.
+    // group g1 (4 rows): all "s" -> p=(1,0,0);
+    //   TVD = 0.5*(|1-0.5| + 0.25 + 0.25) = 0.5  (absent t,u folded as q)
+    // group g2 (4 rows): mirrors the corpus minus g1: (0, .5, .5) ->
+    //   TVD = 0.5*(0.5 + 0.25 + 0.25) = 0.5
+    val rows = (Seq.fill(4)(("g1", "s")) ++
+      Seq(("g2", "t"), ("g2", "t"), ("g2", "u"), ("g2", "u")))
+      .toDF("qi", "sens")
+    val flagged = Gates.tClosenessAudit(rows, Seq("qi"), "sens", t = 0.4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(flagged === Map("g1" -> 0.5, "g2" -> 0.5))
+    // raising t above both distances empties the audit
+    assert(Gates.tClosenessAudit(rows, Seq("qi"), "sens", t = 0.6).isEmpty)
+  }
 }

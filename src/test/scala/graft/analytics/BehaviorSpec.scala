@@ -180,4 +180,99 @@ class BehaviorSpec extends SparkSpec {
     val (n3, z3, f3) = out("2024-01-16")            // zero-variance baseline
     assert(n3 === 2L && z3.isEmpty && !f3)
   }
+
+  test("activity streaks split on gaps and ignore same-day repeats") {
+    val s = spark
+    import s.implicits._
+    // user 1: days 1,2,3 then 5,6 (two streaks, longest 3; a second event
+    // on day 2 must not double-count); user 2: one isolated day
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (1L, ts("2024-01-05 12:00:00")), (1L, ts("2024-01-06 12:00:00")),
+      (2L, ts("2024-02-10 08:00:00")),
+    ).toDF("user_id", "ts")
+    val out = Behavior.activityStreaks(events, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(1L -> ((5L, 2L, 3L)), 2L -> ((1L, 1L, 1L))))
+  }
+
+  test("cumulative actives counts each user once, at first appearance") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),                 // returning, not new
+      (3L, ts("2024-01-03 10:00:00")),
+    ).toDF("user_id", "ts")
+    val out = Behavior.cumulativeActives(events, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+    assert(out.toSeq === Seq("2024-01-01" -> ((2L, 2L)),
+      "2024-01-03" -> ((1L, 3L))))
+  }
+
+  test("association rules match the hand-computed support/confidence/lift") {
+    val s = spark
+    import s.implicits._
+    // 4 users: {a,b}, {a,b}, {a}, {b,c}  ->  N=4, n_a=3, n_b=3, n_c=1
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c"),
+    ).toDF("user_id", "event_type")
+    val out = Behavior.associationRules(events, "user_id", "event_type",
+      minSupport = 0.0).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->  // (antecedent, consequent)
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // a=>b: both=2, support 0.5, confidence 2/3, lift (2*4)/(3*3)
+    assert(out(("a", "b")) === ((2L, 0.5, 0.666667, 0.888889)))
+    // c=>b: both=1, support 0.25, confidence 1, lift (1*4)/(1*3)
+    assert(out(("c", "b")) === ((1L, 0.25, 1.0, 1.333333)))
+    assert(!out.contains(("c", "a")))               // never co-occur: no rule
+  }
+
+  test("kaplan-meier: censoring holds the curve, events step it down") {
+    val s = spark
+    import s.implicits._
+    // max day = Jan 20, censor horizon 2 days => churned iff last < Jan 18.
+    // u1,u2: t=2 churned; u3: t=4 churned; u4: t=10 censored (last Jan 19);
+    // u5: t=1 censored (defines the max day)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-05 10:00:00")), (3L, ts("2024-01-08 10:00:00")),
+      (4L, ts("2024-01-10 10:00:00")), (4L, ts("2024-01-19 10:00:00")),
+      (5L, ts("2024-01-20 10:00:00")),
+    ).toDF("user_id", "ts")
+    val out = Behavior.kaplanMeier(events, "user_id", "ts", censorDays = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // S(1)=1; S(2)=1*(1-2/4)=0.5; S(4)=0.5*(1-1/2)=0.25; S(10)=0.25 (d=0)
+    assert(out === Map(
+      1L -> ((5L, 0L, 1L, 1.0)),
+      2L -> ((4L, 2L, 0L, 0.5)),
+      4L -> ((2L, 1L, 0L, 0.25)),
+      10L -> ((1L, 0L, 1L, 0.25))))
+  }
+
+  test("last-touch attribution credits the latest prior non-conversion type") {
+    val s = spark
+    import s.implicits._
+    // user 1: view -> click -> purchase(10) => click;
+    //         then purchase(5) right after => still click (purchases skip);
+    // user 2: purchase(7) with no prior touch => direct
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (1L, 2L, ts("2024-01-01 10:05:00"), "click", 0.0),
+      (1L, 3L, ts("2024-01-01 10:10:00"), "purchase", 10.0),
+      (1L, 4L, ts("2024-01-01 10:15:00"), "purchase", 5.0),
+      (2L, 5L, ts("2024-01-01 09:00:00"), "purchase", 7.0),
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Behavior.lastTouchAttribution(events, "user_id", "ts",
+      "event_type", "event_id", "value", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map("click" -> ((2L, 15.0)), "direct" -> ((1L, 7.0))))
+  }
 }

@@ -67,4 +67,36 @@ class DriftSpec extends SparkSpec {
     val chi = Drift.entries("a43_chi2_drift")(spark, sf001).collect()
     assert(chi.length === 5) // one row per event type
   }
+
+  test("ab test: hand-built arms reproduce the closed-form z statistic") {
+    // arm 0 (even uids): 4 exposed, 1 converts; arm 1 (odd): 4 exposed,
+    // 3 convert; one unexposed user (uid 9) must not count anywhere
+    val events = (
+      Seq((2L, "view"), (4L, "view"), (6L, "view"), (8L, "view"),
+        (2L, "purchase"),
+        (1L, "view"), (3L, "view"), (5L, "view"), (7L, "view"),
+        (1L, "purchase"), (3L, "purchase"), (5L, "purchase"),
+        (9L, "purchase"))
+      ).toDF("user_id", "event_type")
+    val r = Drift.abTest(events, "user_id", "event_type",
+      "view", "purchase").collect().head
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("conv_a") === 1L)
+    assert(r.getAs[Long]("n_b") === 4L && r.getAs[Long]("conv_b") === 3L)
+    val p = 4.0 / 8
+    val se = math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
+    val z = BigDecimal(0.5 / se).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z_stat") === z)
+    assert(!r.getAs[Boolean]("significant")) // |z| ~ 1.41 < 1.96
+  }
+
+  test("calibration bins: a perfectly calibrated score matches its rate") {
+    // 8 rows at score .25 with 2 positives (25%); 4 at .75 with 3 (75%)
+    val data = ((1 to 8).map(i => (0.25, i <= 2)) ++
+      (1 to 4).map(i => (0.75, i <= 3))).toDF("s", "y")
+    val out = Drift.calibrationBins(data, col("s"), col("y"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out === Map(2 -> ((8L, 0.25, 0.25)), 7 -> ((4L, 0.75, 0.75))))
+  }
 }

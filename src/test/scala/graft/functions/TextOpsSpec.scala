@@ -510,4 +510,30 @@ class TextOpsSpec extends SparkSpec {
     // ranking: the informative pair sorts above the independent one
     assert(out(("x", "y")) > out(("p", "q")))
   }
+
+  test("zipf fit matches the closed-form OLS on a crafted term curve") {
+    val s = spark
+    import s.implicits._
+    // one source, term counts 3/2/1 -> ranks 1/2/3 (alphabetical tiebreak)
+    val d = Seq(("s0", "a a a b b c")).toDF("source", "text")
+    val out = TextOps.zipfFit(d, "source", "text", topN = 100).collect().head
+    assert(out.getAs[Long]("n_tokens") === 6L)
+    assert(out.getAs[Long]("vocab") === 3L)
+    assert(out.getAs[Long]("n_terms") === 3L)
+    // mirror the moment formula exactly as the operator evaluates it
+    val x = Seq(1.0, 2.0, 3.0).map(math.log)
+    val y = Seq(3.0, 2.0, 1.0).map(math.log)
+    val (n, sx, sy) = (3.0, x.sum, y.sum)
+    val sxx = x.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("zipf_slope") === r6(slope))
+    assert(out.getAs[Double]("zipf_intercept") === r6((sy - slope * sx) / n))
+    // a rank-degenerate source (single distinct term) yields NULL fit
+    val deg = TextOps.zipfFit(Seq(("s1", "w w w")).toDF("source", "text"),
+      "source", "text").collect().head
+    assert(deg.isNullAt(4) && deg.isNullAt(5))
+  }
 }
