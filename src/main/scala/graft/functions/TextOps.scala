@@ -329,6 +329,93 @@ object TextOps {
     zipfFit(Tables(s, dir).documents, "source", "text", topN = 100)
       .orderBy("source")
 
+  /** Feature hashing (the hashing trick): tokens land in a fixed number of
+    * buckets via a content hash, so featurization needs NO vocabulary
+    * dictionary — the unbounded-vocab featurizer of large-scale linear
+    * models. The bucket address is the md5-prefix integer (the repo's
+    * engine-neutral content-address pattern, shared with
+    * `r4_group_sample`), and the classic sign trick debiases collisions:
+    * each token also carries ±1 from the NEXT hash nibble, so colliding
+    * tokens cancel in expectation instead of stacking. One token-keyed
+    * counting aggregate; output is (doc × live-bucket)-sized, bounded by
+    * `numBuckets` per doc regardless of vocabulary. */
+  def featureHashing(docs: DataFrame, idCol: String, textCol: String,
+                     numBuckets: Int = 64): DataFrame = {
+    require(numBuckets > 0, s"need positive bucket count, got $numBuckets")
+    val h = md5(col("token"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col("doc_id"),
+        (conv(substring(h, 1, 8), 16, 10).cast(LongType) % numBuckets)
+          .as("bucket"),
+        when(substring(h, 9, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+          1L).otherwise(-1L).as("__sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("weight"), sum(col("__sign")).as("signed_weight"))
+  }
+
+  private val featureHashQ: Q = (s, dir) =>
+    featureHashing(Tables(s, dir).documents, "doc_id", "text", numBuckets = 64)
+      .orderBy("doc_id", "bucket")
+
+  /** Bigram language-model score per document (Stupid Backoff, Brants et
+    * al. 2007): each token scores `count(prev,tok)/count(prev)` when the
+    * bigram was observed, else backs off to `alpha * count(tok)/N` — the
+    * distributed-friendly LM behind perplexity-style corpus filtering
+    * (the CCNet shape) at sizes where Kneser-Ney normalization doesn't
+    * pay. Count tables come from a separate REFERENCE corpus (CCNet
+    * scores web text against Wikipedia counts), so the backoff chain is
+    * live: observed bigram → unigram backoff → an add-one OOV floor
+    * `alpha/N` for tokens the reference never saw.
+    *
+    * Determinism: each token's log-score rounds to 6, the per-doc sum
+    * rides exact DECIMAL, one division per doc — the `text_source_kl`
+    * contract. Scale shape: count tables come from token-keyed counting
+    * aggregates over the reference; scoring is a token-keyed join of the
+    * positions frame against the (much smaller) count tables plus one
+    * doc-keyed final aggregate. No windows over anything bigger than a
+    * document. */
+  def bigramLmScore(docs: DataFrame, refDocs: DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def toks(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    def withPrev(d: DataFrame) = toks(d)
+      .withColumn("prev", lag("token", 1).over(w))
+      .filter(col("prev").isNotNull)
+    val ref = toks(refDocs)
+    val uni = ref.groupBy("token").agg(count(lit(1)).as("__uc"))
+    val total = ref.agg(count(lit(1)).as("__N"))
+    val bi = withPrev(refDocs)
+      .groupBy("prev", "token").agg(count(lit(1)).as("__bc"))
+    withPrev(docs)
+      .join(bi, Seq("prev", "token"), "left")
+      .join(uni.select(col("token").as("prev"), col("__uc").as("__pc")),
+        Seq("prev"), "left")
+      .join(uni, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", round(log(
+        when(col("__bc").isNotNull,
+          col("__bc").cast(DoubleType) / col("__pc"))
+          .when(col("__uc").isNotNull,
+            lit(alpha) * col("__uc").cast(DoubleType) / col("__N"))
+          .otherwise(lit(alpha) * lit(1.0) / col("__N"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(col("__lp").cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Reference counts from src0 only; every document scored against them,
+    * so cross-source docs exercise the unigram-backoff and OOV branches. */
+  private val bigramLmQ: Q = (s, dir) =>
+    bigramLmScore(Tables(s, dir).documents,
+      Tables(s, dir).documents.filter(col("source") === "src0"),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
   private val tfidfQ: Q = (s, dir) =>
     tfidfTopK(Tables(s, dir).documents, "doc_id", "text", 3)
       .orderBy("doc_id", "rank")
@@ -1050,6 +1137,8 @@ object TextOps {
     "text_heavy_hitters" -> heavyHittersQ,
     "text_tfidf_topk" -> tfidfQ,
     "text_zipf_fit" -> zipfQ,
+    "text_feature_hashing" -> featureHashQ,
+    "text_lm_bigram_score" -> bigramLmQ,
     "text_bm25_topk" -> bm25Q,
     "text_ngram_heavy_hitters" -> ngramHHQ,
     "text_pmi_pairs" -> pmiQ,
@@ -1104,6 +1193,65 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // bucket address and sign both come from md5 — the engine-neutral
+    // content hash both engines compute identically
+    "text_feature_hashing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+        |         CASE WHEN substr(md5(token), 9, 1) IN
+        |                   ('0','1','2','3','4','5','6','7')
+        |              THEN 1 ELSE -1 END AS sign
+        |  FROM tok)
+        |SELECT doc_id, bucket, count(*) AS weight,
+        |       CAST(sum(sign) AS BIGINT) AS signed_weight
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // per-token log-score rounds to 6, per-doc sum rides exact DECIMAL,
+    // one division per doc (the text_source_kl contract)
+    "text_lm_bigram_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(sp) AS token,
+        |         generate_subscripts(sp, 1) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents)),
+        |rtok AS (
+        |  SELECT doc_id, unnest(sp) AS token,
+        |         generate_subscripts(sp, 1) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE source = 'src0')),
+        |uni AS (SELECT token, count(*) AS uc FROM rtok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rtok),
+        |bi AS (
+        |  SELECT prev, token, count(*) AS bc
+        |  FROM (SELECT token, lag(token) OVER (PARTITION BY doc_id
+        |                                       ORDER BY pos) AS prev
+        |        FROM rtok)
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id, token,
+        |         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tok),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         round(ln(CASE WHEN b.bc IS NOT NULL
+        |                       THEN CAST(b.bc AS DOUBLE) / pu.uc
+        |                       WHEN tu.uc IS NOT NULL
+        |                       THEN 0.4 * CAST(tu.uc AS DOUBLE) / tot.n
+        |                       ELSE 0.4 * CAST(1 AS DOUBLE) / tot.n
+        |                  END), 6) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN bi b ON p.prev = b.prev AND p.token = b.token
+        |  LEFT JOIN uni pu ON p.prev = pu.token
+        |  LEFT JOIN uni tu ON p.token = tu.token
+        |  CROSS JOIN tot
+        |  WHERE p.prev IS NOT NULL)
+        |SELECT doc_id, count(*) AS n_scored,
+        |       round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS avg_logprob
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // closed-form OLS on ln/ln moments; one CASE-gated division per output
     "text_zipf_fit" ->
       """WITH tok AS (

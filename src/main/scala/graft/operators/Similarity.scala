@@ -500,6 +500,54 @@ object Similarity {
         col("cand").as("assigned_label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Centroid silhouette per label — the embedding-space clustering-quality
+    * readout (is this labeling/clustering tight or mushy?) in the form
+    * that scales: the exact silhouette needs all-pairs distances (O(n²),
+    * never at 100 TB); the standard large-scale variant scores each vector
+    * against the k CENTROIDS instead. Per vector, with rounded cosine
+    * sims to every centroid, best sim s₁ (own cluster, smallest-label
+    * tiebreak) and runner-up s₂ give a = 1−s₁ (own-cluster distance),
+    * b = 1−s₂ (nearest-other distance), silhouette (b−a)/max(a,b) =
+    * (s₁−s₂)/(1−s₂), CASE-gated for the degenerate s₂ = 1 point. ~1 is
+    * tight, ~0 sits on a boundary, negative is closer to another centroid.
+    *
+    * Determinism: per-vector sims round to 6 BEFORE the rank (kernel-ulp
+    * neutral), per-vector silhouettes round to 6 before the DECIMAL mean.
+    * Shape: k-row centroid broadcast, corpus×k scored rows through one
+    * vec-keyed window (k rows per key), one label-keyed mean — no
+    * all-pairs anything. */
+  def centroidSilhouette(corpus: DataFrame, idCol: String, labelCol: String,
+                         vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val cvecs = labelCentroids(corpus, labelCol, vecCol)
+      .groupBy(col("label").as("cand"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cvec"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cvec, cvec)), 0d)"))
+    val v = corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("vn", expr("nullif(sqrt(graft_dot(__v, __v)), 0d)"))
+    val scored = v.join(broadcast(cvecs))
+      .select(col("vec_id"), col("cand"),
+        round(expr("graft_dot(__v, cvec)") / (col("vn") * col("cn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cand"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("cand"))).as("label"),
+        max(when(col("rn") === 1, col("sim"))).as("__s1"),
+        max(when(col("rn") === 2, col("sim"))).as("__s2"))
+      .withColumn("__sil", round(
+        when(col("__s2") < 1.0,
+          (col("__s1") - col("__s2")) / (lit(1.0) - col("__s2")))
+          .otherwise(lit(0.0)), 6))
+    ranked.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("__sil").cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_silhouette"))
+  }
+
   /** Fixed-iteration Lloyd k-means over an embedding column — the
     * clustering step of a curation pipeline (SemDeDup's cluster stage,
     * topic bucketing, IVF coarse quantizer training) as a deterministic
@@ -762,6 +810,11 @@ object Similarity {
     centroidAssign(Tables(s, dir).embeddings, "vec_id", "label", "embedding")
       .orderBy("vec_id")
 
+  private val silhouetteQ: Q = (s, dir) =>
+    centroidSilhouette(Tables(s, dir).embeddings, "vec_id", "label",
+      "embedding")
+      .orderBy("label")
+
   private val semanticDedupQ: Q = (s, dir) =>
     semanticDedupPairs(Tables(s, dir).embeddings, "vec_id", "label",
       "embedding", 0.35)
@@ -841,6 +894,7 @@ object Similarity {
     "emb_label_centroids" -> centroidsQ,
     "emb_quantize_int8" -> quantizeQ,
     "emb_centroid_assign" -> centroidAssignQ,
+    "emb_silhouette" -> silhouetteQ,
     "emb_kmeans" -> kmeansQ,
     "dedup_semantic" -> semanticDedupQ,
   )
@@ -972,6 +1026,46 @@ object Similarity {
         |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     // prototype side is the (rounded, engine-exact) centroid table; raw
     // sims rank, rounding only on output — the ann_cosine_topk discipline
+    // sims round to 6 BEFORE the rank; silhouettes round to 6 before the
+    // DECIMAL mean — the kernel-ulp-neutral ordering contract
+    "emb_silhouette" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cand, pos,
+        |         round(CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE)
+        |               / count(*), 6) AS m
+        |  FROM e GROUP BY 1, 2),
+        |cvec AS (SELECT cand, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT emb.vec_id, cvec.cand,
+        |         round(list_cosine_similarity(emb.embedding::DOUBLE[],
+        |                                      cvec.cv), 6) AS sim
+        |  FROM embeddings emb, cvec),
+        |r AS (
+        |  SELECT vec_id, cand, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cand) AS rn
+        |  FROM scored),
+        |pv AS (
+        |  SELECT vec_id,
+        |         max(CASE WHEN rn = 1 THEN cand END) AS label,
+        |         max(CASE WHEN rn = 1 THEN sim END) AS s1,
+        |         max(CASE WHEN rn = 2 THEN sim END) AS s2
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |sil AS (
+        |  SELECT label,
+        |         round(CASE WHEN s2 < 1.0
+        |                    THEN (s1 - s2) / (CAST(1 AS DOUBLE) - s2)
+        |                    ELSE CAST(0 AS DOUBLE) END, 6) AS sv
+        |  FROM pv)
+        |SELECT label, count(*) AS n_vectors,
+        |       round(CAST(sum(CAST(sv AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS avg_silhouette
+        |FROM sil GROUP BY 1 ORDER BY label""".stripMargin,
     "emb_centroid_assign" ->
       """WITH e AS (
         |  SELECT label,

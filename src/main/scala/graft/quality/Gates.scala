@@ -183,6 +183,33 @@ object Gates {
       .withColumn("t", lit(t))
   }
 
+  /** GDPR erasure (right-to-be-forgotten) audit: given a subject set, the
+    * per-table accounting a compliance sweep must produce — how many rows
+    * each table holds, how many link to erased subjects (directly or via
+    * the FK cascade), how many survive the scrub, and the RESIDUAL count
+    * re-measured on the scrubbed frame (must be 0; measured, not assumed —
+    * an erasure report that derives residual=after−linked arithmetically
+    * would hide a cascade bug). Each table costs one left-join counting
+    * pass plus one anti-join + re-probe; all joins are subject-/FK-keyed,
+    * the shape that holds when the subject set no longer broadcasts. */
+  def erasureAudit(tableName: String, df: DataFrame, keyCol: String,
+                   erasedKeys: DataFrame): DataFrame = {
+    // each probe gets a freshly-aliased copy of the subject set: the
+    // scrubbed frame already carries the subject lineage (the anti join),
+    // so re-probing with the SAME attributes would be a self-join Spark
+    // rightly rejects as ambiguous
+    def probe(n: String) = erasedKeys.toDF(n)
+    val before = df.join(probe("__ek1"), df(keyCol) === col("__ek1"), "left_outer")
+      .agg(count(lit(1)).as("rows_before"), count(col("__ek1")).as("rows_erased"))
+    val scrubbed = df.join(probe("__ek2"), df(keyCol) === col("__ek2"), "left_anti")
+    val after = scrubbed
+      .join(probe("__ek3"), col(keyCol) === col("__ek3"), "left_outer")
+      .agg(count(lit(1)).as("rows_after"), count(col("__ek3")).as("residual"))
+    before.crossJoin(after)
+      .select(lit(tableName).as("table_name"), col("rows_before"),
+        col("rows_erased"), col("rows_after"), col("residual"))
+  }
+
   // ---------------------------------------------------------------- entries
 
   /** The ingest retention gate applied to the events feed with the
@@ -244,10 +271,27 @@ object Gates {
       Seq("c_nationkey", "balance_bucket"), sensitive = "c_mktsegment", t = 0.4)
       .orderBy("c_nationkey", "balance_bucket")
 
+  /** Deterministic subject set (custkey % 17 = 0) cascaded through the
+    * star: customer directly, orders via o_custkey, lineitem via the
+    * two-hop orderkey FK. */
+  private val erasureQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val erased = t.customer.filter(col("c_custkey") % 17 === 0)
+      .select(col("c_custkey").as("erased_key"))
+    val erasedOrders = t.orders
+      .join(erased, t.orders("o_custkey") === erased("erased_key"), "left_semi")
+      .select(col("o_orderkey").as("erased_key"))
+    erasureAudit("customer", t.customer, "c_custkey", erased)
+      .unionAll(erasureAudit("lineitem", t.lineitem, "l_orderkey", erasedOrders))
+      .unionAll(erasureAudit("orders", t.orders, "o_custkey", erased))
+      .orderBy("table_name")
+  }
+
   val entries: Map[String, Q] = Map(
     "q_k_anonymity" -> kAnonymityQ,
     "q_l_diversity" -> lDiversityQ,
     "q_t_closeness" -> tClosenessQ,
+    "q_erasure_audit" -> erasureQ,
     "q_retention_gate" -> retentionGateQ,
     "q_floor_gate" -> floorGateQ,
     "q_availability_gate" -> availabilityGateQ,
@@ -272,6 +316,36 @@ object Gates {
         |FROM customer
         |GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3
         |ORDER BY c_nationkey, balance_bucket""".stripMargin,
+    // residual is measured on the scrubbed set (always 0 when the cascade
+    // is correct), not derived arithmetically
+    "q_erasure_audit" ->
+      """WITH er AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 17 = 0),
+        |eo AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM er)),
+        |c AS (
+        |  SELECT 'customer' AS table_name, count(*) AS rows_before,
+        |         CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM er)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+        |  FROM customer),
+        |o AS (
+        |  SELECT 'orders' AS table_name, count(*) AS rows_before,
+        |         CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM er)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+        |  FROM orders),
+        |l AS (
+        |  SELECT 'lineitem' AS table_name, count(*) AS rows_before,
+        |         CAST(sum(CASE WHEN l_orderkey IN (SELECT k FROM eo)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT * FROM c UNION ALL SELECT * FROM l UNION ALL
+        |  SELECT * FROM o)
+        |SELECT table_name, rows_before, rows_erased,
+        |       rows_before - rows_erased AS rows_after,
+        |       CAST(0 AS BIGINT) AS residual
+        |FROM u ORDER BY table_name""".stripMargin,
     // integer-exact TVD: one division at the end, so both engines agree
     // bit-for-bit before the round
     "q_t_closeness" ->

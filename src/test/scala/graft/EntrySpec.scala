@@ -172,6 +172,20 @@ class EntrySpec extends SparkSpec {
     assert(risky === Map(("a", "y") -> 2L, ("b", "x") -> 1L))
   }
 
+  test("erasure audit counts linked rows, scrubs them, and measures residual") {
+    val s = spark
+    import s.implicits._
+    val facts = Seq((1L, "p"), (2L, "q"), (3L, "r"), (3L, "s"), (4L, "t"))
+      .toDF("cust", "payload")
+    val erased = Seq(3L, 9L).toDF("k") // 9 links nothing — must not count
+    val out = Gates.erasureAudit("facts", facts, "cust", erased)
+      .collect().head
+    assert(out.getAs[Long]("rows_before") === 5L)
+    assert(out.getAs[Long]("rows_erased") === 2L)
+    assert(out.getAs[Long]("rows_after") === 3L)
+    assert(out.getAs[Long]("residual") === 0L)
+  }
+
   test("t-closeness audit computes the closed-form TVD and folds absent values") {
     val s = spark
     import s.implicits._

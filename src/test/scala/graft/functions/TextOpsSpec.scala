@@ -511,6 +511,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("x", "y")) > out(("p", "q")))
   }
 
+  test("feature hashing: md5-addressed buckets, sign trick, no dictionary") {
+    val s = spark
+    import s.implicits._
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String) = java.lang.Long.parseLong(md5hex(t).take(8), 16) % 64
+    def sign(t: String) = if (md5hex(t)(8) <= '7') 1L else -1L
+    val d = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val out = TextOps.featureHashing(d, "doc_id", "text", numBuckets = 64)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(bucket("x")) === ((2L, 2 * sign("x"))))
+    assert(out(bucket("y")) === ((1L, sign("y"))))
+    assert(out.size === 2) // x collides with itself, not with y, at 64 buckets
+  }
+
+  test("bigram LM score walks the full backoff chain: bigram, unigram, OOV") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((100L, "a b a")).toDF("doc_id", "text")
+    // pairs: (a->b) observed bigram; (b->c) c is OOV; (c->b) unigram backoff
+    val score = Seq((1L, "a b c b")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(score, ref, "doc_id", "text")
+      .collect().head
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp1 = r6(math.log(1.0 / 2))      // bc(a,b)=1 / uc(a)=2
+    val lp2 = r6(math.log(0.4 * 1.0 / 3)) // OOV floor: alpha/N
+    val lp3 = r6(math.log(0.4 * 1.0 / 3)) // backoff: alpha*uc(b)=1/N=3
+    assert(out.getAs[Long]("n_scored") === 3L)
+    assert(out.getAs[Double]("avg_logprob") === r6((lp1 + lp2 + lp3) / 3))
+  }
+
   test("zipf fit matches the closed-form OLS on a crafted term curve") {
     val s = spark
     import s.implicits._

@@ -347,4 +347,27 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length.toLong === e.count())
     assert(a.map(_._2).distinct.length > 1, "multiple clusters must be used")
   }
+
+  test("centroid silhouette: orthogonal clusters score 1, identical clusters 0") {
+    // two tight orthogonal clusters: own-centroid sim 1, other 0 ->
+    // silhouette (1-0)/(1-0) = 1 for every vector
+    val tight = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.centroidSilhouette(tight, "vec_id", "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(t === Map(0 -> ((2L, 1.0)), 1 -> ((2L, 1.0))))
+    // both labels hold the SAME vector: every sim is 1, the runner-up
+    // distance degenerates to 0 -> the CASE guard pins silhouette 0; the
+    // sim tie assigns BOTH vectors to label 0 (smallest-label tiebreak),
+    // so the degenerate clustering collapses to a single output row
+    val degenerate = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val d = Similarity.centroidSilhouette(degenerate, "vec_id", "label",
+      "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(d.toSeq === Seq((0, 2L, 0.0)))
+  }
 }
