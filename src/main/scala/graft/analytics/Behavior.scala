@@ -475,6 +475,34 @@ object Behavior {
           .as("km_survival"))
   }
 
+  /** Top entry paths: the first `pathLen` events of each user's timeline
+    * concatenated into a path string, counted across users — the
+    * "how do sessions start" navigation readout. One user-keyed ordered
+    * window trims each timeline to `pathLen` rows (id tiebreak pins
+    * same-timestamp order in both engines), an in-order struct-sort
+    * collect builds the path per user, and a path-sized count +
+    * TakeOrdered yields the top k (paths are bounded by |type|^pathLen,
+    * never user-count). */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, idCol: String, pathLen: Int = 3,
+               k: Int = 20): DataFrame = {
+    require(pathLen >= 1 && k >= 1, s"need pathLen/k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("uid").orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol).as("uid"), col(tsCol), col(idCol),
+        col(typeCol).as("__et"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy("uid")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("__rn"), col("__et")))),
+          s => s("__et"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -597,7 +625,12 @@ object Behavior {
       "user_id", "ts", censorDays = 3)
       .orderBy("t")
 
+  private val topPathsQ: Q = (s, dir) =>
+    topPaths(Tables(s, dir).events, "user_id", "ts", "event_type",
+      "event_id", pathLen = 3, k = 20)
+
   val entries: Map[String, Q] = Map(
+    "b18_top_paths" -> topPathsQ,
     "b17_survival_km" -> kmQ,
     "b13_activity_streaks" -> streaksQ,
     "b14_cumulative_actives" -> cumulativeQ,
@@ -618,6 +651,19 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "b18_top_paths" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM f WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     // cumulative product in log space: ln terms round to 6, the running
     // sum rides exact DECIMAL(18,6), one exp at the end (the
     // text_source_kl determinism contract)

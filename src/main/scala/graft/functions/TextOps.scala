@@ -689,6 +689,40 @@ object TextOps {
   private val sourceMixQ: Q = (s, dir) =>
     sourceMixWeights(Tables(s, dir).documents, "source", "text").orderBy("source")
 
+  /** Temperature-scaled source mixing (the mT5/XLM-R rule): sampling
+    * probability q_s ∝ p_s^α flattens the source distribution — α = 1
+    * keeps natural proportions, α → 0 approaches uniform — so
+    * low-resource sources are seen more without fully drowning the head.
+    * `sample_factor` = q/p is the per-source up/down-sampling the loader
+    * applies. Determinism: p is an exact count ratio; p^α rounds to 6
+    * BEFORE the DECIMAL normalization sum (pow is the one ulp-unstable
+    * step); everything after is identical-double arithmetic. One corpus
+    * aggregate; the temperature arithmetic runs on the source-sized frame
+    * against a broadcast total. */
+  def temperatureMix(docs: DataFrame, srcCol: String, textCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    import org.apache.spark.sql.types.DecimalType
+    val perSource = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast(LongType)).as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_tokens")).as("__total"))
+    val scored = perSource.crossJoin(broadcast(totals))
+      .withColumn("__p", col("n_tokens").cast(DoubleType) / col("__total"))
+      .withColumn("__qu", round(pow(col("__p"), alpha), 6))
+    val norm = scored.agg(
+      sum(col("__qu").cast(DecimalType(18, 6))).cast(DoubleType).as("__qsum"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("__p"), 6).as("share"),
+        round(col("__qu") / col("__qsum"), 6).as("temp_weight"),
+        round(col("__qu") / col("__qsum") / col("__p"), 6).as("sample_factor"))
+  }
+
+  private val temperatureMixQ: Q = (s, dir) =>
+    temperatureMix(Tables(s, dir).documents, "source", "text", alpha = 0.5)
+      .orderBy("source")
+
   /** Sequence packing — the step that turns a filtered corpus into
     * fixed-token-budget training sequences (VERDICT r5 item 1). Documents
     * are concatenated in deterministic `idCol` order and chunked every
@@ -1149,6 +1183,7 @@ object TextOps {
     "text_dup_ngrams" -> dupNgramQ,
     "text_cdc_chunks" -> cdcChunksQ,
     "text_source_mix" -> sourceMixQ,
+    "text_mix_temperature" -> temperatureMixQ,
     "text_seq_packing" -> seqPackQ,
     "text_pii_scrub" -> piiScrubQ,
     "text_domain_cap" -> domainCapQ,
@@ -1696,5 +1731,26 @@ object TextOps {
         |       round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
         |       round(least(1.0, (CAST(total AS DOUBLE) / k) / n_tokens), 6) AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
+    // p^alpha rounds to 6 BEFORE the DECIMAL normalization sum (pow is the
+    // one ulp-unstable step); everything after is identical-double math
+    "text_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+        |a AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(n_tokens AS DOUBLE) / total AS p,
+        |         round(pow(CAST(n_tokens AS DOUBLE) / total,
+        |                   CAST(0.5 AS DOUBLE)), 6) AS qu
+        |  FROM per, tot),
+        |s AS (
+        |  SELECT CAST(sum(CAST(qu AS DECIMAL(18,6))) AS DOUBLE) AS qsum
+        |  FROM a)
+        |SELECT source, n_docs, n_tokens, round(p, 6) AS share,
+        |       round(qu / qsum, 6) AS temp_weight,
+        |       round(qu / qsum / p, 6) AS sample_factor
+        |FROM a, s ORDER BY source""".stripMargin,
   )
 }

@@ -340,4 +340,18 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("assoc rules pay the corpus distinct once: runtime exchange reuse") {
+    // b15's (user, type) DISTINCT subtree feeds the pair join, both type
+    // counts and the user total — four consumers of one fact-sized
+    // shuffle in the INITIAL plan. The executed plan must collapse the
+    // repeats (ReusedExchange under AQE), otherwise the corpus would be
+    // re-shuffled per consumer at 100 TB.
+    val df = graft.analytics.Behavior.entries("b15_assoc_rules")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("TableCacheQueryStage"),
+      s"expected the distinct exchange to be reused:\n${plan.take(1500)}")
+  }
 }

@@ -256,6 +256,32 @@ class BehaviorSpec extends SparkSpec {
       10L -> ((1L, 0L, 1L, 0.25))))
   }
 
+  test("top paths trim to the first k events in id-tiebroken time order") {
+    val s = spark
+    import s.implicits._
+    // users 1,2 both start view>click>purchase (u2 has a 4th event that
+    // must not extend the path); u3 has only two events; u4's two events
+    // share a timestamp — event_id breaks the tie deterministically
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, 4L, ts("2024-01-02 09:00:00"), "view"),
+      (2L, 5L, ts("2024-01-02 09:01:00"), "click"),
+      (2L, 6L, ts("2024-01-02 09:02:00"), "purchase"),
+      (2L, 7L, ts("2024-01-02 09:03:00"), "error"),
+      (3L, 8L, ts("2024-01-03 08:00:00"), "signup"),
+      (3L, 9L, ts("2024-01-03 08:01:00"), "view"),
+      (4L, 11L, ts("2024-01-04 07:00:00"), "click"),
+      (4L, 10L, ts("2024-01-04 07:00:00"), "view"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Behavior.topPaths(events, "user_id", "ts", "event_type",
+      "event_id", pathLen = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("view>click>purchase", 2L),
+      ("signup>view", 1L), ("view>click", 1L)))
+  }
+
   test("last-touch attribution credits the latest prior non-conversion type") {
     val s = spark
     import s.implicits._

@@ -543,6 +543,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getAs[Double]("avg_logprob") === r6((lp1 + lp2 + lp3) / 3))
   }
 
+  test("temperature mix flattens shares: alpha=0.5 on a 9:1 corpus") {
+    val s = spark
+    import s.implicits._
+    // src a: 9 tokens, src b: 1 token -> p = .9/.1; sqrt -> ~.948683/.316228
+    val d = Seq(("a", "w w w w w w w w w"), ("b", "w")).toDF("source", "text")
+    val out = TextOps.temperatureMix(d, "source", "text", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qa = r6(math.pow(0.9, 0.5)); val qb = r6(math.pow(0.1, 0.5))
+    val qsum = BigDecimal(qa) + BigDecimal(qb)
+    assert(out("a") === ((0.9, r6(qa / qsum.toDouble), r6(qa / qsum.toDouble / 0.9))))
+    assert(out("b") === ((0.1, r6(qb / qsum.toDouble), r6(qb / qsum.toDouble / 0.1))))
+    // the temperature lifts the tail and trims the head
+    assert(out("b")._3 > 1.0 && out("a")._3 < 1.0)
+  }
+
   test("zipf fit matches the closed-form OLS on a crafted term curve") {
     val s = spark
     import s.implicits._
