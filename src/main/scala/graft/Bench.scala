@@ -130,9 +130,35 @@ object Bench {
     env.orElse(own).orElse(driver).getOrElse(("", "min", Map.empty))
   }
 
+  /** Single-thread CPU calibration probe: a fixed multiply-rotate-xor loop
+    * whose wall time depends only on host CPU speed. Benches run on a
+    * FRESH VM each session, and two sessions' hosts can differ by ~20% in
+    * single-core speed — which reads as a uniform "regression" across
+    * every query if compared raw. The probe's time rides along in the
+    * artifact and the per-sf baseline, so the comparison can report a
+    * host-speed ratio and a host-adjusted regression list next to the raw
+    * one. First pass warms the JIT and is discarded. */
+  private def calibrate(): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x = java.lang.Long.rotateLeft(x * 0x100000001B3L, 31) ^ i
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      dt
+    }
+    pass()
+    math.min(pass(), pass())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calibration = calibrate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -236,27 +262,54 @@ object Bench {
       if (ratio > 1.25 && nowMap(n) - prevQueries(n) > 0.2)
         Some(n -> math.round(ratio * 100.0) / 100.0) else None
     }
+    // Host-speed context for the comparison: the baseline's calibration
+    // time (best-known host) vs this run's. A fresh session lands on a
+    // fresh VM whose single-core speed can differ ~20%, which reads as a
+    // uniform raw "regression" on every query — the host-adjusted list
+    // divides this run's times by the speed ratio before flagging, so it
+    // isolates CODE regressions from HOST regressions. Both lists are
+    // emitted; a real regression appears in both.
+    val prevCalib = if (!baselineFile.isFile) None else
+      try """"calibration":([0-9.Ee+-]+)""".r
+        .findFirstMatchIn(scala.io.Source.fromFile(baselineFile, "UTF-8").mkString)
+        .map(_.group(1).toDouble)
+      catch { case _: Throwable => None }
+    val hostRatio = prevCalib.filter(_ > 0).map(c => calibration / c)
+    val moversAdj = hostRatio match {
+      case Some(r) if r > 0 => shared.flatMap { n =>
+        val adj = nowMap(n) / r
+        val ratio = adj / prevQueries(n)
+        if (ratio > 1.25 && adj - prevQueries(n) > 0.2)
+          Some(n -> math.round(ratio * 100.0) / 100.0) else None
+      }
+      case _ => movers
+    }
     val cmp = if (shared.isEmpty) "" else {
       val sumPrev = shared.map(prevQueries).sum
       val sumNow = shared.map(nowMap).sum
-      s""","prev_artifact":${jstr(prevName)},"prev_kind":${jstr(prevKind)},"shared_n":${shared.size},"shared_sum_prev":$sumPrev,"shared_sum_now":$sumNow,"regressions_gt_25pct":${jmap(movers)}"""
+      val host = hostRatio.map(r =>
+        s""","host_speed_ratio":${math.round(r * 1000.0) / 1000.0},"regressions_gt_25pct_hostadj":${jmap(moversAdj)}""").getOrElse("")
+      s""","prev_artifact":${jstr(prevName)},"prev_kind":${jstr(prevKind)},"shared_n":${shared.size},"shared_sum_prev":$sumPrev,"shared_sum_now":$sumNow,"regressions_gt_25pct":${jmap(movers)}$host"""
     }
     val taintedJson = tainted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},"queries_median":${jmap(medians)},"queries_min_load":${jmap(minLoads)},"tainted":$taintedJson,"taint_load":$taintLoad,"runs":$repeats,"loadavg":$loadavg,"loadavg_per_pass":$loads$cmp,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"queries_min_load":${jmap(minLoads)},"tainted":$taintedJson,"taint_load":$taintLoad,"runs":$repeats,"loadavg":$loadavg,"loadavg_per_pass":$loads$cmp,"errors":$es,"sf":"$sfDir"}""")
     // Short summary LAST (VERDICT r5): the full per-query line above can
     // outgrow a tail-capture buffer; this line always fits, so the headline
     // total survives truncation. Readers wanting detail parse the long line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${mins.length},"n_errors":${errors.size},"sf":"$sfDir","detail":"per-query map on previous line"}""")
-    // Persist this run's numbers as the per-sf baseline for the NEXT run's
-    // comparison (and as committed history the judge can diff): full min +
-    // median maps survive here even when the driver's tail capture
-    // truncates the stdout line. Tainted runs (any query with no clean
-    // sample) do not overwrite the baseline — a contended host must not
-    // become the bar future rounds are measured against.
+    // Persist this run's numbers + calibration as the per-sf baseline for
+    // the NEXT run's comparison (and as committed history the judge can
+    // diff): full min + median maps survive here even when the driver's
+    // tail capture truncates the stdout line. Times and calibration are a
+    // CONSISTENT SNAPSHOT from the same run — mixing best-known times
+    // across hosts would break the single host-speed ratio the adjusted
+    // comparison relies on. Tainted runs (any query with no clean sample)
+    // do not overwrite the baseline — a contended host must not become
+    // the bar future rounds are measured against.
     if (tainted.isEmpty && errors.isEmpty) try {
       baselineFile.getParentFile.mkdirs()
       val w = new java.io.PrintWriter(baselineFile, "UTF-8")
-      try w.println(s"""{"sf":"$sfTag","runs":$repeats,"total":$total,"queries":${jmap(mins)},"queries_median":${jmap(medians)}}""")
+      try w.println(s"""{"sf":"$sfTag","runs":$repeats,"calibration":$calibration,"total":$total,"queries":${jmap(mins)},"queries_median":${jmap(medians)}}""")
       finally w.close()
     } catch { case _: Throwable => () } // baseline is best-effort, never fatal
     spark.stop()
