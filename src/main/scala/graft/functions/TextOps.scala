@@ -723,6 +723,115 @@ object TextOps {
     temperatureMix(Tables(s, dir).documents, "source", "text", alpha = 0.5)
       .orderBy("source")
 
+  /** BPE tokenizer-merge TRAINING (Sennrich et al. 2016): learn the top
+    * `merges` byte-pair merges from the corpus — the "train a tokenizer"
+    * step of an LLM data pipeline, not just applying one. Classic setup:
+    * words spelled as space-separated symbols ending in the `</w>`
+    * marker, weighted by word frequency; each round counts adjacent
+    * symbol pairs over the VOCABULARY (distinct words — orders smaller
+    * than the corpus and bounded by language, the only corpus-sized work
+    * is the initial word count), picks the most frequent pair
+    * (count-desc, then lexicographic — a total order both engines share
+    * on ASCII), and rewrites the vocabulary with the merged symbol.
+    *
+    * Merge application is literal non-overlapping string replace
+    * (leftmost, resume after the match — Spark's UTF8String and DuckDB
+    * replace() share this algorithm exactly), applied `applyPasses`
+    * times so occurrences deferred by a shared boundary space still
+    * merge within the round. Inside odd-length symbol RUNS (aaa…) this
+    * policy can pair differently than canonical greedy BPE — identical
+    * in both engines, pinned in TextOpsSpec, and irrelevant outside
+    * letter-run degeneracies.
+    *
+    * The per-round argmax is a 1-row collect: the merge table IS the
+    * driver-sized artifact being trained (the kmeans-centroid pattern);
+    * each round's vocabulary is cached and the previous one released. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String, merges: Int = 6,
+                     applyPasses: Int = 4): DataFrame = {
+    require(merges >= 1 && applyPasses >= 1, "need merges/applyPasses >= 1")
+    val sess = docs.sparkSession
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var vocab = words.select(
+      concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w))," +
+          " i -> substring(w, i, 1)), ' ')"),
+        lit(" </w> ")).as("seq"),
+      col("n")).persist()
+    vocab.count()
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    val pairExpr = expr(
+      "transform(slice(split(trim(seq), ' '), 1," +
+        " size(split(trim(seq), ' ')) - 1)," +
+        " (x, i) -> named_struct('a', x," +
+        " 'b', element_at(split(trim(seq), ' '), i + 2)))")
+    for (r <- 1 to merges) {
+      val best = vocab.select(col("n"), explode(pairExpr).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("n"))
+        .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect().head
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += ((r, a, b, a + b, cnt))
+      val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
+      val mergedSeq = (1 to applyPasses).foldLeft(col("seq")) {
+        (c, _) => replace(c, pat, rep)
+      }
+      val next = vocab.select(mergedSeq.as("seq"), col("n")).persist()
+      next.count()
+      vocab.unpersist()
+      vocab = next
+    }
+    vocab.unpersist()
+    import sess.implicits._
+    out.result().toDF("round", "pair_left", "pair_right", "merged", "weight")
+  }
+
+  private val BpeMerges = 6
+  private val BpePasses = 4
+
+  private val bpeTrainQ: Q = (s, dir) =>
+    bpeTrainMerges(Tables(s, dir).documents, "text",
+      merges = BpeMerges, applyPasses = BpePasses)
+      .orderBy("round")
+
+  /** Generated k-round oracle (the emb_kmeans generator pattern): the
+    * identical spell/count/argmax/replace expressions per round, so six
+    * chained rounds stay bit-equal cross-engine. */
+  private def bpeOracleSql(merges: Int, passes: Int): String = {
+    def nestedReplace(expr: String): String =
+      (1 to passes).foldLeft(expr) { (e, _) =>
+        s"replace($e, ' '||b.a||' '||b.b||' ', ' '||b.a||b.b||' ')"
+      }
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS (
+         |  SELECT s, n, unnest(generate_series(1, len(s) - 1)) AS i
+         |  FROM (SELECT string_split(trim(seq), ' ') AS s, n FROM v${r - 1})),
+         |c$r AS (
+         |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM p$r GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (
+         |  SELECT ${nestedReplace("v.seq")} AS seq, v.n
+         |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS pair_left, b AS pair_right, " +
+        s"a || b AS merged, cnt AS weight FROM b$r").mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |sp AS (
+       |  SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM w0),
+       |v0 AS (
+       |  SELECT ' ' || string_agg(substr(w, i, 1), ' ' ORDER BY i)
+       |         || ' </w> ' AS seq, n
+       |  FROM sp GROUP BY w, n),
+       |$rounds
+       |$union ORDER BY round""".stripMargin
+  }
+
   /** Sequence packing — the step that turns a filtered corpus into
     * fixed-token-budget training sequences (VERDICT r5 item 1). Documents
     * are concatenated in deterministic `idCol` order and chunked every
@@ -1184,6 +1293,7 @@ object TextOps {
     "text_cdc_chunks" -> cdcChunksQ,
     "text_source_mix" -> sourceMixQ,
     "text_mix_temperature" -> temperatureMixQ,
+    "text_bpe_train" -> bpeTrainQ,
     "text_seq_packing" -> seqPackQ,
     "text_pii_scrub" -> piiScrubQ,
     "text_domain_cap" -> domainCapQ,
@@ -1228,6 +1338,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeOracleSql(BpeMerges, BpePasses),
     // bucket address and sign both come from md5 — the engine-neutral
     // content hash both engines compute identically
     "text_feature_hashing" ->

@@ -561,6 +561,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out("b")._3 > 1.0 && out("a")._3 < 1.0)
   }
 
+  test("bpe training learns the textbook low/lower merges in order") {
+    val s = spark
+    import s.implicits._
+    // words: low x2, lower x1. r1: (l,o) and (o,w) tie at 3 -> lexicographic
+    // picks (l,o); r2: (lo,w)=3 wins; r3: (low,</w>)=2 beats (low,e)=1 —
+    // rounds 2 and 3 both consume PREVIOUS rounds' merged symbols
+    val d = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrainMerges(d.select("text"), "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "low", "</w>", "low</w>", 2L)))
+  }
+
   test("zipf fit matches the closed-form OLS on a crafted term curve") {
     val s = spark
     import s.implicits._
