@@ -56,7 +56,7 @@ object Bench {
     "a41_psi_drift", "a42_ks_drift", "a43_chi2_drift",
     "j13_bloom_prefilter", "q_l_diversity", "a44_corr_matrix",
     "inc_cdc_apply", "b12_rfm_segments", "ml_target_encoding",
-    "r4_group_sample", "g6_bfs_layers",
+    "r4_group_sample", "g6_bfs_layers", "g7_sssp_bounded",
     "b13_activity_streaks", "b15_assoc_rules", "b16_attribution",
     "b17_survival_km", "q_t_closeness", "text_zipf_fit",
     "a45_ab_test", "a46_calibration_bins",

@@ -292,6 +292,41 @@ object Graph {
     out
   }
 
+  /** Bounded-hop weighted shortest paths (Bellman–Ford relax rounds) from
+    * a seed set: the weighted companion of [[bfsLayers]] — "how CLOSE is
+    * every reachable node", not just how many hops. Edge cost is the
+    * inverse tie strength `round(1/w, 6)` (strong co-activity = short
+    * distance). Each of the `maxHops` rounds is one edge-keyed join
+    * (candidate relaxations) plus one node-keyed min — the Pregel
+    * shortest-path recurrence as plain keyed frames. Candidate distances
+    * re-round to 6 every round, so both engines chain IDENTICAL doubles
+    * and the min is over equal values; a node the bound never reaches is
+    * simply absent (no infinities to compare). State is (node, dist),
+    * re-persisted per round and released in-function; the horizon bound
+    * makes the cost `maxHops` × one-join regardless of graph size. */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need at least one hop, got $maxHops")
+    val cost = round(lit(1.0) / col("w").cast(DoubleType), 6)
+    val adj = edges.select(col("s1").as("a"), col("s2").as("b"), cost.as("c"))
+      .union(edges.select(col("s2").as("a"), col("s1").as("b"), cost.as("c")))
+      .persist()
+    val d0 = seeds.select(col("node"), lit(0.0).as("d")).persist()
+    val result = (1 to maxHops).foldLeft(d0) { (dist, _) =>
+      val cand = adj.join(dist.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), round(col("d") + col("c"), 6).as("d"))
+      val next = dist.unionByName(cand)
+        .groupBy("node").agg(min(col("d")).as("d")).persist()
+      next.count() // materialize: round h+1 relaxes state, not lineage
+      dist.unpersist()
+      next
+    }
+    val out = result.select(col("node"), col("d").as("dist"))
+    out.persist().count()
+    result.unpersist()
+    adj.unpersist()
+    out
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val pageRankQ: Q = (s, dir) => {
@@ -324,7 +359,20 @@ object Graph {
     out
   }
 
+  /** Same 5-lowest-id seed set as [[bfsQ]]; 3 relax rounds. */
+  private val ssspQ: Q = (s, dir) => {
+    val edges = coActivityEdges(Tables(s, dir).events).persist()
+    val seeds = edges.select(col("s1").as("node"))
+      .union(edges.select(col("s2").as("node")))
+      .distinct().orderBy("node").limit(5)
+    val out = ssspBounded(edges, seeds, maxHops = 3).orderBy("node")
+    out.persist().count()
+    edges.unpersist()
+    out
+  }
+
   val entries: Map[String, Q] = Map(
+    "g7_sssp_bounded" -> ssspQ,
     "g1_pagerank" -> pageRankQ,
     "g2_triangle_count" -> triangleQ,
     "g3_kcore" -> kcoreQ,
@@ -494,6 +542,34 @@ object Graph {
          |$hopCtes
          |SELECT node, CAST(dist AS INT) AS dist FROM v$maxHops
          |ORDER BY dist, node""".stripMargin
+    },
+    // candidate distances re-round to 6 every relax round, so both
+    // engines chain identical doubles and min() compares equal values
+    "g7_sssp_bounded" -> {
+      val maxHops = 3
+      val hopCtes = (1 to maxHops).map { h =>
+        s"""d$h AS (
+           |  SELECT node, min(d) AS d FROM (
+           |    SELECT node, d FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT nb.b AS node, round(v.d + nb.c, 6) AS d
+           |    FROM nb JOIN d${h - 1} v ON nb.a = v.node)
+           |  GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |nb AS (
+         |  SELECT s1 AS a, s2 AS b,
+         |         round(CAST(1 AS DOUBLE) / w, 6) AS c FROM ed
+         |  UNION ALL
+         |  SELECT s2, s1, round(CAST(1 AS DOUBLE) / w, 6) FROM ed),
+         |seeds AS (
+         |  SELECT node FROM (
+         |    SELECT DISTINCT s1 AS node FROM ed
+         |    UNION SELECT s2 FROM ed)
+         |  ORDER BY node LIMIT 5),
+         |d0 AS (SELECT node, CAST(0 AS DOUBLE) AS d FROM seeds),
+         |$hopCtes
+         |SELECT node, d AS dist FROM d$maxHops ORDER BY node""".stripMargin
     },
   )
 }

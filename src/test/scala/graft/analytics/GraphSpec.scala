@@ -149,4 +149,18 @@ class GraphSpec extends SparkSpec {
     // node 5 is 4 hops out -> beyond the horizon; 8/9 unreachable
     assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3))
   }
+
+  test("bounded SSSP: a strong 2-hop path beats a weak direct edge") {
+    val s = spark
+    import s.implicits._
+    // costs are 1/w: direct 1-2 edge costs 1.0, but 1-3-2 over two w=4
+    // edges costs 0.25 + 0.25 — the weighted answer differs from BFS;
+    // node 4 hangs off node 2; node 9 is out of reach
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 4L), (3L, 2L, 4L),
+      (2L, 4L, 2L), (8L, 9L, 1L)).toDF("s1", "s2", "w")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.ssspBounded(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 0.0, 3L -> 0.25, 2L -> 0.5, 4L -> 1.0))
+  }
 }
