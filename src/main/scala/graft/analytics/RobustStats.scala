@@ -206,15 +206,169 @@ object RobustStats {
     corrMatrix(Tables(s, dir).lineitem,
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Closed-form two-feature OLS (normal equations solved by Cramer's
+    * rule): in-engine linear-model TRAINING that, unlike the seeded GBT,
+    * is exactly cross-engine reproducible — every quantity derives from
+    * ONE aggregation pass of exact DECIMAL moments (n, Σx, Σx², Σxy, …),
+    * and the 3×3 solve plus R² are fixed-order double arithmetic over
+    * those identical moments (SSE folds to Σy² − βᵀXᵀy, so no residual
+    * second pass). The production story at 100 TB: model fitting cost =
+    * one map-side-combinable aggregate, coefficients are a driver-sized
+    * artifact. Degenerate designs (zero determinant) emit NULL betas. */
+  def olsClosedForm(df: DataFrame, yCol: String, x1Col: String,
+                    x2Col: String): DataFrame = {
+    val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(32, 8))).cast(DoubleType)
+    val m = df.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+      dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+      dsum(x2 * x2).as("s22"),
+      dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"),
+      dsum(y * y).as("syy"))
+    // Cramer on the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sse = col("syy") -
+      (b0 * col("sy") + b1 * col("s1y") + b2 * col("s2y"))
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
+    m.select(col("n").cast("long").as("n"),
+      round(when(abs(det) > 0, b0), 6).as("beta0"),
+      round(when(abs(det) > 0, b1), 6).as("beta1"),
+      round(when(abs(det) > 0, b2), 6).as("beta2"),
+      round(when(abs(det) > 0 && sst > 0, lit(1.0) - sse / sst), 6).as("r2"))
+  }
+
+  /** Benford first-digit audit: the distribution of leading digits of a
+    * naturally-occurring money column against Benford's law
+    * `log10(1 + 1/d)` — the classic fraud / synthetic-data smell test.
+    * The leading digit comes from the INTEGER-STRING of floor(x) (both
+    * engines format BIGINT identically), never from `floor(log10)` whose
+    * boundary ulps differ by engine at exact powers of ten. One
+    * digit-keyed counting aggregate; 9-row output. */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val digit = substring(floor(col(valCol)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.filter(col(valCol) >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast(DoubleType) / col("__t"), 6).as("observed"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford"))
+      .withColumn("deviation",
+        round(abs(col("observed") - col("benford")), 6))
+  }
+
+  /** Fit against a PLANTED model: y = 3 + 2·quantity − 5·discount plus
+    * centered hash-derived pseudo-noise (integer arithmetic, identical in
+    * both engines). The synthetic feed's raw columns are mutually
+    * uncorrelated (all |corr| < 0.01), so a fit on them would only grade
+    * the degenerate-R² path; planting makes the entry grade RECOVERY —
+    * betas land on (3, 2, −5) and the oracle must reproduce them. */
+  private val olsQ: Q = (s, dir) =>
+    olsClosedForm(
+      Tables(s, dir).lineitem.withColumn("y_planted",
+        lit(3.0) + lit(2.0) * col("l_quantity") - lit(5.0) * col("l_discount")
+          + ((col("l_orderkey") * 7919 + col("l_linenumber")) % 1000)
+            .cast(DoubleType) / 1000.0 - 0.4995),
+      "y_planted", "l_quantity", "l_discount")
+
+  private val benfordQ: Q = (s, dir) =>
+    benfordAudit(Tables(s, dir).lineitem, "l_extendedprice").orderBy("digit")
+
   val entries: Map[String, Q] = Map(
     "a37_zscore_outliers" -> zscoreQ,
     "a38_mad" -> madQ,
     "a39_winsorize" -> winsorizeQ,
     "a40_eqdepth_histogram" -> eqDepthQ,
     "a44_corr_matrix" -> corrQ,
+    "a47_ols_closed_form" -> olsQ,
+    "a48_benford" -> benfordQ,
   )
 
   val oracles: Map[String, String] = Map(
+    // one DECIMAL moment pass; Cramer + R2 in fixed-order double math
+    "a47_ols_closed_form" ->
+      """WITH base AS (
+        |  SELECT l_quantity, l_discount,
+        |         CAST(3.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * l_quantity
+        |           - CAST(5.0 AS DOUBLE) * l_discount
+        |           + CAST((l_orderkey * 7919 + l_linenumber) % 1000
+        |                  AS DOUBLE) / 1000.0 - 0.4995 AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(32,8))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(32,8))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(y AS DECIMAL(32,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(32,8)))
+        |         AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(32,8)))
+        |         AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(32,8)))
+        |         AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(l_quantity * y AS DECIMAL(32,8)))
+        |         AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(l_discount * y AS DECIMAL(32,8)))
+        |         AS DOUBLE) AS s2y,
+        |    CAST(sum(CAST(y * y AS DECIMAL(32,8))) AS DOUBLE) AS syy
+        |  FROM base),
+        |d AS (
+        |  SELECT *,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS det0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM m),
+        |e AS (
+        |  SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM d),
+        |f AS (
+        |  SELECT *, syy - (b0*sy + b1*s1y + b2*s2y) AS sse,
+        |         syy - sy*sy/n AS sst
+        |  FROM e)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN abs(det) > 0 THEN b0 END, 6) AS beta0,
+        |  round(CASE WHEN abs(det) > 0 THEN b1 END, 6) AS beta1,
+        |  round(CASE WHEN abs(det) > 0 THEN b2 END, 6) AS beta2,
+        |  round(CASE WHEN abs(det) > 0 AND sst > 0
+        |             THEN CAST(1 AS DOUBLE) - sse / sst END, 6) AS r2
+        |FROM f""".stripMargin,
+    // leading digit from the BIGINT string, never floor(log10) (boundary
+    // ulps at exact powers of ten differ by engine)
+    "a48_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n
+        |  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) / t, 6) AS observed,
+        |       round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6)
+        |         AS benford,
+        |       round(abs(round(CAST(n AS DOUBLE) / t, 6)
+        |                 - round(log10(CAST(1 AS DOUBLE)
+        |                               + CAST(1 AS DOUBLE) / digit), 6)), 6)
+        |         AS deviation
+        |FROM c, t ORDER BY digit""".stripMargin,
     "a37_zscore_outliers" ->
       """WITH st AS (
         |  SELECT l_returnflag, count(*) AS n,

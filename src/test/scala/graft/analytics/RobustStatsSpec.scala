@@ -75,4 +75,38 @@ class RobustStatsSpec extends SparkSpec {
     assert(lohi.forall { case (lo, hi) => lo <= hi })
     assert(lohi.sliding(2).forall { case Array((_, h), (l, _)) => h == l })
   }
+
+  test("closed-form OLS recovers a noise-free planted model exactly") {
+    val s = spark
+    import s.implicits._
+    // y = 10 + 2*x1 - 3*x2, zero noise: exact recovery, R2 = 1
+    val rows = for { x1 <- 1 to 6; x2 <- 1 to 4 }
+      yield (x1.toDouble, x2.toDouble, 10.0 + 2 * x1 - 3 * x2)
+    val df = rows.toDF("x1", "x2", "y")
+    val r = RobustStats.olsClosedForm(df, "y", "x1", "x2").collect().head
+    assert(r.getLong(0) === 24L)
+    assert(r.getDouble(1) === 10.0 && r.getDouble(2) === 2.0
+      && r.getDouble(3) === -3.0 && r.getDouble(4) === 1.0)
+    // a rank-deficient design (x2 = 2*x1) yields NULL betas, not a crash
+    val degen = (1 to 8).map(i => (i.toDouble, 2.0 * i, i * 3.0))
+      .toDF("x1", "x2", "y")
+    val d = RobustStats.olsClosedForm(degen, "y", "x1", "x2").collect().head
+    assert(d.isNullAt(1) && d.isNullAt(2) && d.isNullAt(3))
+  }
+
+  test("benford audit: leading digit from the integer string, law column pinned") {
+    val s = spark
+    import s.implicits._
+    // values crafted so digits are unambiguous, incl. an exact power of 10
+    // (the floor(log10) trap) and a sub-1 value that must be excluded
+    val df = Seq(1000.0, 999.99, 123.4, 100.0, 25.0, 2.5, 0.7)
+      .toDF("v")
+    val out = RobustStats.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1, 2, 9))
+    assert(out(1)._1 === 3L && out(2)._1 === 2L && out(9)._1 === 1L)
+    def law(d: Int) = BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._2 === law(1) && out(9)._2 === law(9))
+  }
 }
