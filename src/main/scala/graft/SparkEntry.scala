@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Similarity.entries ++
       operators.Multimodal.entries ++
       operators.Skew.entries ++
+      operators.Linkage.entries ++
       operators.RuntimeFilters.entries ++
       operators.AsOfJoin.entries ++
       operators.RangeJoin.entries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Skew.oracles ++
+      operators.Linkage.oracles ++
       operators.RuntimeFilters.oracles ++
       operators.AsOfJoin.oracles ++
       operators.RangeJoin.oracles ++

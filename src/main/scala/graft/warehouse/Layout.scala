@@ -117,6 +117,38 @@ object Layout {
       .orderBy(col(partCol), col("bin"))
   }
 
+  /** Scan-planner MANIFEST: one row per partition with row count and
+    * min/max "zone map" stats for the named columns — the metadata table a
+    * planner consults before touching data (Iceberg manifests / Delta
+    * checkpoint stats / parquet footers, expressed as a first-class
+    * queryable artifact). One pass, map-side combinable min/max/count; the
+    * output is partition-count-sized, never data-sized, so at 100 TB the
+    * manifest of a million-file table is a few-MB frame a planner can
+    * broadcast. */
+  def manifestStats(df: DataFrame, partExpr: Column,
+                    statCols: Seq[String]): DataFrame =
+    df.groupBy(partExpr.as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .orderBy("part")
+
+  /** Prune PLAN for a half-open range predicate `[lo, hi)` on `statCol`,
+    * evaluated against the manifest alone: `skip` when the partition's
+    * [min, max] is disjoint from the predicate, `full` when it is entirely
+    * contained (the scan can skip re-evaluating the filter), `partial`
+    * otherwise. This is the decision a format-aware scan makes per file
+    * from footer stats — materialized as a frame so the skip ratio is an
+    * auditable number instead of a hope. Runs on manifest-sized metadata;
+    * the data itself is never read. */
+  def prunePlan(manifest: DataFrame, statCol: String,
+                lo: Column, hi: Column): DataFrame =
+    manifest.select(col("part"), col("n_rows"),
+      when(col(s"max_$statCol") < lo || col(s"min_$statCol") >= hi, "skip")
+        .when(col(s"min_$statCol") >= lo && col(s"max_$statCol") < hi, "full")
+        .otherwise("partial").as("decision"))
+      .orderBy("part")
+
   // ---------------------------------------------------------------- entries
 
   private val zorderQ: Q = (s, dir) =>
@@ -138,9 +170,28 @@ object Layout {
           + lit(16L) * count(lit(1))).as("size_bytes")),
       "event_type", "day", "size_bytes", targetBytes = 32768L)
 
+  /** Monthly manifest of the lineitem feed with zone maps on the ship
+    * date and the two most-filtered measures. */
+  private def lineitemManifest(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    manifestStats(Tables(s, dir).lineitem,
+      date_trunc("month", col("l_shipdate")).cast("date"),
+      Seq("l_shipdate", "l_quantity", "l_extendedprice"))
+
+  private val manifestQ: Q = (s, dir) => lineitemManifest(s, dir)
+
+  /** Prune decisions for a ~16-month ship-date range: months before/after
+    * skip outright, interior months scan filter-free (`full`), the two
+    * boundary months scan with the residual filter (`partial`). */
+  private val pruneQ: Q = (s, dir) =>
+    prunePlan(lineitemManifest(s, dir), "l_shipdate",
+      lit("1997-03-10").cast("timestamp"), lit("1998-06-20").cast("timestamp"))
+
   val entries: Map[String, Q] = Map(
     "layout_zorder" -> zorderQ,
     "layout_compaction_plan" -> compactionQ,
+    "layout_manifest_stats" -> manifestQ,
+    "layout_prune_plan" -> pruneQ,
   )
 
   private def zTerms(xc: String, yc: String, bits: Int): String =
@@ -184,5 +235,28 @@ object Layout {
         |SELECT event_type, bin, count(*) AS n_files,
         |       CAST(sum(size_bytes) AS BIGINT) AS bytes
         |FROM packed GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "layout_manifest_stats" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,
+        |       count(*) AS n_rows,
+        |       min(l_shipdate) AS min_l_shipdate,
+        |       max(l_shipdate) AS max_l_shipdate,
+        |       min(l_quantity) AS min_l_quantity,
+        |       max(l_quantity) AS max_l_quantity,
+        |       min(l_extendedprice) AS min_l_extendedprice,
+        |       max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin,
+    "layout_prune_plan" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,
+        |         count(*) AS n_rows,
+        |         min(l_shipdate) AS mn, max(l_shipdate) AS mx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT part, n_rows,
+        |       CASE WHEN mx < TIMESTAMP '1997-03-10'
+        |              OR mn >= TIMESTAMP '1998-06-20' THEN 'skip'
+        |            WHEN mn >= TIMESTAMP '1997-03-10'
+        |             AND mx < TIMESTAMP '1998-06-20' THEN 'full'
+        |            ELSE 'partial' END AS decision
+        |FROM m ORDER BY part""".stripMargin,
   )
 }

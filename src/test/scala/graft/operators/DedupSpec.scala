@@ -407,4 +407,38 @@ class DedupSpec extends SparkSpec {
       s"survivors must be pair-free: ${remaining.take(3).mkString(",")}")
     spark.catalog.clearCache()
   }
+
+  test("prefix-filtered jaccard equals the full inverted-index join at sf0.01") {
+    val idx = Dedup.shingleIndex(
+      Tables(spark, sf01).documents, "doc_id", "text").persist()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).sorted.toSeq
+    val full = canon(Dedup.jaccardPairs(idx, 0.8))
+    val pruned = canon(Dedup.jaccardPairsPrefix(idx, 0.8))
+    assert(full.nonEmpty, "sf0.01 corpus should contain near-dup pairs")
+    assert(pruned === full,
+      "prefix filtering must be pruning-only: identical pairs and scores")
+    spark.catalog.clearCache()
+  }
+
+  test("prefix index is a strict subset: ~(1-t) of each doc's shingles") {
+    val idx = Dedup.shingleIndex(
+      Tables(spark, sf01).documents, "doc_id", "text").persist()
+    val fullSize = idx.count()
+    // re-derive the prefix frame the operator builds internally
+    val df_ = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+    val prefixSize = idx.join(df_, "shingle")
+      .withColumn("__pos", row_number().over(w))
+      .join(idx.groupBy("id").agg(count(lit(1)).as("sz")), "id")
+      .filter(col("__pos") <= col("sz") - ceil(lit(0.8) * col("sz")) + 1)
+      .count()
+    // at t=0.8 each doc indexes floor(0.2*L)+1 shingles; allow slack for
+    // short docs where the +1 dominates
+    assert(prefixSize < fullSize * 0.35,
+      s"prefix index should be ~5x smaller: $prefixSize of $fullSize")
+    spark.catalog.clearCache()
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clean = Seq(
+    (1L, "martha stewart", "us", "A"),
+    (2L, "marhta stewart", "us", "A"),   // transposed twin of 1
+    (3L, "jonathan smith", "us", "B"),
+    (4L, "jon smith", "uk", "B"),
+    (5L, "maria stuart", "de", "A"),
+  ).toDF("m_id", "c_name", "nation", "seg")
+
+  private val dirty = Seq(
+    (1L, "martha stewart", "us", "A"),   // exact
+    (2L, "marta stewart", "us", "A"),    // one deletion — nearer 1 than 2
+    (3L, "jonathan smth", "us", "B"),    // one deletion
+    (4L, "jon smith", "us", "B"),        // blocked AWAY from its twin (uk)
+    (9L, "zzzzzzzz", "de", "A"),         // no plausible match
+  ).toDF("d_id", "d_name", "nation", "seg")
+
+  test("blocking bounds candidates: cross-block pairs never surface") {
+    val cand = Linkage.blockedCandidates(dirty, clean, Seq("nation", "seg"),
+      "d_id", "d_name", "m_id", "c_name", maxDist = 3)
+    val pairs = cand.select("d_id", "m_id").as[(Long, Long)].collect().toSet
+    // d4 is in block (us,B); its true twin m4 sits in (uk,B) — blocking
+    // hides it, and the in-block m3 is too far. That asymmetry is the
+    // documented multi-pass motivation, pinned here.
+    assert(!pairs.exists(_._1 == 4L))
+    // d9 matches nothing within distance 3 in its block
+    assert(!pairs.exists(_._1 == 9L))
+    // exact and one-edit records find their true rows
+    assert(pairs.contains((1L, 1L)) && pairs.contains((2L, 2L)))
+  }
+
+  test("best match is minimum-distance with deterministic id tie-break") {
+    val cand = Linkage.blockedCandidates(dirty, clean, Seq("nation", "seg"),
+      "d_id", "d_name", "m_id", "c_name", maxDist = 5)
+    val best = Linkage.bestMatch(cand, "d_id", "m_id")
+      .select("d_id", "m_id", "lev").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(best(1L) === ((1L, 0)))
+    // "marta stewart": lev 1 to BOTH "martha stewart" (insert h) and
+    // "marhta stewart" (substitute) — the id tie-break must pick m1
+    assert(best(2L) === ((1L, 1)))
+    assert(best(3L) === ((3L, 1)))
+  }
+
+  test("registered customer linkage resolves every record at sf0.001") {
+    val acc = graft.SparkEntry.queries("link_accuracy")(spark, sf001)
+      .collect().head
+    val nMatched = acc.getAs[Long]("n_matched")
+    val nCorrect = acc.getAs[Long]("n_correct")
+    // every dirty customer differs from its source by exactly one deletion,
+    // so the true row is always a distance-1 candidate in its own block —
+    // every record matches SOMETHING. A different customer can tie at
+    // distance 1 (drop the '1' of ...012 / re-insert a leading '0' lands on
+    // ...002) and the deterministic id tie-break may pick it, so accuracy is
+    // near-1, not exactly 1 — that residual is real ER behavior, bounded
+    // here rather than hidden.
+    assert(nMatched === spark.read
+      .parquet(s"$sf001/customer.parquet").count())
+    assert(nCorrect >= (nMatched * 0.9).toLong,
+      s"one-deletion linkage should resolve nearly all: $nCorrect/$nMatched")
+  }
+}

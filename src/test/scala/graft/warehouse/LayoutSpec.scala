@@ -86,4 +86,22 @@ class LayoutSpec extends SparkSpec {
     assert(out(("q", 0)) === ((1L, 250L)))
     assert(out(("q", 2)) === ((1L, 10L)))
   }
+
+  test("prune plan: skip / full / partial decisions from zone maps alone") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1, 0L, 9L),    // entirely below [10, 30) -> skip
+      (2, 5L, 15L),   // straddles lo            -> partial
+      (3, 10L, 29L),  // contained               -> full
+      (4, 25L, 35L),  // straddles hi            -> partial
+      (5, 30L, 40L),  // min == hi (half-open)   -> skip
+      (6, 50L, 60L),  // entirely above          -> skip
+    ).toDF("part", "min_v", "max_v")
+      .withColumn("n_rows", lit(100L))
+    val out = Layout.prunePlan(rows, "v", lit(10L), lit(30L))
+      .select("part", "decision").as[(Int, String)].collect().toMap
+    assert(out === Map(1 -> "skip", 2 -> "partial", 3 -> "full",
+      4 -> "partial", 5 -> "skip", 6 -> "skip"))
+  }
 }
