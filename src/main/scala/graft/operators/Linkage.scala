@@ -54,8 +54,12 @@ object Linkage {
                         cleanId: String, cleanName: String,
                         maxDist: Int): DataFrame =
     dirty.join(clean, blockCols)
-      .withColumn("lev", levenshtein(col(dirtyName), col(cleanName)))
-      .filter(col("lev") <= maxDist)
+      // banded Levenshtein: the 3-arg form computes only a 2·maxDist+1
+      // diagonal band and bails to -1 past the threshold — O(maxDist·len)
+      // per pair instead of O(len²), and in-band distances are exact, so
+      // the survivors and their scores are identical to the unbounded form
+      .withColumn("lev", levenshtein(col(dirtyName), col(cleanName), maxDist))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select(col(dirtyId), col(cleanId), col("lev"))
 
   /** Best match per dirty record: minimum distance, ties broken by the
@@ -103,6 +107,23 @@ object Linkage {
   private val candidatesQ: Q = (s, dir) =>
     candidates(s, dir).orderBy("d_id", "m_id")
 
+  /** The same blocked pair stream scored with native Jaro–Winkler
+    * ([[graft.functions.GraftJaroWinkler]]) instead of an edit-distance
+    * cap — the better-behaved measure for short name-like strings
+    * (prefix-weighted, transposition-tolerant). Threshold applies to the
+    * ROUNDED score so the cut is reproducible across engines. */
+  private val jaroScoredQ: Q = (s, dir) => {
+    graft.functions.GraftJaroWinkler.register(s)
+    val t = Tables(s, dir)
+    dirtyCustomers(t)
+      .join(cleanCustomers(t), Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("jw", round(
+        call_function("graft_jaro_winkler", col("d_name"), col("c_name")), 4))
+      .filter(col("jw") >= 0.9)
+      .select(col("d_id"), col("m_id"), col("jw"))
+      .orderBy("d_id", "m_id")
+  }
+
   private val bestMatchQ: Q = (s, dir) =>
     bestMatch(candidates(s, dir), "d_id", "m_id")
       .withColumn("correct", (col("d_id") === col("m_id")).cast("int"))
@@ -122,6 +143,7 @@ object Linkage {
     "link_candidates" -> candidatesQ,
     "link_best_match" -> bestMatchQ,
     "link_accuracy" -> accuracyQ,
+    "link_jaro_scored" -> jaroScoredQ,
   )
 
   private val dirtySql =
@@ -168,5 +190,22 @@ object Linkage {
          |       round(sum(CAST(d_id = m_id AS INT)) * 1.0 / count(*), 4)
          |         AS accuracy
          |FROM best WHERE rk = 1""".stripMargin,
+    "link_jaro_scored" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_id,
+        |         concat(substr(c_name, 1,
+        |                       CAST(c_custkey % length(c_name) AS INT)),
+        |                substr(c_name,
+        |                       CAST(c_custkey % length(c_name) AS INT) + 2))
+        |           AS d_name,
+        |         c_nationkey, c_mktsegment
+        |  FROM customer)
+        |SELECT d.d_id, c.c_custkey AS m_id,
+        |       round(jaro_winkler_similarity(d.d_name, c.c_name), 4) AS jw
+        |FROM dirty d JOIN customer c
+        |  ON d.c_nationkey = c.c_nationkey
+        | AND d.c_mktsegment = c.c_mktsegment
+        |WHERE round(jaro_winkler_similarity(d.d_name, c.c_name), 4) >= 0.9
+        |ORDER BY d_id, m_id""".stripMargin,
   )
 }
