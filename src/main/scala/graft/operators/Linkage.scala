@@ -139,11 +139,51 @@ object Linkage {
         round(col("n_correct").cast("double") / col("n_matched"), 4)
           .as("accuracy"))
 
+  /** Incremental linkage: only a NEW batch of dirty records (here the
+    * `d_id % 5 == 0` convention shared with the incremental dedup entries)
+    * probes the full clean master — the production shape when records
+    * arrive in batches: the master is never re-paired against itself,
+    * candidate cost is |batch|-proportional. Same blocking, same scoring,
+    * same adjudication as the full run. */
+  private val incrementalQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    bestMatch(
+      blockedCandidates(dirtyCustomers(t).filter(col("d_id") % 5 === 0),
+        cleanCustomers(t), Seq("c_nationkey", "c_mktsegment"),
+        "d_id", "d_name", "m_id", "c_name", maxDist = 2),
+      "d_id", "m_id")
+      .withColumn("correct", (col("d_id") === col("m_id")).cast("int"))
+      .orderBy("d_id")
+  }
+
+  /** Blocking-quality audit: per-block dirty/clean/candidate counts plus
+    * the quantity a production ER deployment alarms on — the share of the
+    * naive |dirty|·|clean| cross product the blocking actually generates.
+    * Block-count-sized metadata (125 rows here), one aggregation each
+    * side; this is the frame that tells you WHEN to re-key or salt, before
+    * a hot block melts an executor. */
+  private val blockStatsQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val d = dirtyCustomers(t).groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_dirty"))
+    val c = cleanCustomers(t).groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_clean"))
+    d.join(c, Seq("c_nationkey", "c_mktsegment"), "full_outer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        (coalesce(col("n_dirty"), lit(0L)) *
+          coalesce(col("n_clean"), lit(0L))).as("n_candidates"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val entries: Map[String, Q] = Map(
     "link_candidates" -> candidatesQ,
     "link_best_match" -> bestMatchQ,
     "link_accuracy" -> accuracyQ,
     "link_jaro_scored" -> jaroScoredQ,
+    "link_incremental" -> incrementalQ,
+    "link_block_stats" -> blockStatsQ,
   )
 
   private val dirtySql =
@@ -207,5 +247,21 @@ object Linkage {
         | AND d.c_mktsegment = c.c_mktsegment
         |WHERE round(jaro_winkler_similarity(d.d_name, c.c_name), 4) >= 0.9
         |ORDER BY d_id, m_id""".stripMargin,
+    "link_incremental" ->
+      s"""WITH $dirtySql,
+         |best AS (
+         |  SELECT d_id, m_id, lev,
+         |         row_number() OVER (PARTITION BY d_id
+         |                            ORDER BY lev, m_id) AS rk
+         |  FROM cand WHERE d_id % 5 = 0)
+         |SELECT d_id, m_id, lev,
+         |       CAST(d_id = m_id AS INT) AS correct
+         |FROM best WHERE rk = 1 ORDER BY d_id""".stripMargin,
+    "link_block_stats" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       count(*) AS n_dirty, count(*) AS n_clean,
+        |       CAST(count(*) AS BIGINT) * count(*) AS n_candidates
+        |FROM customer
+        |GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }

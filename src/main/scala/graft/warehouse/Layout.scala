@@ -149,6 +149,24 @@ object Layout {
         .otherwise("partial").as("decision"))
       .orderBy("part")
 
+  /** 2-D prune plan over z-ordered tiles: the payoff measurement for
+    * [[zValue]] clustering. Each tile's bounding box (from
+    * [[zOrderTileStats]]) is tested against a closed rectangular predicate
+    * `[x1,x2] × [y1,y2]`: `skip` when disjoint on EITHER axis, `full` when
+    * contained on BOTH, else `partial`. Because the Morton order keeps both
+    * axes locally tight, a 2-D predicate skips most tiles — the property a
+    * single-column sort only delivers for its own column. Tile-count-sized
+    * metadata; the data is never read at plan time. */
+  def zOrderPrunePlan(tiles: DataFrame, x1: Long, x2: Long,
+                      y1: Long, y2: Long): DataFrame =
+    tiles.select(col("tile"), col("n"),
+      when(col("x_max") < x1 || col("x_min") > x2 ||
+           col("y_max") < y1 || col("y_min") > y2, "skip")
+        .when(col("x_min") >= x1 && col("x_max") <= x2 &&
+              col("y_min") >= y1 && col("y_max") <= y2, "full")
+        .otherwise("partial").as("decision"))
+      .orderBy("tile")
+
   // ---------------------------------------------------------------- entries
 
   private val zorderQ: Q = (s, dir) =>
@@ -187,11 +205,22 @@ object Layout {
     prunePlan(lineitemManifest(s, dir), "l_shipdate",
       lit("1997-03-10").cast("timestamp"), lit("1998-06-20").cast("timestamp"))
 
+  /** Prune decisions for a 2-D box predicate (partkey 200..600 x suppkey
+    * 20..80) against the 32 z-ordered tiles — most tiles skip on one axis
+    * or the other, which is the measurable point of the Morton layout. */
+  private val zorderPruneQ: Q = (s, dir) =>
+    zOrderPrunePlan(
+      zOrderTileStats(
+        Tables(s, dir).lineitem.select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", 32),
+      200L, 600L, 20L, 80L)
+
   val entries: Map[String, Q] = Map(
     "layout_zorder" -> zorderQ,
     "layout_compaction_plan" -> compactionQ,
     "layout_manifest_stats" -> manifestQ,
     "layout_prune_plan" -> pruneQ,
+    "layout_zorder_prune" -> zorderPruneQ,
   )
 
   private def zTerms(xc: String, yc: String, bits: Int): String =
@@ -258,5 +287,26 @@ object Layout {
         |             AND mx < TIMESTAMP '1998-06-20' THEN 'full'
         |            ELSE 'partial' END AS decision
         |FROM m ORDER BY part""".stripMargin,
+    "layout_zorder_prune" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(${zTerms("(l_partkey & 65535)", "(l_suppkey & 65535)", 16)}
+         |              AS BIGINT) AS zv
+         |  FROM lineitem),
+         |t AS (
+         |  SELECT *, ntile(32) OVER (ORDER BY zv, l_partkey, l_suppkey) AS tile
+         |  FROM z),
+         |boxes AS (
+         |  SELECT tile, count(*) AS n,
+         |         min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |         min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+         |  FROM t GROUP BY 1)
+         |SELECT tile, n,
+         |       CASE WHEN x_max < 200 OR x_min > 600
+         |              OR y_max < 20 OR y_min > 80 THEN 'skip'
+         |            WHEN x_min >= 200 AND x_max <= 600
+         |             AND y_min >= 20 AND y_max <= 80 THEN 'full'
+         |            ELSE 'partial' END AS decision
+         |FROM boxes ORDER BY tile""".stripMargin,
   )
 }

@@ -66,4 +66,17 @@ class LinkageSpec extends SparkSpec {
     assert(nCorrect >= (nMatched * 0.9).toLong,
       s"one-deletion linkage should resolve nearly all: $nCorrect/$nMatched")
   }
+
+  test("incremental linkage equals the full run restricted to the batch") {
+    val full = graft.SparkEntry.queries("link_best_match")(spark, sf001)
+      .filter(col("d_id") % 5 === 0)
+      .select("d_id", "m_id", "lev").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    val inc = graft.SparkEntry.queries("link_incremental")(spark, sf001)
+      .select("d_id", "m_id", "lev").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    assert(inc === full,
+      "probing the master with only the batch must not change any match")
+    assert(inc.nonEmpty)
+  }
 }

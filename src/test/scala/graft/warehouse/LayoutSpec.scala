@@ -104,4 +104,22 @@ class LayoutSpec extends SparkSpec {
     assert(out === Map(1 -> "skip", 2 -> "partial", 3 -> "full",
       4 -> "partial", 5 -> "skip", 6 -> "skip"))
   }
+
+  test("z-order 2-D prune: disjoint on either axis skips, contained on both is full") {
+    val s = spark
+    import s.implicits._
+    val tiles = Seq(
+      // tile, x_min, x_max, y_min, y_max against box [10,20] x [10,20]
+      (1, 0L, 5L, 10L, 20L),    // x disjoint          -> skip
+      (2, 10L, 20L, 25L, 30L),  // y disjoint          -> skip
+      (3, 12L, 18L, 12L, 18L),  // contained both axes -> full
+      (4, 5L, 15L, 12L, 18L),   // x straddles         -> partial
+      (5, 12L, 18L, 15L, 25L),  // y straddles         -> partial
+    ).toDF("tile", "x_min", "x_max", "y_min", "y_max")
+      .withColumn("n", lit(10L))
+    val out = Layout.zOrderPrunePlan(tiles, 10L, 20L, 10L, 20L)
+      .select("tile", "decision").as[(Int, String)].collect().toMap
+    assert(out === Map(1 -> "skip", 2 -> "skip", 3 -> "full",
+      4 -> "partial", 5 -> "partial"))
+  }
 }
