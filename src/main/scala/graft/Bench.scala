@@ -64,6 +64,7 @@ object Bench {
     "emb_silhouette", "b18_top_paths", "text_mix_temperature",
     "text_bpe_train", "a47_ols_closed_form", "a48_benford",
     "dedup_jaccard_prefix", "link_best_match", "layout_manifest_stats",
+    "ml_kfold_ols", "ml_conformal_interval",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

@@ -251,6 +251,101 @@ object RobustStats {
       round(when(abs(det) > 0 && sst > 0, lit(1.0) - sse / sst), 6).as("r2"))
   }
 
+  /** K-fold cross-validated OLS in ONE data pass. The trick: per-fold
+    * DECIMAL moment sums are sufficient statistics for BOTH sides of every
+    * fold — the train moments are the (window) totals minus the fold's own
+    * (exact decimal subtraction, so leave-fold-out equals a literal re-scan
+    * of the other k−1 folds), and the held-out SSE expands algebraically in
+    * the SAME fold moments:
+    *   Σ(y−b0−b1x1−b2x2)² = syy + b0²n + b1²s11 + b2²s22
+    *                        + 2(b0b1·s1 + b0b2·s2 + b1b2·s12)
+    *                        − 2(b0·sy + b1·s1y + b2·s2y).
+    * So the whole CV — k trainings + k evaluations — is one groupBy(fold)
+    * over the data plus arithmetic on a k-row frame. At 100 TB this is the
+    * difference between one scan and 2k scans; no model state, no
+    * iteration, no RNG (the fold is key-derived). Doubles enter only after
+    * the exact decimal stage, in a fixed operation order both engines
+    * replay. */
+  def kFoldOls(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+               foldExpr: org.apache.spark.sql.Column): DataFrame = {
+    val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(32, 8)))
+    val m = df.withColumn("fold", foldExpr)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+        dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+        dsum(x2 * x2).as("s22"),
+        dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"),
+        dsum(y * y).as("syy"))
+    // leave-fold-out totals over the k-row moment frame (global window on
+    // k rows — metadata-sized by construction, same audited pattern as the
+    // other tiny global windows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val mom = Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+    val t = m.select(
+      (col("fold") +: col("n_test") +:
+        (sum(col("n_test")).over(w) - col("n_test")).cast(DoubleType).as("tn") +:
+        mom.flatMap(c => Seq(
+          col(c).cast(DoubleType).as(s"f_$c"),
+          (sum(col(c)).over(w) - col(c)).cast(DoubleType).as(s"t_$c")))): _*)
+    def tc(c: String) = col(s"t_$c")
+    val det = col("tn") * (tc("s11") * tc("s22") - tc("s12") * tc("s12")) -
+      tc("s1") * (tc("s1") * tc("s22") - tc("s12") * tc("s2")) +
+      tc("s2") * (tc("s1") * tc("s12") - tc("s11") * tc("s2"))
+    val det0 = tc("sy") * (tc("s11") * tc("s22") - tc("s12") * tc("s12")) -
+      tc("s1") * (tc("s1y") * tc("s22") - tc("s12") * tc("s2y")) +
+      tc("s2") * (tc("s1y") * tc("s12") - tc("s11") * tc("s2y"))
+    val det1 = col("tn") * (tc("s1y") * tc("s22") - tc("s12") * tc("s2y")) -
+      tc("sy") * (tc("s1") * tc("s22") - tc("s12") * tc("s2")) +
+      tc("s2") * (tc("s1") * tc("s2y") - tc("s1y") * tc("s2"))
+    val det2 = col("tn") * (tc("s11") * tc("s2y") - tc("s1y") * tc("s12")) -
+      tc("s1") * (tc("s1") * tc("s2y") - tc("s1y") * tc("s2")) +
+      tc("sy") * (tc("s1") * tc("s12") - tc("s11") * tc("s2"))
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    def fc(c: String) = col(s"f_$c")
+    val sseTest = fc("syy") +
+      b0 * b0 * col("n_test").cast(DoubleType) +
+      b1 * b1 * fc("s11") + b2 * b2 * fc("s22") +
+      lit(2.0) * (b0 * b1 * fc("s1") + b0 * b2 * fc("s2") +
+        b1 * b2 * fc("s12")) -
+      lit(2.0) * (b0 * fc("sy") + b1 * fc("s1y") + b2 * fc("s2y"))
+    t.select(col("fold"),
+      col("tn").cast("long").as("n_train"), col("n_test"),
+      round(b0, 6).as("beta0"), round(b1, 6).as("beta1"),
+      round(b2, 6).as("beta2"),
+      round(sqrt(sseTest / col("n_test").cast(DoubleType)), 4)
+        .as("rmse_test"))
+      .orderBy("fold")
+  }
+
+  /** Split-conformal prediction interval + measured coverage. Calibration
+    * half scores absolute residuals against a fixed model; `qhat` is the
+    * exact interpolated (1−α) quantile of those scores (the finite-sample
+    * (n+1)/n correction is O(1/n) here and omitted so the quantile stays a
+    * literal both engines interpolate identically); the interval
+    * `ŷ ± qhat` is then AUDITED on the disjoint test half — coverage is a
+    * measured number, not the theorem's promise. Two key-derived halves
+    * (no RNG), one aggregate each, a broadcast of the single-row qhat onto
+    * the test agg: distribution-free uncertainty quantification at
+    * one-scan cost. */
+  def conformalInterval(df: DataFrame, yCol: String,
+                        predCol: String, splitExpr: org.apache.spark.sql.Column,
+                        alpha: Double): DataFrame = {
+    val scored = df.withColumn("__cal", splitExpr)
+      .withColumn("__r", abs(col(yCol) - col(predCol)))
+    val cal = scored.filter(col("__cal"))
+      .agg(count(lit(1)).as("n_cal"),
+        round(pct(col("__r"), 1.0 - alpha), 6).as("qhat"))
+    scored.filter(!col("__cal"))
+      .crossJoin(broadcast(cal))
+      .groupBy("n_cal", "qhat")
+      .agg(count(lit(1)).as("n_test"),
+        round(avg((col("__r") <= col("qhat")).cast(DoubleType)), 6)
+          .as("coverage_test"))
+      .select("n_cal", "qhat", "n_test", "coverage_test")
+  }
+
   /** Benford first-digit audit: the distribution of leading digits of a
     * naturally-occurring money column against Benford's law
     * `log10(1 + 1/d)` — the classic fraud / synthetic-data smell test.
@@ -289,7 +384,30 @@ object RobustStats {
   private val benfordQ: Q = (s, dir) =>
     benfordAudit(Tables(s, dir).lineitem, "l_extendedprice").orderBy("digit")
 
+  /** Same planted target as [[olsQ]] so per-fold recovery is gradeable. */
+  private def plantedLineitem(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    Tables(s, dir).lineitem.withColumn("y_planted",
+      lit(3.0) + lit(2.0) * col("l_quantity") - lit(5.0) * col("l_discount")
+        + ((col("l_orderkey") * 7919 + col("l_linenumber")) % 1000)
+          .cast(DoubleType) / 1000.0 - 0.4995)
+
+  private val kfoldQ: Q = (s, dir) =>
+    kFoldOls(plantedLineitem(s, dir), "y_planted", "l_quantity", "l_discount",
+      (col("l_orderkey") * 7 + col("l_linenumber")) % 5)
+
+  private val conformalQ: Q = (s, dir) =>
+    conformalInterval(
+      plantedLineitem(s, dir).withColumn("pred",
+        lit(3.0) + lit(2.0) * col("l_quantity")
+          - lit(5.0) * col("l_discount")),
+      "y_planted", "pred",
+      (col("l_orderkey") * 7 + col("l_linenumber")) % 2 === 0,
+      alpha = 0.1)
+
   val entries: Map[String, Q] = Map(
+    "ml_kfold_ols" -> kfoldQ,
+    "ml_conformal_interval" -> conformalQ,
     "a37_zscore_outliers" -> zscoreQ,
     "a38_mad" -> madQ,
     "a39_winsorize" -> winsorizeQ,
@@ -300,6 +418,89 @@ object RobustStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-fold DECIMAL moments; leave-fold-out = exact decimal window
+    // subtraction; Cramer + held-out SSE in the same fixed-order double
+    // math as the engine
+    "ml_kfold_ols" ->
+      """WITH base AS (
+        |  SELECT l_quantity, l_discount,
+        |         CAST((l_orderkey * 7 + l_linenumber) % 5 AS INT) AS fold,
+        |         CAST(3.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * l_quantity
+        |           - CAST(5.0 AS DOUBLE) * l_discount
+        |           + CAST((l_orderkey * 7919 + l_linenumber) % 1000
+        |                  AS DOUBLE) / 1000.0 - 0.4995 AS y
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT fold, count(*) AS n_test,
+        |    sum(CAST(l_quantity AS DECIMAL(32,8))) AS s1,
+        |    sum(CAST(l_discount AS DECIMAL(32,8))) AS s2,
+        |    sum(CAST(y AS DECIMAL(32,8))) AS sy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(32,8))) AS s11,
+        |    sum(CAST(l_quantity * l_discount AS DECIMAL(32,8))) AS s12,
+        |    sum(CAST(l_discount * l_discount AS DECIMAL(32,8))) AS s22,
+        |    sum(CAST(l_quantity * y AS DECIMAL(32,8))) AS s1y,
+        |    sum(CAST(l_discount * y AS DECIMAL(32,8))) AS s2y,
+        |    sum(CAST(y * y AS DECIMAL(32,8))) AS syy
+        |  FROM base GROUP BY 1),
+        |t AS (
+        |  SELECT fold, n_test,
+        |    CAST(sum(n_test) OVER () - n_test AS DOUBLE) AS tn,
+        |    CAST(s1  AS DOUBLE) AS f_s1,  CAST(sum(s1)  OVER () - s1  AS DOUBLE) AS t_s1,
+        |    CAST(s2  AS DOUBLE) AS f_s2,  CAST(sum(s2)  OVER () - s2  AS DOUBLE) AS t_s2,
+        |    CAST(sy  AS DOUBLE) AS f_sy,  CAST(sum(sy)  OVER () - sy  AS DOUBLE) AS t_sy,
+        |    CAST(s11 AS DOUBLE) AS f_s11, CAST(sum(s11) OVER () - s11 AS DOUBLE) AS t_s11,
+        |    CAST(s12 AS DOUBLE) AS f_s12, CAST(sum(s12) OVER () - s12 AS DOUBLE) AS t_s12,
+        |    CAST(s22 AS DOUBLE) AS f_s22, CAST(sum(s22) OVER () - s22 AS DOUBLE) AS t_s22,
+        |    CAST(s1y AS DOUBLE) AS f_s1y, CAST(sum(s1y) OVER () - s1y AS DOUBLE) AS t_s1y,
+        |    CAST(s2y AS DOUBLE) AS f_s2y, CAST(sum(s2y) OVER () - s2y AS DOUBLE) AS t_s2y,
+        |    CAST(syy AS DOUBLE) AS f_syy, CAST(sum(syy) OVER () - syy AS DOUBLE) AS t_syy
+        |  FROM f),
+        |d AS (
+        |  SELECT *,
+        |    tn*(t_s11*t_s22 - t_s12*t_s12) - t_s1*(t_s1*t_s22 - t_s12*t_s2)
+        |      + t_s2*(t_s1*t_s12 - t_s11*t_s2) AS det,
+        |    t_sy*(t_s11*t_s22 - t_s12*t_s12) - t_s1*(t_s1y*t_s22 - t_s12*t_s2y)
+        |      + t_s2*(t_s1y*t_s12 - t_s11*t_s2y) AS det0,
+        |    tn*(t_s1y*t_s22 - t_s12*t_s2y) - t_sy*(t_s1*t_s22 - t_s12*t_s2)
+        |      + t_s2*(t_s1*t_s2y - t_s1y*t_s2) AS det1,
+        |    tn*(t_s11*t_s2y - t_s1y*t_s12) - t_s1*(t_s1*t_s2y - t_s1y*t_s2)
+        |      + t_sy*(t_s1*t_s12 - t_s11*t_s2) AS det2
+        |  FROM t),
+        |e AS (
+        |  SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2 FROM d),
+        |g AS (
+        |  SELECT *,
+        |    f_syy + b0*b0*CAST(n_test AS DOUBLE) + b1*b1*f_s11
+        |      + b2*b2*f_s22
+        |      + 2.0*(b0*b1*f_s1 + b0*b2*f_s2 + b1*b2*f_s12)
+        |      - 2.0*(b0*f_sy + b1*f_s1y + b2*f_s2y) AS sse
+        |  FROM e)
+        |SELECT fold, CAST(tn AS BIGINT) AS n_train, n_test,
+        |       round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+        |       round(b2, 6) AS beta2,
+        |       round(sqrt(sse / CAST(n_test AS DOUBLE)), 4) AS rmse_test
+        |FROM g ORDER BY fold""".stripMargin,
+    // r is abs(y - pred) with BOTH operands spelled out in the engine's
+    // exact double op order — algebraically it is |noise|, but (A+noise)-A
+    // differs from noise in last ulps, and qhat rounds from those bits
+    "ml_conformal_interval" ->
+      """WITH base AS (
+        |  SELECT (l_orderkey * 7 + l_linenumber) % 2 = 0 AS cal,
+        |         abs((CAST(3.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * l_quantity
+        |              - CAST(5.0 AS DOUBLE) * l_discount
+        |              + CAST((l_orderkey * 7919 + l_linenumber) % 1000
+        |                     AS DOUBLE) / 1000.0 - 0.4995)
+        |             - (CAST(3.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * l_quantity
+        |                - CAST(5.0 AS DOUBLE) * l_discount)) AS r
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT count(*) AS n_cal,
+        |         round(quantile_cont(r, 0.9), 6) AS qhat
+        |  FROM base WHERE cal)
+        |SELECT c.n_cal, c.qhat, count(*) AS n_test,
+        |       round(avg(CAST(b.r <= c.qhat AS DOUBLE)), 6) AS coverage_test
+        |FROM base b, c WHERE NOT b.cal
+        |GROUP BY c.n_cal, c.qhat""".stripMargin,
     // one DECIMAL moment pass; Cramer + R2 in fixed-order double math
     "a47_ols_closed_form" ->
       """WITH base AS (

@@ -109,4 +109,47 @@ class RobustStatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(1)._2 === law(1) && out(9)._2 === law(9))
   }
+
+  test("k-fold OLS: leave-fold-out moments equal a literal refit without the fold") {
+    val s = spark
+    import s.implicits._
+    // planted linear model with deterministic pseudo-noise, 3 folds by key
+    val rows = (1 to 120).map { i =>
+      val x1 = (i % 7).toDouble; val x2 = (i % 5).toDouble
+      (i.toLong, x1, x2, 4.0 + 1.5 * x1 - 2.0 * x2 + (i % 9) / 10.0)
+    }
+    val df = rows.toDF("k", "x1", "x2", "y")
+    val cv = RobustStats.kFoldOls(df, "y", "x1", "x2", col("k") % 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(cv.keySet === Set(0L, 1L, 2L))
+    // fold 0's coefficients must equal an independent full fit on folds 1+2
+    val refit = RobustStats.olsClosedForm(
+      df.filter(col("k") % 3 =!= 0), "y", "x1", "x2").collect().head
+    assert(cv(0).getDouble(3) === refit.getDouble(1), "beta0")
+    assert(cv(0).getDouble(4) === refit.getDouble(2), "beta1")
+    assert(cv(0).getDouble(5) === refit.getDouble(3), "beta2")
+    // train/test partition the frame in every fold
+    cv.values.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === 120L)
+    }
+  }
+
+  test("conformal interval: ~1-alpha coverage on the disjoint half, planted noise") {
+    val s = spark
+    import s.implicits._
+    // |noise| uniform on {0.0, 0.1, ..., 0.9} -> the 0.9-quantile interval
+    // should cover ~90% of the test half
+    // magnitude keyed on i/2 so the parity split is independent of it:
+    // both halves see residuals uniform over {0.0, ..., 0.9}
+    val df = (1 to 400).map { i =>
+      (i.toLong, 10.0 + ((i / 2) % 10) * 0.1 * (if (i % 4 < 2) 1 else -1))
+    }.toDF("k", "y").withColumn("pred", lit(10.0))
+    val r = RobustStats.conformalInterval(df, "y", "pred",
+      col("k") % 2 === 0, alpha = 0.1).collect().head
+    val qhat = r.getDouble(1)
+    val coverage = r.getDouble(3)
+    assert(r.getLong(0) === 200L && r.getLong(2) === 200L)
+    assert(qhat >= 0.8 && qhat <= 0.9, s"qhat=$qhat")
+    assert(coverage >= 0.85 && coverage <= 1.0, s"coverage=$coverage")
+  }
 }
