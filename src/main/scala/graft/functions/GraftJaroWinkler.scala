@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,14 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * overhead. Registered per-session as `graft_jaro_winkler(l, r)`.
   */
 case class GraftJaroWinkler(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    GraftJaroWinkler.compute(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    JaroWinklerKernel.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  // One static call per row keeps the projection inside whole-stage
+  // codegen (a CodegenFallback here would drop the whole 1.8M-pair
+  // scoring projection to the interpreted path). The kernel takes the
+  // UTF8String operands directly — ASCII rows (the overwhelming case)
+  // score byte-wise with zero per-row String allocation.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      // JaroWinklerKernel is a plain object (no companion class), so the
+      // Scala compiler emits a true static forwarder Janino can call
+      s"graft.functions.JaroWinklerKernel.compute($a, $b)")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GraftJaroWinkler = copy(left = l, right = r)
@@ -41,6 +52,79 @@ case class GraftJaroWinkler(left: Expression, right: Expression)
 }
 
 object GraftJaroWinkler {
+
+  /** Spec-facing alias for the standalone kernel. */
+  def compute(s1: String, s2: String): Double =
+    JaroWinklerKernel.compute(s1, s2)
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(l, r) => GraftJaroWinkler(l, r)
+    case args => throw new IllegalArgumentException(
+      s"graft_jaro_winkler(left, right), got ${args.length} args")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", builder, "built-in")
+}
+
+/** The scoring loop itself — deliberately a plain object with NO companion
+  * class so `compute` gets a static forwarder the generated Java calls
+  * directly. */
+object JaroWinklerKernel {
+
+  /** Dispatch on representation: pure-ASCII operands (numChars == numBytes)
+    * run the byte-wise loop with no allocation; anything else falls back to
+    * the per-codepoint String path. Identical scores on ASCII by
+    * construction (one byte == one char == one codepoint). */
+  def compute(a: UTF8String, b: UTF8String): Double =
+    if (a.numChars == a.numBytes && b.numChars == b.numBytes)
+      computeAscii(a, b)
+    else compute(a.toString, b.toString)
+
+  private def computeAscii(s1: UTF8String, s2: UTF8String): Double = {
+    val l1 = s1.numBytes
+    val l2 = s2.numBytes
+    if (l1 == 0 || l2 == 0) return 0.0 // incl. both-empty (DuckDB quirk)
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = s1.getByte(i)
+      var j = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s2.getByte(j) == c) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.getByte(i) != s2.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var p = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (p < maxP && s1.getByte(p) == s2.getByte(p)) p += 1
+      jaro + 0.1 * p * (1.0 - jaro)
+    } else jaro
+  }
 
   def compute(s1: String, s2: String): Double = {
     val l1 = s1.length
@@ -85,14 +169,4 @@ object GraftJaroWinkler {
       jaro + 0.1 * p * (1.0 - jaro)
     } else jaro
   }
-
-  val builder: Seq[Expression] => Expression = {
-    case Seq(l, r) => GraftJaroWinkler(l, r)
-    case args => throw new IllegalArgumentException(
-      s"graft_jaro_winkler(left, right), got ${args.length} args")
-  }
-
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaro_winkler", builder, "built-in")
 }

@@ -119,7 +119,7 @@ object Linkage {
       .join(cleanCustomers(t), Seq("c_nationkey", "c_mktsegment"))
       .withColumn("jw", round(
         call_function("graft_jaro_winkler", col("d_name"), col("c_name")), 4))
-      .filter(col("jw") >= 0.9)
+      .filter(col("jw") >= 0.97)
       .select(col("d_id"), col("m_id"), col("jw"))
       .orderBy("d_id", "m_id")
   }
@@ -245,7 +245,7 @@ object Linkage {
         |FROM dirty d JOIN customer c
         |  ON d.c_nationkey = c.c_nationkey
         | AND d.c_mktsegment = c.c_mktsegment
-        |WHERE round(jaro_winkler_similarity(d.d_name, c.c_name), 4) >= 0.9
+        |WHERE round(jaro_winkler_similarity(d.d_name, c.c_name), 4) >= 0.97
         |ORDER BY d_id, m_id""".stripMargin,
     "link_incremental" ->
       s"""WITH $dirtySql,

@@ -54,4 +54,19 @@ class JaroWinklerSpec extends SparkSpec {
       .collect().head
     assert(withNull.isNullAt(2), "null input must propagate to null score")
   }
+
+  test("byte-wise ASCII path equals the String path; non-ASCII falls back") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("", ""), ("abc", "abd"), ("Customer#000000012", "Customer#00000002"))
+    cases.foreach { case (a, b) =>
+      assert(JaroWinklerKernel.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b)) === jw(a, b))
+    }
+    // multi-byte codepoints: numBytes != numChars routes to the String
+    // path, which compares per Java char — same as the direct call
+    val (u1, u2) = ("straße", "strasse")
+    assert(JaroWinklerKernel.compute(
+      UTF8String.fromString(u1), UTF8String.fromString(u2)) === jw(u1, u2))
+  }
 }
