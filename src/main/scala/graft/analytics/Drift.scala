@@ -72,6 +72,45 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** Covariate-shift importance weights by binned density ratio: the
+    * reference (target) distribution's decile anchors bin BOTH windows, and
+    * each bin's weight `p_ref / p_cur` is what a row of the current
+    * (source) window must be multiplied by so weighted source aggregates
+    * estimate target expectations — the standard correction when serving
+    * data drifts from the training distribution but labels only exist on
+    * the source side. Same two-pass shape as [[psi]] (anchor quantiles,
+    * then one counting aggregate); the weight table is bins-sized metadata
+    * a scoring job broadcasts. The epsilon floor caps a weight at 1e6
+    * rather than dividing by an empty bin. */
+  def importanceWeights(df: DataFrame, valCol: String, refPred: Column,
+                        bins: Int = 10): DataFrame = {
+    val x = col(valCol)
+    val ref = df.filter(refPred)
+    val anchors = ref.agg(
+      (1 until bins).map(i =>
+        round(pct(x, i.toDouble / bins), 6).as(s"a$i")).head,
+      (1 until bins).map(i =>
+        round(pct(x, i.toDouble / bins), 6).as(s"a$i")).tail: _*)
+    val binExpr = (1 until bins)
+      .map(i => when(x > col(s"a$i"), 1).otherwise(0))
+      .reduce(_ + _).as("bin")
+    val eps = lit(1e-6)
+    df.select(x, refPred.as("__is_ref")).crossJoin(broadcast(anchors))
+      .select(binExpr, col("__is_ref"))
+      .groupBy("bin")
+      .agg(sum(when(col("__is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__is_ref"), 0L).otherwise(1L)).as("n_cur"))
+      .crossJoin(broadcast(df.agg(
+        sum(when(refPred, 1L).otherwise(0L)).as("__tr"),
+        sum(when(refPred, 0L).otherwise(1L)).as("__tc"))))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        greatest(col("n_ref").cast(DoubleType) / col("__tr"), eps).as("__pr"),
+        greatest(col("n_cur").cast(DoubleType) / col("__tc"), eps).as("__pc"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__pr") / col("__pc"), 6).as("weight"))
+      .orderBy("bin")
+  }
+
   /** Grid-quantized two-sample Kolmogorov–Smirnov statistic: both samples
     * are histogrammed onto `grid` equal-width bins between the pooled
     * min/max (anchors rounded to 6), the two ECDFs accumulate over the
@@ -223,7 +262,12 @@ object Drift {
         + lit(0.06) * col("l_quantity") + lit(10.0) * col("l_discount")))),
       outcome = col("l_returnflag") === "R")
 
+  private val weightsQ: Q = (s, dir) =>
+    importanceWeights(Tables(s, dir).orders, "o_totalprice",
+      col("o_orderdate") < lit(boundary).cast("timestamp"))
+
   val entries: Map[String, Q] = Map(
+    "a49_importance_weights" -> weightsQ,
     "a41_psi_drift" -> psiQ,
     "a42_ks_drift" -> ksQ,
     "a43_chi2_drift" -> chi2Q,
@@ -286,6 +330,36 @@ object Drift {
         |       round(avg(sc), 6) AS mean_score,
         |       round(avg(CAST(y AS DOUBLE)), 6) AS outcome_rate
         |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
+    "a49_importance_weights" -> {
+      val bins = 10
+      val qs = (1 until bins).map(i =>
+        s"round(quantile_cont(o_totalprice, ${i.toDouble / bins}), 6) AS a$i")
+        .mkString(",\n         ")
+      val binExpr = (1 until bins)
+        .map(i => s"(CASE WHEN o_totalprice > a$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH anch AS (
+         |  SELECT $qs
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$boundary'),
+         |a AS (
+         |  SELECT ($binExpr) AS bin,
+         |         (o_orderdate < TIMESTAMP '$boundary') AS is_ref
+         |  FROM orders, anch),
+         |c AS (
+         |  SELECT bin,
+         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         |  FROM a GROUP BY 1),
+         |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c),
+         |p AS (
+         |  SELECT bin, n_ref, n_cur,
+         |         greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6) AS pr,
+         |         greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6) AS pc
+         |  FROM c, t)
+         |SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+         |       round(pr / pc, 6) AS weight
+         |FROM p ORDER BY bin""".stripMargin
+    },
     "a41_psi_drift" -> {
       val bins = 10
       val qs = (1 until bins).map(i =>

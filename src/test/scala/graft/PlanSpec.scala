@@ -341,6 +341,39 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("linkage blocking joins broadcast the clean master — no shuffle to pair") {
+    val p = plan("link_best_match")
+    assert(p.contains("BroadcastHashJoin"),
+      "blocked candidate generation should broadcast the dim-sized side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // adjudication shuffles the (small) surviving candidates once to the
+    // per-dirty-record window; the only other Exchange is the
+    // range-partitioned deterministic output sort the oracle contract needs
+    val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "link_best_match")
+    assert(ex === 2, s"expected window + output-sort Exchanges, got $ex")
+  }
+
+  test("manifest prune plan runs on aggregated metadata — single agg Exchange") {
+    val p = plan("layout_prune_plan")
+    assert(!p.contains("CartesianProduct"))
+    // the month manifest aggregates partially before its single shuffle
+    assert(p.contains("HashAggregate"))
+    // one agg Exchange for the month manifest + the output sort's range
+    // Exchange over the 83-row plan frame
+    val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "layout_prune_plan")
+    assert(ex === 2, s"manifest agg + output sort, got $ex")
+  }
+
+  test("one-pass k-fold CV: one data-sized Exchange, then the k-row frame") {
+    val p = plan("ml_kfold_ols")
+    assert(p.contains("Window"), "leave-fold-out totals ride a window")
+    // Exchange #1: partial fold moments to their final aggregation (the
+    // only data-sized shuffle). Exchange #2: the k-row moment frame to the
+    // leave-fold-out window — metadata-sized by construction.
+    val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "ml_kfold_ols")
+    assert(ex === 2, s"expected agg + k-row window Exchanges, got $ex")
+  }
+
   test("assoc rules pay the corpus distinct once: runtime exchange reuse") {
     // b15's (user, type) DISTINCT subtree feeds the pair join, both type
     // counts and the user total — four consumers of one fact-sized

@@ -99,4 +99,24 @@ class DriftSpec extends SparkSpec {
         ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(out === Map(2 -> ((8L, 0.25, 0.25)), 7 -> ((4L, 0.75, 0.75))))
   }
+
+  test("importance weights: identity shift weighs ~1, planted shift reweighs") {
+    // identical distributions in both windows -> every bin's density ratio
+    // is 1 up to decile-boundary granularity
+    val same = (0 until 1000).map(i => (i < 500, (i % 100).toDouble))
+      .toDF("is_ref", "v")
+    val idw = Drift.importanceWeights(same, "v", col("is_ref"))
+      .collect().map(_.getDouble(3))
+    idw.foreach(w => assert(w > 0.8 && w < 1.25, s"identity weight $w"))
+    // current window collapses onto the lower half of the reference
+    // support: lower bins are overrepresented (w < 1), upper bins empty
+    // (w capped by the epsilon floor, >> 1)
+    val shifted = ((0 until 500).map(i => (true, (i % 100).toDouble)) ++
+      (0 until 500).map(i => (false, (i % 50).toDouble)))
+      .toDF("is_ref", "v")
+    val sw = Drift.importanceWeights(shifted, "v", col("is_ref"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(sw(0) < 0.7, s"overrepresented low bin must downweight: ${sw(0)}")
+    assert(sw(9) > 1000.0, s"empty high bin must hit the floor cap: ${sw(9)}")
+  }
 }
