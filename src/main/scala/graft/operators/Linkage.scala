@@ -156,6 +156,24 @@ object Linkage {
       .orderBy("d_id")
   }
 
+  /** Entity clusters over the match graph: candidate pairs whose two sides
+    * differ link records into one real-world entity; min-label connected
+    * components (the same [[Dedup.connectedComponents]] propagation the
+    * dedup clusters use — (id, label) state, edge cache pre-partitioned on
+    * the probe key) collapse transitive chains A~B~C into one entity id.
+    * This is the step that turns pairwise linkage into a deduplicated
+    * entity table; survivorship policy on top is [[Dedup.canonicalKeep]]'s
+    * pattern. */
+  private val entityClustersQ: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      candidates(s, dir).filter(col("d_id") =!= col("m_id"))
+        .select(col("d_id").as("id_a"), col("m_id").as("id_b")),
+      // near-name numerals chain (…012 ~ …002 ~ …)  — a path-shaped graph,
+      // so propagate with pointer jumping: O(log diameter) rounds
+      pathCompression = true)
+      .select(col("id"), col("label").as("entity"))
+      .orderBy("id")
+
   /** Blocking-quality audit: per-block dirty/clean/candidate counts plus
     * the quantity a production ER deployment alarms on — the share of the
     * naive |dirty|·|clean| cross product the blocking actually generates.
@@ -184,6 +202,7 @@ object Linkage {
     "link_jaro_scored" -> jaroScoredQ,
     "link_incremental" -> incrementalQ,
     "link_block_stats" -> blockStatsQ,
+    "link_entity_clusters" -> entityClustersQ,
   )
 
   private val dirtySql =
@@ -257,6 +276,19 @@ object Linkage {
          |SELECT d_id, m_id, lev,
          |       CAST(d_id = m_id AS INT) AS correct
          |FROM best WHERE rk = 1 ORDER BY d_id""".stripMargin,
+    "link_entity_clusters" ->
+      s"""WITH RECURSIVE $dirtySql,
+         |jp AS (SELECT d_id AS id_a, m_id AS id_b FROM cand
+         |       WHERE d_id <> m_id),
+         |sym AS (SELECT id_a, id_b FROM jp
+         |        UNION ALL SELECT id_b, id_a FROM jp),
+         |nodes AS (SELECT DISTINCT id_a AS id FROM sym),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.id_a, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |lab AS (SELECT id, min(label) AS entity FROM reach GROUP BY id)
+         |SELECT id, entity FROM lab ORDER BY id""".stripMargin,
     "link_block_stats" ->
       """SELECT c_nationkey, c_mktsegment,
         |       count(*) AS n_dirty, count(*) AS n_clean,
