@@ -149,6 +149,19 @@ object Layout {
         .otherwise("partial").as("decision"))
       .orderBy("part")
 
+  /** Tile bounding boxes for an arbitrary clustering order — the generic
+    * form of [[zOrderTileStats]], used to compare layouts under the same
+    * prune predicate. */
+  def tileStats(df: DataFrame, xCol: String, yCol: String,
+                tiles: Int, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("tile", ntile(tiles).over(w))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
+
   /** 2-D prune plan over z-ordered tiles: the payoff measurement for
     * [[zValue]] clustering. Each tile's bounding box (from
     * [[zOrderTileStats]]) is tested against a closed rectangular predicate
@@ -215,12 +228,65 @@ object Layout {
         "l_partkey", "l_suppkey", 32),
       200L, 600L, 20L, 80L)
 
+  /** The layout A/B/C the Morton scaladoc argues in prose, MEASURED: three
+    * predicates (x-range only, y-range only, the 2-D box) pruned against 32
+    * tiles from (a) a plain (x, y) lexicographic sort, (b) RAW Morton on
+    * the native key values, (c) Morton on RANGE-NORMALIZED coordinates
+    * (each axis scaled to 8 bits off its own max). The census captures two
+    * real phenomena: the linear sort prunes nothing on y; and raw Morton on
+    * ASYMMETRIC domains (partkey spans ~11 bits, suppkey ~8) degrades
+    * toward an x-sort at coarse tile granularity — the high interleaved
+    * bits are all x — which is exactly why Delta/Iceberg z-order
+    * implementations rank/scale each column before interleaving. The
+    * scaled variant bounds both axes and skips on every predicate.
+    * Tile-count-sized metadata throughout. */
+  private val comparePruneQ: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir).lineitem.select("l_partkey", "l_suppkey")
+    val big = 1L << 40
+    val preds = Seq(
+      ("x_range", 200L, 600L, 0L, big),
+      ("y_range", 0L, big, 20L, 80L),
+      ("box", 200L, 600L, 20L, 80L),
+    ).toDF("pred", "x1", "x2", "y1", "y2")
+    def census(tiles: DataFrame, name: String) =
+      tiles.crossJoin(broadcast(preds))
+        .select(col("pred"), col("n"),
+          when(col("x_max") < col("x1") || col("x_min") > col("x2") ||
+               col("y_max") < col("y1") || col("y_min") > col("y2"), "skip")
+            .when(col("x_min") >= col("x1") && col("x_max") <= col("x2") &&
+                  col("y_min") >= col("y1") && col("y_max") <= col("y2"),
+              "full")
+            .otherwise("partial").as("decision"))
+        .groupBy("pred", "decision")
+        .agg(count(lit(1)).as("n_tiles"), sum(col("n")).as("n_rows"))
+        .withColumn("layout", lit(name))
+    val ranges = li.agg(max(col("l_partkey")).as("xmax"),
+      max(col("l_suppkey")).as("ymax"))
+    val scaled = li.crossJoin(broadcast(ranges))
+      .withColumn("zn", zValue(
+        floor(col("l_partkey") * lit(256.0) / (col("xmax") + lit(1))),
+        floor(col("l_suppkey") * lit(256.0) / (col("ymax") + lit(1))),
+        bits = 8))
+    census(zOrderTileStats(li, "l_partkey", "l_suppkey", 32), "zorder_raw")
+      .unionByName(census(
+        tileStats(li, "l_partkey", "l_suppkey", 32,
+          Seq(col("l_partkey"), col("l_suppkey"))), "linear"))
+      .unionByName(census(
+        tileStats(scaled, "l_partkey", "l_suppkey", 32,
+          Seq(col("zn"), col("l_partkey"), col("l_suppkey"))),
+        "zorder_scaled"))
+      .select("layout", "pred", "decision", "n_tiles", "n_rows")
+      .orderBy("layout", "pred", "decision")
+  }
+
   val entries: Map[String, Q] = Map(
     "layout_zorder" -> zorderQ,
     "layout_compaction_plan" -> compactionQ,
     "layout_manifest_stats" -> manifestQ,
     "layout_prune_plan" -> pruneQ,
     "layout_zorder_prune" -> zorderPruneQ,
+    "layout_compare_prune" -> comparePruneQ,
   )
 
   private def zTerms(xc: String, yc: String, bits: Int): String =
@@ -308,5 +374,64 @@ object Layout {
          |             AND y_min >= 20 AND y_max <= 80 THEN 'full'
          |            ELSE 'partial' END AS decision
          |FROM boxes ORDER BY tile""".stripMargin,
+    "layout_compare_prune" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(${zTerms("(l_partkey & 65535)", "(l_suppkey & 65535)", 16)}
+         |              AS BIGINT) AS zv
+         |  FROM lineitem),
+         |tz AS (
+         |  SELECT *, ntile(32) OVER (ORDER BY zv, l_partkey, l_suppkey) AS tile
+         |  FROM z),
+         |tl AS (
+         |  SELECT *, ntile(32) OVER (ORDER BY l_partkey, l_suppkey) AS tile
+         |  FROM lineitem),
+         |rng AS (SELECT max(l_partkey) AS xmax, max(l_suppkey) AS ymax
+         |        FROM lineitem),
+         |zs AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(${zTerms(
+             "(CAST(floor(l_partkey * 256.0 / (xmax + 1)) AS BIGINT) & 255)",
+             "(CAST(floor(l_suppkey * 256.0 / (ymax + 1)) AS BIGINT) & 255)",
+             8)}
+         |              AS BIGINT) AS zn
+         |  FROM lineitem, rng),
+         |ts AS (
+         |  SELECT *, ntile(32) OVER (ORDER BY zn, l_partkey, l_suppkey) AS tile
+         |  FROM zs),
+         |bz AS (
+         |  SELECT tile, count(*) AS n,
+         |         min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |         min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+         |  FROM tz GROUP BY 1),
+         |bl AS (
+         |  SELECT tile, count(*) AS n,
+         |         min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |         min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+         |  FROM tl GROUP BY 1),
+         |bs AS (
+         |  SELECT tile, count(*) AS n,
+         |         min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |         min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+         |  FROM ts GROUP BY 1),
+         |boxes AS (
+         |  SELECT 'zorder_raw' AS layout, * FROM bz
+         |  UNION ALL SELECT 'linear' AS layout, * FROM bl
+         |  UNION ALL SELECT 'zorder_scaled' AS layout, * FROM bs),
+         |preds(pred, x1, x2, y1, y2) AS (VALUES
+         |  ('x_range', 200, 600, 0, 1099511627776),
+         |  ('y_range', 0, 1099511627776, 20, 80),
+         |  ('box', 200, 600, 20, 80)),
+         |dec AS (
+         |  SELECT layout, pred, n,
+         |         CASE WHEN x_max < x1 OR x_min > x2
+         |                OR y_max < y1 OR y_min > y2 THEN 'skip'
+         |              WHEN x_min >= x1 AND x_max <= x2
+         |               AND y_min >= y1 AND y_max <= y2 THEN 'full'
+         |              ELSE 'partial' END AS decision
+         |  FROM boxes, preds)
+         |SELECT layout, pred, decision, count(*) AS n_tiles,
+         |       CAST(sum(n) AS BIGINT) AS n_rows
+         |FROM dec GROUP BY 1, 2, 3 ORDER BY layout, pred, decision""".stripMargin,
   )
 }
