@@ -118,6 +118,52 @@ object Gates {
       .withColumn("suppression_cost", col("n_rows"))
   }
 
+  /** K-anonymity ENFORCEMENT planning — the step after the audit: walk a
+    * generalization ladder for the numeric quasi-identifier (coarser and
+    * coarser buckets) and report, per level, how many QI groups exist, how
+    * many still violate k, and how many rows those violations expose; the
+    * policy decision is flagged `chosen`: the FINEST level whose residual
+    * violations fit inside the suppression budget (`suppressFrac` of the
+    * table, default 2%) — generalize as little as possible, suppress the sparse tail.
+    * `meets_k` separately marks levels that are clean outright, because a
+    * distribution with thin extremes (like account balances) often never
+    * reaches zero violations at any useful granularity. The whole ladder
+    * costs ONE shuffle: each row explodes into (level, bucketed-QI) pairs
+    * and a single level-prefixed aggregation counts every group of every
+    * level together — levels × |groups| output, never levels × data
+    * passes. */
+  def kAnonymizeLadder(df: DataFrame, quasiIds: Seq[String], numCol: String,
+                       k: Int, levels: Seq[Long],
+                       suppressFrac: Double = 0.02): DataFrame = {
+    require(levels.nonEmpty && levels.forall(_ > 0) && k > 1)
+    val exploded = df
+      .select((quasiIds.map(col) :+ col(numCol)): _*)
+      .withColumn("g", explode(array(levels.map(lit(_)): _*)))
+      .groupBy((col("g") +: quasiIds.map(col) :+
+        floor(col(numCol) / col("g")).as("__bucket")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val perLevel = exploded.groupBy("g")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("meets_k", (col("n_violating") === 0).cast("int"))
+    // budget + `chosen`: min over the levels-sized frame (a handful of
+    // rows by construction); total row count broadcast onto it
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perLevel
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+      .withColumn("budget", ceil(col("__total") * suppressFrac))
+      .withColumn("fits", (col("rows_at_risk") <= col("budget")).cast("int"))
+      .withColumn("chosen",
+        (col("fits") === 1 &&
+          col("g") === min(when(col("fits") === 1, col("g"))).over(w))
+          .cast("int"))
+      .select("g", "n_groups", "n_violating", "rows_at_risk", "budget",
+        "meets_k", "chosen")
+      .orderBy("g")
+  }
+
   /** l-diversity risk audit — the follow-up attack k-anonymity misses: a
     * QI group can hold k rows and STILL leak if all k share one sensitive
     * value (the homogeneity attack — "everyone in that zip+age bucket has
@@ -251,6 +297,11 @@ object Gates {
       Seq("c_nationkey", "c_mktsegment", "balance_bucket"), k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "balance_bucket")
 
+  private val kAnonymizeQ: Q = (s, dir) =>
+    kAnonymizeLadder(Tables(s, dir).customer,
+      Seq("c_nationkey"), "c_acctbal", k = 5,
+      levels = Seq(250L, 500L, 1000L, 2000L, 4000L, 8000L))
+
   /** QI tuple = (nation, coarse balance bucket); sensitive = market
     * segment. A bucket whose members all shop one segment leaks the
     * segment of anyone whose nation+balance is known. */
@@ -289,6 +340,7 @@ object Gates {
 
   val entries: Map[String, Q] = Map(
     "q_k_anonymity" -> kAnonymityQ,
+    "q_k_anonymize_ladder" -> kAnonymizeQ,
     "q_l_diversity" -> lDiversityQ,
     "q_t_closeness" -> tClosenessQ,
     "q_erasure_audit" -> erasureQ,
@@ -299,6 +351,31 @@ object Gates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymize_ladder" ->
+      """WITH lv(g) AS (VALUES (250), (500), (1000), (2000), (4000), (8000)),
+        |grp AS (
+        |  SELECT g, c_nationkey,
+        |         floor(c_acctbal / g) AS b, count(*) AS n
+        |  FROM customer, lv GROUP BY 1, 2, 3),
+        |lvl AS (
+        |  SELECT g, count(*) AS n_groups,
+        |         CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_violating,
+        |         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |           AS rows_at_risk
+        |  FROM grp GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM customer),
+        |m AS (
+        |  SELECT lvl.*, CAST(ceil(total * 0.02) AS BIGINT) AS budget,
+        |         CAST(n_violating = 0 AS INT) AS meets_k,
+        |         CAST(rows_at_risk <= ceil(total * 0.02) AS INT) AS fits
+        |  FROM lvl, t)
+        |SELECT CAST(g AS BIGINT) AS g, n_groups, n_violating, rows_at_risk,
+        |       budget, meets_k,
+        |       CAST(fits = 1 AND
+        |            g = min(CASE WHEN fits = 1 THEN g END) OVER ()
+        |            AS INT) AS chosen
+        |FROM m ORDER BY g""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS balance_bucket,

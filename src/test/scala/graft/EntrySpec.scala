@@ -172,6 +172,21 @@ class EntrySpec extends SparkSpec {
     assert(risky === Map(("a", "y") -> 2L, ("b", "x") -> 1L))
   }
 
+  test("generalization ladder: chosen = finest level fitting the suppression budget") {
+    val s = spark
+    import s.implicits._
+    // one QI ("z"), 100 values 0..99: at g=10 every bucket has 10 rows
+    // (clean); at g=2 every bucket has 2 (<k=5, all 100 rows at risk);
+    // budget = ceil(100 * 0.02) = 2 -> only g=10 fits and is chosen
+    val rows = (0 until 100).map(i => ("z", i.toDouble)).toDF("qi", "v")
+    val out = Gates.kAnonymizeLadder(rows, Seq("qi"), "v", k = 5,
+      levels = Seq(2L, 10L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getInt(5),
+        r.getInt(6)))).toMap
+    assert(out(2L) === ((50L, 100L, 0, 0)), "fifty 2-row buckets all violate")
+    assert(out(10L) === ((0L, 0L, 1, 1)), "ten 10-row buckets are clean and chosen")
+  }
+
   test("erasure audit counts linked rows, scrubs them, and measures residual") {
     val s = spark
     import s.implicits._
