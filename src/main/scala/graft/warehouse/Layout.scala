@@ -133,6 +133,22 @@ object Layout {
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
       .orderBy("part")
 
+  /** Merge two manifests built from disjoint row sets of the same table:
+    * counts add, mins take min, maxes take max — manifest stats are
+    * mergeable aggregates, which is the property that lets a 100-TB
+    * table's manifest be maintained incrementally (each ingest batch
+    * contributes its own partition stats; the planner's view is a rollup,
+    * never a rescan). Column layout must match [[manifestStats]]. */
+  def mergeManifests(a: DataFrame, b: DataFrame,
+                     statCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy("part")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))): _*)
+      .orderBy("part")
+
   /** Prune PLAN for a half-open range predicate `[lo, hi)` on `statCol`,
     * evaluated against the manifest alone: `skip` when the partition's
     * [min, max] is disjoint from the predicate, `full` when it is entirely
@@ -211,6 +227,19 @@ object Layout {
 
   private val manifestQ: Q = (s, dir) => lineitemManifest(s, dir)
 
+  /** Incremental-maintenance proof: the manifest of the whole table equals
+    * the MERGE of manifests built from two disjoint halves — graded
+    * against the direct manifest's own oracle, so mergeability is a
+    * hash-checked equality, not a claim. */
+  private val manifestMergeQ: Q = (s, dir) => {
+    val cols = Seq("l_shipdate", "l_quantity", "l_extendedprice")
+    def half(pred: org.apache.spark.sql.Column) =
+      manifestStats(Tables(s, dir).lineitem.filter(pred),
+        date_trunc("month", col("l_shipdate")).cast("date"), cols)
+    mergeManifests(half(col("l_orderkey") % 2 === 0),
+      half(col("l_orderkey") % 2 =!= 0), cols)
+  }
+
   /** Prune decisions for a ~16-month ship-date range: months before/after
     * skip outright, interior months scan filter-free (`full`), the two
     * boundary months scan with the residual filter (`partial`). */
@@ -284,6 +313,7 @@ object Layout {
     "layout_zorder" -> zorderQ,
     "layout_compaction_plan" -> compactionQ,
     "layout_manifest_stats" -> manifestQ,
+    "layout_manifest_merge" -> manifestMergeQ,
     "layout_prune_plan" -> pruneQ,
     "layout_zorder_prune" -> zorderPruneQ,
     "layout_compare_prune" -> comparePruneQ,
@@ -296,6 +326,17 @@ object Layout {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // merged-halves manifest must equal the direct manifest — same oracle
+    "layout_manifest_merge" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,
+        |       count(*) AS n_rows,
+        |       min(l_shipdate) AS min_l_shipdate,
+        |       max(l_shipdate) AS max_l_shipdate,
+        |       min(l_quantity) AS min_l_quantity,
+        |       max(l_quantity) AS max_l_quantity,
+        |       min(l_extendedprice) AS min_l_extendedprice,
+        |       max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin,
     "layout_zorder" ->
       s"""WITH z AS (
          |  SELECT l_partkey, l_suppkey,
