@@ -31,7 +31,65 @@ object ExplainAudit {
     (nodeCount("Exchange"), nodeCount("BroadcastExchange"))
   }
 
+  /** Column-level source lineage, mechanically off the same formatted plan
+    * text PlanSpec pins: every file scan's (table, read column) pairs. The
+    * governance query this answers — "which registered queries read column
+    * X" — is the column-level impact analysis a GDPR erasure or a schema
+    * migration starts from, and deriving it from the PHYSICAL plan means
+    * it reflects pruning (a column dropped by the optimizer does not
+    * appear, so the answer is what is actually READ, not what the query
+    * text mentions). */
+  def lineage(spark: SparkSession, dir: String, name: String): Seq[(String, String)] = {
+    val p = plan(spark, dir, name)
+    val lines = p.linesIterator.toVector
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).matches("""\(\d+\) Scan .*""")) {
+        var table = "<unknown>"
+        var cols = Seq.empty[String]
+        var j = i + 1
+        while (j < lines.length && !lines(j).matches("""\(\d+\) .*""")) {
+          val l = lines(j)
+          if (l.contains("Location:")) {
+            """([A-Za-z0-9_.\-]+)\.(parquet|csv|json|orc|xml|txt)""".r
+              .findAllMatchIn(l).toSeq.lastOption
+              .foreach(m => table = m.group(1))
+          }
+          if (l.trim.startsWith("ReadSchema:")) {
+            cols = """struct<(.*)>""".r.findFirstMatchIn(l)
+              .map(_.group(1).split(",").toSeq
+                .map(_.split(":").head.trim).filter(_.nonEmpty))
+              .getOrElse(Seq.empty)
+          }
+          j += 1
+        }
+        cols.foreach(c => out += ((table, c)))
+        i = j
+      } else i += 1
+    }
+    out.distinct.toList
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lineage")) {
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+      val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
+      val names =
+        if (args.length > 2) args.drop(2).toSeq
+        else SparkEntry.queries.keys.toSeq.sorted
+      names.foreach { n =>
+        try {
+          val cols = lineage(spark, dir, n)
+            .map { case (t, c) => s"$t.$c" }.sorted.mkString(" ")
+          println(s"LINEAGE $n\t$cols")
+        } catch { case e: Throwable =>
+          println(s"LINEAGE $n\tERROR ${e.getClass.getSimpleName}")
+        }
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("counts")) {
       val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
       val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
