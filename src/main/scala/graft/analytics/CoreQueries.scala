@@ -509,6 +509,44 @@ object CoreQueries {
       .orderBy("custkey")
   }
 
+  /** U6 — EXCEPT ALL (multiset difference): per line-number value, lineitem
+    * keeps max(n_lineitem - n_orders_mod, 0) copies — the bag semantics
+    * DISTINCT-based EXCEPT loses. Summarized by value so the output is
+    * deterministic without a row identity. */
+  private val u6ExceptAll: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.select(col("l_linenumber").as("v"))
+      .exceptAll(t.orders.select((col("o_orderkey") % 7 + 1)
+        .cast("int").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .orderBy("v")
+  }
+
+  /** J14 — plan-time join cardinality from metadata: |A ⋈ B on k| is
+    * EXACTLY Σ_k cntA(k)·cntB(k), so the two keyed count aggregates a
+    * planner keeps as statistics predict the join's output size without
+    * running it. The entry emits the prediction next to the measured
+    * count — hash-graded equality, the CBO estimate made auditable. The
+    * stats frames are key-cardinality-sized; at 100 TB this is the
+    * difference between sizing a shuffle from metadata and discovering a
+    * blow-up join at runtime. */
+  private val j14JoinSizeEstimate: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ca = t.orders.groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("na"))
+    val cb = t.customer.groupBy(col("c_custkey").as("k"))
+      .agg(count(lit(1)).as("nb"))
+    val predicted = ca.join(cb, "k")
+      .agg(sum(col("na") * col("nb")).as("predicted_rows"))
+    val actual = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    predicted.crossJoin(actual)
+      .select(col("predicted_rows"), col("actual_rows"),
+        (col("predicted_rows") === col("actual_rows")).cast("int")
+          .as("exact"))
+  }
+
   // --------------------------------------------------------- scalar functions
 
   /** F1 — timestamp/date part family (features.py:21-34,
@@ -748,6 +786,8 @@ object CoreQueries {
     "u2_union_all" -> u2UnionAll,
     "u3_intersect" -> u3Intersect,
     "u4_except" -> u4Except,
+    "u6_except_all" -> u6ExceptAll,
+    "j14_join_size_estimate" -> j14JoinSizeEstimate,
     "f1_date_parts" -> f1DateParts,
     "f12_date_arith" -> f12DateArith,
     "f2_math" -> f2Math,
@@ -1012,6 +1052,24 @@ object CoreQueries {
     "u4_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "u6_except_all" ->
+      """WITH d AS (
+        |  SELECT l_linenumber AS v FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT CAST(o_orderkey % 7 + 1 AS INT) AS v FROM orders)
+        |SELECT v, count(*) AS n FROM d GROUP BY 1 ORDER BY v""".stripMargin,
+    "j14_join_size_estimate" ->
+      """WITH ca AS (SELECT o_custkey AS k, count(*) AS na
+        |            FROM orders GROUP BY 1),
+        |cb AS (SELECT c_custkey AS k, count(*) AS nb
+        |       FROM customer GROUP BY 1),
+        |p AS (SELECT CAST(sum(na * nb) AS BIGINT) AS predicted_rows
+        |      FROM ca JOIN cb USING (k)),
+        |a AS (SELECT count(*) AS actual_rows
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT predicted_rows, actual_rows,
+        |       CAST(predicted_rows = actual_rows AS INT) AS exact
+        |FROM p, a""".stripMargin,
     "f1_date_parts" ->
       """SELECT event_id,
         |       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
