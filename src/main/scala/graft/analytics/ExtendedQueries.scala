@@ -68,6 +68,54 @@ object ExtendedQueries {
       count_distinct(col("day")).as("n_days"))
   }
 
+  /** The reference's Airflow DAG as ONE graded run card
+    * (full_pipeline_dag.py:59-181, 279-283, 392-411): availability
+    * short-circuit → month clean with retention thresholds → staging row
+    * floor → warehouse day-coverage check → dashboard KPI → ML-quality
+    * feature floor. Every stage is a single-scan aggregate; statuses use
+    * the same FAIL<0.8≤WARN<0.9≤PASS and floor rules the gates expose
+    * individually, so the card is the composition, not new logic. The
+    * scalars are one-row aggregates collected driver-side (metadata,
+    * never data) and re-emitted as the 6-row card the orchestrator logs. */
+  private val dagRunQ: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val rawMonth = Cleaning.monthWindow(
+      Cleaning.castProjection(t.events,
+        Seq("user_id" -> LongType, "value" -> DoubleType)), "ts", 2024, 1)
+    val cleaned = Cleaning.nullGuards(rawMonth,
+      requiredNonNull = Seq("ts", "event_type"),
+      nonNegative = Seq("value"))
+    val nRawAll = t.events.count()
+    val rawStats = rawMonth.agg(count(lit(1)).as("n"),
+      count_distinct(to_date(col("ts"))).as("days")).head()
+    val (nRawMonth, rawDays) = (rawStats.getLong(0), rawStats.getLong(1))
+    val nClean = cleaned.count()
+    val stats = cleaned.agg(
+      count_distinct(to_date(col("ts"))).as("n_days"),
+      Ops.dsum(col("value")).as("total_value")).head()
+    val (nDays, totalValue) = (stats.getLong(0), stats.getDouble(1))
+    val retention = BigDecimal(nClean.toDouble / nRawMonth)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nFeatures = t.lineitem.filter(col("l_quantity") > 0 &&
+      col("l_extendedprice") >= 0 && col("l_shipdate").isNotNull).count()
+    Seq(
+      ("1_availability", if (nRawAll > 0) "RUN" else "SKIP",
+        nRawAll, null.asInstanceOf[java.lang.Double]),
+      ("2_clean_month", graft.quality.Gates.retentionStatus(retention),
+        nClean, java.lang.Double.valueOf(retention)),
+      ("3_staging_floor", graft.quality.Gates.floorStatus(nClean),
+        nClean, null.asInstanceOf[java.lang.Double]),
+      // coverage: cleaning must not lose a whole day of the feed
+      ("4_warehouse_days", if (nDays == rawDays) "PASS" else "FAIL",
+        nDays, null.asInstanceOf[java.lang.Double]),
+      ("5_dashboard_kpi", "OK", nClean,
+        java.lang.Double.valueOf(totalValue)),
+      ("6_ml_features", graft.quality.Gates.floorStatus(nFeatures),
+        nFeatures, null.asInstanceOf[java.lang.Double]),
+    ).toDF("task", "status", "n_rows", "metric").orderBy("task")
+  }
+
   /** A16 — ROLLUP aggregate (beyond-parity; subtotal rows carry NULL keys). */
   private val rollupQ: Q = (s, dir) =>
     Tables(s, dir).orders
@@ -758,6 +806,7 @@ object ExtendedQueries {
     "a42_crosstab" -> crosstabQ,
     "s7_sql_views" -> sqlViewsQ,
     "pipeline_clean_ingest" -> cleanIngestQ,
+    "pipeline_dag_run" -> dagRunQ,
     "a16_rollup" -> rollupQ,
     "a17_pivot" -> pivotQ,
     "a22_cube" -> cubeQ,
@@ -1034,6 +1083,51 @@ object ExtendedQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "pipeline_dag_run" ->
+      """WITH raw AS (SELECT count(*) AS n FROM events),
+        |rm AS (SELECT count(*) AS n,
+        |              count(DISTINCT CAST(ts AS DATE)) AS days
+        |       FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |         AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
+        |cl AS (SELECT count(*) AS n,
+        |              count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |                AS total_value
+        |       FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |         AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+        |         AND ts IS NOT NULL AND event_type IS NOT NULL
+        |         AND value IS NOT NULL AND value >= 0),
+        |mlf AS (SELECT count(*) AS n FROM lineitem
+        |        WHERE l_quantity > 0 AND l_extendedprice >= 0
+        |          AND l_shipdate IS NOT NULL),
+        |r AS (SELECT round(cl.n * 1.0 / rm.n, 6) AS retention FROM cl, rm)
+        |SELECT * FROM (
+        |  SELECT '1_availability' AS task,
+        |         CASE WHEN n > 0 THEN 'RUN' ELSE 'SKIP' END AS status,
+        |         n AS n_rows, CAST(NULL AS DOUBLE) AS metric FROM raw
+        |  UNION ALL
+        |  SELECT '2_clean_month',
+        |         CASE WHEN retention < 0.8 THEN 'FAIL'
+        |              WHEN retention < 0.9 THEN 'WARN'
+        |              ELSE 'PASS' END,
+        |         cl.n, retention FROM cl, r
+        |  UNION ALL
+        |  SELECT '3_staging_floor',
+        |         CASE WHEN n >= 1000 THEN 'PASS' ELSE 'FAIL' END,
+        |         n, CAST(NULL AS DOUBLE) FROM cl
+        |  UNION ALL
+        |  SELECT '4_warehouse_days',
+        |         CASE WHEN cl.n_days = rm.days THEN 'PASS' ELSE 'FAIL' END,
+        |         cl.n_days, CAST(NULL AS DOUBLE) FROM cl, rm
+        |  UNION ALL
+        |  SELECT '5_dashboard_kpi', 'OK', n, total_value FROM cl
+        |  UNION ALL
+        |  SELECT '6_ml_features',
+        |         CASE WHEN n >= 1000 THEN 'PASS' ELSE 'FAIL' END,
+        |         n, CAST(NULL AS DOUBLE) FROM mlf
+        |) ORDER BY task""".stripMargin,
     "pipeline_clean_ingest" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
