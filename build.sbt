@@ -34,3 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The whole ScalaTest run shares ONE forked JVM: every suite's
+// SparkSession plus Catalyst explain-string buffers accumulate on a
+// single heap, and at ~300 tests the 8g run-default OOMs flakily
+// (observed: PlanSpec aborted mid-suite building a formatted explain
+// while 266 earlier tests' garbage was still resident). Tests get a
+// bigger ceiling; the host has 128 GiB.
+Test / javaOptions := jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "16g")}",
+)
