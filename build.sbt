@@ -45,3 +45,8 @@ Test / javaOptions := jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "16g")}",
 )
+// Scaling-slope gate as a one-word command (VERDICT r9 item 8): runs every
+// headline query at sf0.01 and sf0.1 and exits non-zero if any time ratio
+// exceeds the quadratic-detection gate (see graft.Slope scaladoc). A
+// candidate-quadratic regression now fails `sbt slopeGate`, not a human.
+addCommandAlias("slopeGate", "runMain graft.Slope")

@@ -38,9 +38,10 @@ import org.apache.spark.sql.functions._
   * whole linkage, not a spot check.
   *
   * Reference scope note: the reference has no linkage/fuzzy-match surface
-  * at all (its joins are all equi-joins on surrogate keys,
-  * ex03_spark_batch/src/main/scala/Ex03Warehouse.scala); this family is
-  * part of the training-data-pipeline extension the brief asks for.
+  * at all (its joins are all equi-joins on surrogate keys — see the star
+  * schema FK joins in ex03_sql_table_creation/dw_load_incremental.sql and
+  * dw_load_reference.sql); this family is part of the
+  * training-data-pipeline extension the brief asks for.
   */
 object Linkage {
 
