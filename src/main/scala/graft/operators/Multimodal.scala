@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, per the builder brief. The container ships no media
-  * codecs, so the DECODE KERNEL IS A DETERMINISTIC FAKE (clearly marked
-  * below); everything Spark-side — schema, batch iteration shape,
-  * partition-local processing, output contract — is real and tested.
+  * with typed metadata, per the builder brief. The IMAGE decode path is
+  * REAL — [[ImageIoDecoder]] decodes PNG payloads through the JDK's
+  * `javax.imageio` (no native codecs needed) and its features are
+  * oracle-checked end-to-end. Audio/video decode, which the JDK cannot do,
+  * stays behind the [[MediaDecoder]] trait with [[FakeDecoder]] as the
+  * clearly-marked deterministic stand-in; everything Spark-side — schema,
+  * batch iteration shape, partition-local lifecycle, output contract — is
+  * shared between the two and tested.
   *
   * Design: decode runs via `mapPartitions` over a typed Dataset (the Scala
   * twin of `mapInPandas`): one iterator in / one iterator out per partition,
@@ -53,11 +57,12 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** ===== STUB DECODE KERNEL =====
-    * The test/default [[MediaDecoder]]: the container ships no media
-    * codecs, so this is a deterministic fake — 8 doubles from byte-windows
-    * of the payload. Same signature, same batch shape, same cost model
-    * (one per-byte pass over content) as a real codec kernel. */
+  /** ===== STUB DECODE KERNEL (audio/video) =====
+    * The default [[MediaDecoder]] for media the JDK cannot decode (the
+    * container ships no native audio/video codecs): a deterministic fake —
+    * 8 doubles from byte-windows of the payload. Same signature, same
+    * batch shape, same cost model (one per-byte pass over content) as a
+    * real codec kernel. Images use the REAL [[ImageIoDecoder]] instead. */
   object FakeDecoder extends MediaDecoder {
     def decode(mediaType: String, content: Array[Byte]): Array[Double] = {
       val feat = new Array[Double](8)
@@ -67,6 +72,81 @@ object Multimodal {
         i += 1
       }
       feat.map(v => math.round(v * 10000.0) / 10000.0)
+    }
+  }
+
+  /** ===== REAL DECODE KERNEL (VERDICT r9 item 4) =====
+    * A pure-JVM image decoder over `javax.imageio` — the JDK ships PNG/
+    * BMP/JPEG readers, so no native codecs are needed. Features:
+    * `[width, height, r_mean, g_mean, b_mean]` — channel means over the
+    * decoded 8-bit RGB raster, rounded to 4 decimals (exact integer sums
+    * divided once, the repo's oracle-rounding convention). PNG is
+    * lossless, so for a synthetically generated gradient image the
+    * decoded means equal the generator's closed-form means and DuckDB can
+    * re-derive them — which is what graduates `mm_decode_features` from
+    * rows-only to hash-green. `open()` disables ImageIO's disk cache once
+    * per partition (the lifecycle hook a heavyweight codec would use for
+    * its context). */
+  object ImageIoDecoder extends MediaDecoder {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    def decode(mediaType: String, content: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, s"undecodable $mediaType payload (${content.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      def r4(v: Double) = math.round(v * 10000.0) / 10000.0
+      Array(w.toDouble, h.toDouble, r4(rs.toDouble / n), r4(gs.toDouble / n),
+        r4(bs.toDouble / n))
+    }
+  }
+
+  /** Deterministic synthetic PNG for `media_id`: a `(8 + id%9) × (6 + id%7)`
+    * RGB gradient — `r = (x·7 + id) % 256` (x-only), `g = (y·11 + id·3) %
+    * 256` (y-only), `b = (x + y + id·5) % 256` — PNG-encoded via the JDK
+    * writer. Every quantity the decoder emits is a closed-form function of
+    * `id` that the DuckDB oracle re-derives with `range()` unnests. */
+  def syntheticPng(mediaId: Long): Array[Byte] = {
+    val w = (8 + mediaId % 9).toInt
+    val h = (6 + mediaId % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + mediaId) % 256).toInt
+        val g = ((y * 11 + mediaId * 3) % 256).toInt
+        val b = ((x + y + mediaId * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Media table with REAL PNG payloads: one synthetic gradient image per
+    * document id, encoded executor-side in a per-row kernel (no shuffle,
+    * no collect — generation scales like any projection). */
+  def syntheticPngMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long].map { id =>
+      val png = syntheticPng(id)
+      MediaRecord(id, "image/png", png,
+        (8 + id % 9).toInt, (6 + id % 7).toInt, 1)
     }
   }
 
@@ -117,8 +197,9 @@ object Multimodal {
     * the media path that needs NO codec and therefore CAN be oracle-green:
     * payload byte length and content digest straight off the `binary`
     * column. Proves the opaque-binary plumbing (encode → BinaryType →
-    * parquet) is value-faithful end-to-end, complementing the rows-only
-    * decode entry whose kernel is engine-local by design. */
+    * parquet) is value-faithful end-to-end, complementing the decode
+    * entry (whose payloads are PNG-encoded and thus byte-level
+    * engine-local even though the decoded features are oracle-green). */
   def binaryStats(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("media_type"),
       octet_length(col("content")).as("n_bytes"),
@@ -155,12 +236,23 @@ object Multimodal {
 
   // ---------------------------------------------------------------- entries
 
-  /** Binary decode plumbing: stable ids/sizes/checksums + fake features.
-    * Rows-only (the checksum/feature kernel is engine-local by design). */
+  /** REAL image decode end-to-end (VERDICT r9 item 4): synthetic gradient
+    * PNG per document → JDK PNG encode → [[ImageIoDecoder]] decode →
+    * dimensions + per-channel means. PNG is lossless, so the decoded
+    * features equal the generator's closed forms and the DuckDB oracle
+    * re-derives every column — the decode path is now hash-green, not
+    * rows-only. (The PNG byte count and checksum stay engine-local —
+    * encoder-dependent — and are deliberately not emitted here; the
+    * binary-plumbing digests are covered by `mm_binary_stats`.) */
   private val decodeQ: Q = (s, dir) => {
-    decodeFeatures(syntheticMedia(s, dir))
+    decodeFeatures(syntheticPngMedia(s, dir), ImageIoDecoder)
       .toDF()
-      .select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))
+      .select(col("media_id"),
+        element_at(col("feature"), 1).cast(IntegerType).as("width"),
+        element_at(col("feature"), 2).cast(IntegerType).as("height"),
+        element_at(col("feature"), 3).as("r_mean"),
+        element_at(col("feature"), 4).as("g_mean"),
+        element_at(col("feature"), 5).as("b_mean"))
       .orderBy("media_id")
   }
 
@@ -177,11 +269,35 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleQ,
   )
 
-  /** CRC32 exists in DuckDB? No — keep n_bytes oracle-checkable instead:
-    * byte length of UTF-8 payload must equal the text length (ASCII corpus).
-    * The checksum column stays engine-local, so this entry is rows-only; the
-    * kernel determinism is asserted in the test suite. */
   val oracles: Map[String, String] = Map(
+    // the decode oracle re-derives the gradient generator's closed forms:
+    // r depends on x only, g on y only, b on (x, y) — exact integer sums
+    // divided once then rounded, matching ImageIoDecoder's arithmetic
+    "mm_decode_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        |  FROM documents),
+        |xs AS (SELECT media_id, unnest(range(w)) AS x FROM m),
+        |ys AS (SELECT media_id, unnest(range(h)) AS y FROM m),
+        |rm AS (SELECT media_id,
+        |         round(CAST(sum((x * 7 + media_id) % 256) AS DOUBLE)
+        |               / count(*), 4) AS r_mean
+        |       FROM xs GROUP BY media_id),
+        |gm AS (SELECT media_id,
+        |         round(CAST(sum((y * 11 + media_id * 3) % 256) AS DOUBLE)
+        |               / count(*), 4) AS g_mean
+        |       FROM ys GROUP BY media_id),
+        |bm AS (SELECT xs.media_id,
+        |         round(CAST(sum((x + y + xs.media_id * 5) % 256) AS DOUBLE)
+        |               / count(*), 4) AS b_mean
+        |       FROM xs JOIN ys ON xs.media_id = ys.media_id
+        |       GROUP BY xs.media_id)
+        |SELECT m.media_id AS media_id, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height, r_mean, g_mean, b_mean
+        |FROM m JOIN rm ON m.media_id = rm.media_id
+        |       JOIN gm ON m.media_id = gm.media_id
+        |       JOIN bm ON m.media_id = bm.media_id
+        |ORDER BY m.media_id""".stripMargin,
     // the synthetic payload is the UTF-8 bytes of the doc text, so the
     // binary-side digest/length must equal the text-side ones
     "mm_binary_stats" ->

@@ -44,6 +44,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(r => r.n_bytes > 0))
   }
 
+  test("ImageIoDecoder round-trips synthetic PNGs to the generator's closed forms") {
+    // real JDK PNG encode -> real javax.imageio decode; lossless 8-bit RGB
+    // means the decoded channel sums are EXACTLY the generator's integer
+    // closed forms — the property the mm_decode_features oracle relies on
+    def r4(v: Double) = math.round(v * 10000.0) / 10000.0
+    for (id <- Seq(0L, 1L, 7L, 123L, 499L, 4999L)) {
+      val f = Multimodal.ImageIoDecoder.decode("image/png", Multimodal.syntheticPng(id))
+      val w = (8 + id % 9).toInt; val h = (6 + id % 7).toInt
+      val n = (w * h).toLong
+      val rSum = (0 until w).map(x => (x * 7 + id) % 256).sum * h
+      val gSum = (0 until h).map(y => (y * 11 + id * 3) % 256).sum * w
+      val bSum = (for (x <- 0 until w; y <- 0 until h) yield (x + y + id * 5) % 256).sum
+      assert(f.toSeq === Seq(w.toDouble, h.toDouble,
+        r4(rSum.toDouble / n), r4(gSum.toDouble / n), r4(bSum.toDouble / n)),
+        s"decoded features for id=$id diverge from the closed form")
+    }
+  }
+
+  test("real-decoder entry runs distributed and matches a driver-side re-derivation") {
+    val out = Multimodal.syntheticPngMedia(spark, sf001).limit(30)
+    val decoded = Multimodal.decodeFeatures(out, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    assert(decoded.length === 30)
+    decoded.foreach { r =>
+      val exp = Multimodal.ImageIoDecoder.decode("image/png", Multimodal.syntheticPng(r.media_id))
+      assert(r.feature.toSeq === exp.toSeq)
+      assert(r.n_bytes > 0, "PNG payload must be non-empty")
+    }
+  }
+
   test("injected MediaDecoder: open once per partition, decode per record, close on drain") {
     // VERDICT r7 missing-item 1: the decoder is an injectable trait — a
     // deployment supplies its codec without editing the operator. Count the
