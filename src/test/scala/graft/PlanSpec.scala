@@ -374,12 +374,12 @@ class PlanSpec extends SparkSpec {
     assert(ex === 2, s"expected agg + k-row window Exchanges, got $ex")
   }
 
-  test("assoc rules pay the corpus distinct once: runtime exchange reuse") {
-    // b15's (user, type) DISTINCT subtree feeds the pair join, both type
-    // counts and the user total — four consumers of one fact-sized
-    // shuffle in the INITIAL plan. The executed plan must collapse the
-    // repeats (ReusedExchange under AQE), otherwise the corpus would be
-    // re-shuffled per consumer at 100 TB.
+  test("assoc rules pay the corpus basket aggregate once: runtime exchange reuse") {
+    // b15's per-user basket subtree (the ONE fact-sized shuffle, r10
+    // shuffle-audit rewrite) feeds the pair explode, the type counts and
+    // the user total — three consumers in the INITIAL plan. The executed
+    // plan must collapse the repeats (ReusedExchange under AQE),
+    // otherwise the corpus would be re-shuffled per consumer at 100 TB.
     val df = graft.analytics.Behavior.entries("b15_assoc_rules")(spark, sf001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
