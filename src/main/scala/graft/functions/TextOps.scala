@@ -777,8 +777,12 @@ object TextOps {
       val mergedSeq = (1 to applyPasses).foldLeft(col("seq")) {
         (c, _) => replace(c, pat, rep)
       }
-      val next = vocab.select(mergedSeq.as("seq"), col("n")).persist()
-      next.count()
+      // localCheckpoint, NOT persist+count: the rewritten vocabulary's
+      // plan reads the previous round's cache, and unpersisting that
+      // cache with `next` merely persisted drops next's blocks too
+      // (CacheManager.recacheByCondition) — round r+1's pair count would
+      // then silently replay every earlier merge round (O(rounds²)).
+      val next = vocab.select(mergedSeq.as("seq"), col("n")).localCheckpoint(true)
       vocab.unpersist()
       vocab = next
     }

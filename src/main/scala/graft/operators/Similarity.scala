@@ -614,12 +614,16 @@ object Similarity {
         }
       cents.map { case (c, old) => c -> means.getOrElse(c, old) }
     }
+    // localCheckpoint, NOT persist+count: the final assignment's plan
+    // reads the normed-corpus cache, and releasing that cache below with
+    // the result merely persisted drops the result's materialized blocks
+    // too (CacheManager.recacheByCondition) — the caller's first action
+    // would then re-run the assignment pass cold (the cascade measured
+    // on the graph operators, PERF.md r10).
     val out = assign(finalCentroids)
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
-      .orderBy("vec_id").persist()
-    out.count() // materialize before releasing the per-iteration input cache
+      .orderBy("vec_id").localCheckpoint(true)
     v.unpersist()
-    // NOTE: caller releases the returned frame's cache after consuming.
     out
   }
 
