@@ -581,7 +581,15 @@ object Behavior {
     * ordering anywhere. Monetary rides exact DECIMAL, rounded per user
     * before the anchors so every downstream comparison is bit-stable.
     * Output is the 4×4×4 segment grid with user counts and segment value
-    * — grid-sized, not user-sized. */
+    * — grid-sized, not user-sized.
+    *
+    * The per-user frame is computed ONCE and persisted: the reference day,
+    * the nine anchors and the final bucketing all consume it, and leaving
+    * the plan fully lazy re-ran the events-table aggregation for each
+    * consumer (divergent column pruning defeats Exchange reuse — 9
+    * Exchanges measured, 3 of them corpus-sized). The grid-sized result is
+    * snapshotted with localCheckpoint before the cache is released (the
+    * recacheByCondition cascade rule, PERF.md r10). */
   private val rfmQ: Q = (s, dir) => {
     import org.apache.spark.sql.types.DecimalType
     val e = Tables(s, dir).events.filter(col("value").isNotNull)
@@ -590,6 +598,7 @@ object Behavior {
       count(lit(1)).as("freq"),
       round(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType), 2)
         .as("monetary"))
+      .persist()
     val refDay = perUser.agg(max(col("last_day")).as("ref_day"))
     val rfm = perUser.crossJoin(broadcast(refDay))
       .select(col("user_id"),
@@ -605,7 +614,7 @@ object Behavior {
     def bucket(x: Column, p: String): Column =
       lit(1) + (1 to 3).map(q =>
         when(x > col(s"$p$q"), 1).otherwise(0)).reduce(_ + _)
-    rfm.crossJoin(broadcast(anchors))
+    val out = rfm.crossJoin(broadcast(anchors))
       .select(bucket(col("recency_days"), "r").as("r_bucket"),
         bucket(col("freq"), "f").as("f_bucket"),
         bucket(col("monetary"), "m").as("m_bucket"),
@@ -615,6 +624,9 @@ object Behavior {
         round(sum(col("monetary").cast(DecimalType(18, 2))).cast(DoubleType), 2)
           .as("segment_value"))
       .orderBy("r_bucket", "f_bucket", "m_bucket")
+      .localCheckpoint(true)
+    perUser.unpersist()
+    out
   }
 
   private val streaksQ: Q = (s, dir) =>

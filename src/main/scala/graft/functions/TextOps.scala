@@ -697,22 +697,26 @@ object TextOps {
     * applies. Determinism: p is an exact count ratio; p^α rounds to 6
     * BEFORE the DECIMAL normalization sum (pow is the one ulp-unstable
     * step); everything after is identical-double arithmetic. One corpus
-    * aggregate; the temperature arithmetic runs on the source-sized frame
-    * against a broadcast total. */
+    * aggregate; the total and normalizer ride annotated global windows
+    * over the already source-count-sized frame (dozens of rows — a mixing
+    * config, never data-sized), so the corpus reduce runs exactly once —
+    * the earlier broadcast-totals chain re-ran it for the total, the
+    * normalizer, and the output (8 Exchanges measured vs 2 here). */
   def temperatureMix(docs: DataFrame, srcCol: String, textCol: String,
                      alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val perSource = docs.groupBy(col(srcCol).as("source"))
+    // source-count-sized metadata frame from here down
+    val w = Window.partitionBy(lit(1))
+    docs.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textCol)).cast(LongType)).as("n_tokens"))
-    val totals = perSource.agg(sum(col("n_tokens")).as("__total"))
-    val scored = perSource.crossJoin(broadcast(totals))
-      .withColumn("__p", col("n_tokens").cast(DoubleType) / col("__total"))
+      .withColumn("__p",
+        col("n_tokens").cast(DoubleType) / sum("n_tokens").over(w))
       .withColumn("__qu", round(pow(col("__p"), alpha), 6))
-    val norm = scored.agg(
-      sum(col("__qu").cast(DecimalType(18, 6))).cast(DoubleType).as("__qsum"))
-    scored.crossJoin(broadcast(norm))
+      .withColumn("__qsum",
+        sum(col("__qu").cast(DecimalType(18, 6))).over(w).cast(DoubleType))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("__p"), 6).as("share"),
         round(col("__qu") / col("__qsum"), 6).as("temp_weight"),
@@ -1212,27 +1216,39 @@ object TextOps {
     * of a data-mixing pipeline ([[sourceEntropy]] measures a source's
     * internal diversity; this measures how far it sits from the blend).
     * Always finite: every word a source contains is in the corpus by
-    * construction. All heavy joins are keyed by word (the per-source count
-    * frame joins the corpus word counts co-partitioned); the per-source
-    * totals and the one-row grand total broadcast. FP discipline: each
-    * term rounds to 6 and sums as DECIMAL (the [[sourceEntropy]] rule), so
-    * the result is order- and engine-independent. */
+    * construction.
+    *
+    * Computed in the regrouped form
+    * KL_s = (1/c_s)·Σ_w c_sw·(ln c_sw − ln c_w) − ln c_s + ln T
+    * (expand the logs and use Σ_w c_sw = c_s): every per-word term then
+    * needs only (c_sw, c_w), so the whole query is ONE pass over the
+    * (source, word) count frame — the naive form joined three separately
+    * re-aggregated copies of it (measured 10 Exchanges vs 4 here; the
+    * corpus-token shuffle ran 3×). c_w attaches via a window partitioned
+    * by word (group size ≤ #sources per word — never skewed by a common
+    * word's corpus frequency), the per-source reduce is one keyed agg,
+    * and T = Σ c_s rides an annotated global window over the already
+    * source-count-sized result. FP discipline: each c_sw·Δln term rounds
+    * to 6 and sums as DECIMAL (the [[sourceEntropy]] rule), so the result
+    * is order- and engine-independent; a single-source corpus is exactly
+    * 0 because every term and ln c_s − ln T vanish identically. */
   def sourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = docs.select(col(srcCol).as("source"),
       explode(tokens(col(textCol))).as("word"))
     val sw = words.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
-    val st = sw.groupBy("source").agg(sum("c_sw").as("c_s"))
-    val wt = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
-    val tot = st.agg(sum("c_s").as("__total"))
-    val pS = col("c_sw").cast(DoubleType) / col("c_s")
-    val pW = col("c_w").cast(DoubleType) / col("__total")
-    sw.join(wt, "word")
-      .join(broadcast(st), "source")
-      .crossJoin(broadcast(tot))
-      .withColumn("__term", round(pS * log(pS / pW), 6).cast(DecimalType(20, 6)))
-      .groupBy("source")
-      .agg(max("c_s").cast(LongType).as("n_tokens"),
-        round(sum(col("__term")).cast(DoubleType), 6).as("kl"))
+    val withW = sw.withColumn("c_w",
+      sum("c_sw").over(Window.partitionBy("word")))
+    val g = withW.groupBy("source")
+      .agg(sum("c_sw").as("c_s"),
+        sum(round(col("c_sw").cast(DoubleType)
+            * (log(col("c_sw")) - log(col("c_w"))), 6)
+          .cast(DecimalType(26, 6))).as("__num"))
+    // grand total over the source-count-sized frame (dozens of rows)
+    g.withColumn("__total", sum("c_s").over(Window.partitionBy(lit(1))))
+      .select(col("source"), col("c_s").cast(LongType).as("n_tokens"),
+        round(col("__num").cast(DoubleType) / col("c_s")
+          - log(col("c_s")) + log(col("__total")), 6).as("kl"))
   }
 
   private val sourceKlQ: Q = (s, dir) =>
@@ -1721,21 +1737,27 @@ object TextOps {
         |                           AS DECIMAL(20,6))) AS DOUBLE), 6) AS entropy
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
+    // regrouped form KL_s = num/c_s - ln c_s + ln T: each c_sw*(ln c_sw -
+    // ln c_w) term rounds to 6 before a DECIMAL(26,6) sum (sourceKl rule)
     "text_source_kl" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
         |           FROM documents),
         |     sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
-        |     st AS (SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY 1),
-        |     wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
-        |     tot AS (SELECT sum(c_s) AS total FROM st)
-        |SELECT sw.source, CAST(max(st.c_s) AS BIGINT) AS n_tokens,
-        |       round(CAST(sum(CAST(round(
-        |         (CAST(sw.c_sw AS DOUBLE) / st.c_s)
-        |           * ln((CAST(sw.c_sw AS DOUBLE) / st.c_s)
-        |                / (CAST(wt.c_w AS DOUBLE) / tot.total)), 6)
-        |         AS DECIMAL(20,6))) AS DOUBLE), 6) AS kl
-        |FROM sw JOIN st USING (source) JOIN wt USING (word), tot
-        |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
+        |     ww AS (SELECT source, c_sw,
+        |                   sum(c_sw) OVER (PARTITION BY word) AS c_w
+        |            FROM sw),
+        |     g AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS c_s,
+        |                  sum(CAST(round(CAST(c_sw AS DOUBLE)
+        |                        * (ln(CAST(c_sw AS DOUBLE))
+        |                           - ln(CAST(c_w AS DOUBLE))), 6)
+        |                      AS DECIMAL(26,6))) AS num
+        |           FROM ww GROUP BY 1),
+        |     t AS (SELECT CAST(sum(c_s) AS BIGINT) AS total FROM g)
+        |SELECT source, c_s AS n_tokens,
+        |       round(CAST(num AS DOUBLE) / c_s
+        |             - ln(CAST(c_s AS DOUBLE))
+        |             + ln(CAST(total AS DOUBLE)), 6) AS kl
+        |FROM g, t ORDER BY source""".stripMargin,
     // each ln rounds to 6 before a DECIMAL(20,6) sum -> order/ulp-stable mean
     "text_lm_score" ->
       """WITH g AS (
