@@ -583,13 +583,18 @@ object Behavior {
     * Output is the 4×4×4 segment grid with user counts and segment value
     * — grid-sized, not user-sized.
     *
-    * The per-user frame is computed ONCE and persisted: the reference day,
-    * the nine anchors and the final bucketing all consume it, and leaving
-    * the plan fully lazy re-ran the events-table aggregation for each
-    * consumer (divergent column pruning defeats Exchange reuse — 9
-    * Exchanges measured, 3 of them corpus-sized). The grid-sized result is
-    * snapshotted with localCheckpoint before the cache is released (the
-    * recacheByCondition cascade rule, PERF.md r10). */
+    * The reference day folds INTO the anchors aggregate via percentile
+    * reflection: recency = maxD − D per user (D = days since epoch), and
+    * exact interpolated percentiles commute with the affine flip —
+    * pct(maxD − D, q) = maxD − pct(D, 1−q), bit-exactly here because the
+    * quartile fractions are exact quarters and day counts are small-int
+    * doubles. One 1-row broadcast therefore serves both the reference day
+    * and all nine anchors, and the whole query is two lazy passes over the
+    * events aggregate — the earlier refDay-then-anchors chain took three
+    * (9 Exchanges measured, 3 corpus-sized; a persist+checkpoint variant
+    * ran 1 pass but its fixed materialization overhead doubled the query
+    * at sf0.1 — PERF.md r10. At petabyte scale, persisting `perUser`
+    * before this plan is the one-pass lever; the algebra is unchanged). */
   private val rfmQ: Q = (s, dir) => {
     import org.apache.spark.sql.types.DecimalType
     val e = Tables(s, dir).events.filter(col("value").isNotNull)
@@ -598,24 +603,26 @@ object Behavior {
       count(lit(1)).as("freq"),
       round(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType), 2)
         .as("monetary"))
-      .persist()
-    val refDay = perUser.agg(max(col("last_day")).as("ref_day"))
-    val rfm = perUser.crossJoin(broadcast(refDay))
-      .select(col("user_id"),
-        datediff(col("ref_day"), col("last_day")).cast(LongType)
-          .as("recency_days"),
-        col("freq"), col("monetary"))
-    val anchorCols = for {
-      (m, c) <- Seq("r" -> "recency_days", "f" -> "freq", "m" -> "monetary")
-      q <- 1 to 3
-    } yield round(graft.Ops.pct(col(c).cast(DoubleType), q * 0.25), 6)
-      .as(s"$m$q")
-    val anchors = rfm.agg(anchorCols.head, anchorCols.tail: _*)
+      .withColumn("d_day",
+        datediff(col("last_day"), lit("1970-01-01")).cast(LongType))
+    val anchorCols =
+      max(col("d_day")).as("maxd") +:
+        ((1 to 3).map(q => graft.Ops.pct(col("d_day").cast(DoubleType),
+          1.0 - q * 0.25).as(s"dp$q")) ++
+          (for ((m, c) <- Seq("f" -> "freq", "m" -> "monetary"); q <- 1 to 3)
+            yield round(graft.Ops.pct(col(c).cast(DoubleType), q * 0.25), 6)
+              .as(s"$m$q")))
+    val anchors = perUser.agg(anchorCols.head, anchorCols.tail: _*)
+      .select(col("maxd") +:
+        (1 to 3).map(q =>
+          round(col("maxd").cast(DoubleType) - col(s"dp$q"), 6).as(s"r$q")) ++:
+        (for (m <- Seq("f", "m"); q <- 1 to 3) yield col(s"$m$q")): _*)
     def bucket(x: Column, p: String): Column =
       lit(1) + (1 to 3).map(q =>
         when(x > col(s"$p$q"), 1).otherwise(0)).reduce(_ + _)
-    val out = rfm.crossJoin(broadcast(anchors))
-      .select(bucket(col("recency_days"), "r").as("r_bucket"),
+    perUser.crossJoin(broadcast(anchors))
+      .select(bucket((col("maxd") - col("d_day")).cast(LongType), "r")
+          .as("r_bucket"),
         bucket(col("freq"), "f").as("f_bucket"),
         bucket(col("monetary"), "m").as("m_bucket"),
         col("monetary"))
@@ -624,9 +631,6 @@ object Behavior {
         round(sum(col("monetary").cast(DecimalType(18, 2))).cast(DoubleType), 2)
           .as("segment_value"))
       .orderBy("r_bucket", "f_bucket", "m_bucket")
-      .localCheckpoint(true)
-    perUser.unpersist()
-    out
   }
 
   private val streaksQ: Q = (s, dir) =>
