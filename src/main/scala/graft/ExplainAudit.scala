@@ -40,7 +40,35 @@ object ExplainAudit {
     * appear, so the answer is what is actually READ, not what the query
     * text mentions). */
   def lineage(spark: SparkSession, dir: String, name: String): Seq[(String, String)] = {
-    val p = plan(spark, dir, name)
+    // Queries that return a localCheckpoint snapshot (the iterative
+    // family, r10) have NO file scans left in their final plan — the
+    // reads happen in the executions their construction triggers. Capture
+    // those via the SQL-execution-start events (whose plan description is
+    // the same formatted text this parser reads) and union with the final
+    // plan, so the impact index keeps every query's true source columns.
+    val executed = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            executed.add(e.physicalPlanDescription)
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val finalPlan =
+      try {
+        val p = plan(spark, dir, name)
+        Thread.sleep(500) // drain the async listener bus (census tool)
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    (executed.asScala.toVector :+ finalPlan)
+      .flatMap(parseScans).distinct.toList
+  }
+
+  private def parseScans(p: String): Seq[(String, String)] = {
     val lines = p.linesIterator.toVector
     val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var i = 0
