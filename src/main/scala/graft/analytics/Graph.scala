@@ -231,15 +231,20 @@ object Graph {
     *
     * Scale shape: per round, one adjacency⋈labels equi-join, one
     * (node, label) count aggregate, and a struct-max argmin — no window
-    * over the fact-sized frame. Label state is one row per node. */
+    * over the fact-sized frame. Label state is one row per node. The
+    * votes frame is TOTAL on the node set by induction (labels always
+    * cover every adjacency node, the adjacency is undirected, so every
+    * node has ≥1 labeled neighbor every round) — no isolated-node
+    * backfill join is needed, which saves a nodes-distinct re-aggregate
+    * and a left join per round (6.6 → 3.5 s at sf0.1, PERF.md r10). */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     val e = edges.select("s1", "s2")
     val adj = e.select(col("s1").as("node"), col("s2").as("nbr"))
       .union(e.select(col("s2").as("node"), col("s1").as("nbr"))).persist()
-    val nodes = adj.select("node").distinct()
-    val init = nodes.select(col("node"), col("node").as("label"))
+    val init = adj.select("node").distinct()
+      .select(col("node"), col("node").as("label"))
     val result = (1 to rounds).foldLeft(init) { (labels, _) =>
-      val votes = adj
+      adj
         .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
         .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
         // struct max = (max cnt, then min label via negation): the argmin
@@ -247,9 +252,6 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
         .select(col("node"), (-col("top.nl")).as("label"))
-      nodes.join(votes, Seq("node"), "left")
-        .select(nodes("node"), coalesce(votes("label"), nodes("node"))
-          .as("label"))
     }.orderBy("node")
       // cache-snapshot discipline as on [[pageRank]]
       .localCheckpoint(true)
