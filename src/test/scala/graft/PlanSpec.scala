@@ -387,4 +387,34 @@ class PlanSpec extends SparkSpec {
       || plan.contains("TableCacheQueryStage"),
       s"expected the distinct exchange to be reused:\n${plan.take(1500)}")
   }
+
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Scan .*"""))
+
+  test("regrouped source-KL is one pass: one documents scan, <= 4 Exchanges") {
+    // the r10 rewrite computes KL_s = (1/c_s)*sum c_sw*(ln c_sw - ln c_w)
+    // - ln c_s + ln T from a single (source, word) count frame; a second
+    // scan of documents means the naive three-copy aggregation is back
+    val p = plan("text_source_kl")
+    assert(scanCount(p) === 1, s"expected ONE documents scan:\n$p")
+    val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "text_source_kl")
+    assert(ex <= 4, s"one-pass KL needs at most 4 Exchanges, got $ex")
+  }
+
+  test("temperature mix: one corpus aggregate, totals on the source-sized frame") {
+    val p = plan("text_mix_temperature")
+    assert(scanCount(p) === 1, s"expected ONE documents scan:\n$p")
+    val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "text_mix_temperature")
+    assert(ex <= 2, s"per-source agg + tiny global window, got $ex Exchanges")
+  }
+
+  test("RFM reads the events table at most twice (anchors pass + bucketing pass)") {
+    // the r10 percentile-reflection rewrite folds the reference day into
+    // the anchors aggregate: one 1-row broadcast, two lazy passes; a
+    // third scan means the refDay-then-anchors chain is back
+    val p = plan("b12_rfm_segments")
+    assert(scanCount(p) <= 2, s"expected <= 2 events scans:\n$p")
+    val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "b12_rfm_segments")
+    assert(ex <= 5, s"expected <= 5 Exchanges, got $ex")
+  }
 }

@@ -301,4 +301,23 @@ class BehaviorSpec extends SparkSpec {
         ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out === Map("click" -> ((2L, 15.0)), "direct" -> ((1L, 7.0))))
   }
+
+  test("percentile reflection: pct(maxD - D, q) == maxD - pct(D, 1-q) bit-exactly") {
+    // the identity b12_rfm_segments' anchors pass rests on: exact
+    // interpolated percentiles commute with the affine flip, bit-exactly
+    // for quarter fractions on small-integer doubles. n = 6 makes every
+    // quartile position fractional (h = 1.25 / 2.5 / 3.75), so the
+    // interpolation arithmetic itself is exercised, not just order stats.
+    val s = spark
+    import s.implicits._
+    val d = Seq(0.0, 1.0, 3.0, 7.0, 20.0, 100.0).toDF("d")
+    val maxD = 100.0
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val direct = d.select(graft.Ops.pct(lit(maxD) - col("d"), q))
+        .collect().head.getDouble(0)
+      val flipped = d.select(lit(maxD) - graft.Ops.pct(col("d"), 1.0 - q))
+        .collect().head.getDouble(0)
+      assert(direct === flipped, s"reflection must be exact at q=$q")
+    }
+  }
 }

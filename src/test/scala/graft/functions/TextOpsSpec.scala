@@ -368,6 +368,34 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L, 5L))
   }
 
+  test("regrouped source KL matches its closed form and the textbook definition") {
+    val s = spark
+    import s.implicits._
+    // s1: a a b (c_s=3), s2: a b b b (c_s=4); c_w: a=3 b=4; T=7
+    val d = Seq((1L, "a a b", "s1"), (2L, "a b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceKl(d, "source", "text").orderBy("source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ln(v: Double) = math.log(v)
+    // the regrouped contract: per-term round-6 decimal sum, then the
+    // (1/c_s)·num − ln c_s + ln T assembly rounded to 6
+    def expect(terms: Seq[Double], cs: Double) = r6(
+      terms.map(t => BigDecimal(r6(t))).sum.toDouble / cs - ln(cs) + ln(7.0))
+    val k1 = expect(Seq(2 * (ln(2) - ln(3)), 1 * (ln(1) - ln(4))), 3.0)
+    val k2 = expect(Seq(1 * (ln(1) - ln(3)), 3 * (ln(3) - ln(4))), 4.0)
+    assert(out("s1") === ((3L, k1)))
+    assert(out("s2") === ((4L, k2)))
+    // and the regrouping is the textbook KL up to the rounding grid
+    val textbook1 = 2.0 / 3 * ln((2.0 / 3) / (3.0 / 7)) +
+      1.0 / 3 * ln((1.0 / 3) / (4.0 / 7))
+    val textbook2 = 1.0 / 4 * ln((1.0 / 4) / (3.0 / 7)) +
+      3.0 / 4 * ln((3.0 / 4) / (4.0 / 7))
+    assert(math.abs(out("s1")._2 - textbook1) < 1e-5)
+    assert(math.abs(out("s2")._2 - textbook2) < 1e-5)
+  }
+
   test("source KL: zero when a source is the whole corpus, non-negative on the feed") {
     val s = spark
     import s.implicits._
