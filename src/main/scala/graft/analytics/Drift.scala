@@ -130,15 +130,20 @@ object Drift {
       .groupBy("bin")
       .agg(sum(when(col("__is_ref"), 1L).otherwise(0L)).as("nr"),
         sum(when(col("__is_ref"), 0L).otherwise(1L)).as("nc"))
-    // the cumulative window runs over <= grid rows — a driver-sized frame,
-    // single partition by construction and bounded by the grid parameter
+    // the cumulative AND total windows run over <= grid rows — a
+    // driver-sized frame, single partition by construction and bounded by
+    // the grid parameter. Totals as a whole-frame window rather than a
+    // broadcast self-aggregate: the latter re-ran the data-sized bin
+    // aggregation for a 1-row frame (3 passes over the input; 2 now —
+    // the bounds aggregate is inherently a separate first pass).
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ecdf = binned
-      .crossJoin(broadcast(binned.agg(sum("nr").as("tr"), sum("nc").as("tc"))))
       .select(col("bin"),
-        (sum(col("nr")).over(w) / col("tr")).as("er"),
-        (sum(col("nc")).over(w) / col("tc")).as("ec"))
+        (sum(col("nr")).over(w) / sum(col("nr")).over(wAll)).as("er"),
+        (sum(col("nc")).over(w) / sum(col("nc")).over(wAll)).as("ec"))
       .select(col("bin"), round(abs(col("er") - col("ec")), 6).as("gap"))
     ecdf.orderBy(desc("gap"), asc("bin")).limit(1)
       .select(col("gap").as("ks_stat"), col("bin").as("at_bin"))
