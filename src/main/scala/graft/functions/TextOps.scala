@@ -265,14 +265,22 @@ object TextOps {
     * the ROUNDED score so the order is stable against last-ulp `ln`
     * differences across engines. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // df rides a token-partitioned window over the (doc, token) count
+    // frame — each tf row is a distinct containing doc, so the partition
+    // row count IS the document frequency. The former groupBy+join form
+    // re-ran the corpus explode for the df side and re-keyed by token for
+    // the join anyway (same skew exposure as the window): 6 Exchanges
+    // measured, 5 now, one corpus pass. nDocs stays a separate 1-row
+    // broadcast — empty docs count for IDF but never reach the tf frame,
+    // and its scan is columnless.
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("token")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
-    tf.join(dfreq, "token")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("__n").cast(DoubleType) / col("df")), 4))
@@ -387,6 +395,10 @@ object TextOps {
       .filter(col("prev").isNotNull)
     val ref = toks(refDocs)
     val uni = ref.groupBy("token").agg(count(lit(1)).as("__uc"))
+    // total deliberately re-reads ref rather than summing uni: a bare
+    // count is shuffle-free (per-partition partials only), while a
+    // uni-derived total would re-run the vocab-sized token aggregation —
+    // measured one Exchange WORSE (r10 audit)
     val total = ref.agg(count(lit(1)).as("__N"))
     val bi = withPrev(refDocs)
       .groupBy("prev", "token").agg(count(lit(1)).as("__bc"))
