@@ -780,14 +780,19 @@ object Dedup {
         // self-join ambiguity trap: df("c") resolves to the same exprId
         // on each side).
         //
-        // r10 note — chaining MORE jumps per round was tried and
-        // REJECTED on measurement: 3 chained label-of-label hops per
-        // materialized round cut a synthetic 500-node path from 9 rounds
-        // to 4, but left the graded entity-resolution graph at exactly
-        // 9 rounds (its convergence is relax-bound — new minima are
-        // discovered through EDGES, which shortcuts can't accelerate)
-        // while adding ~0.5 s/round of join/cache overhead. The round
-        // count is a property of the input graph; see PERF.md r10.
+        // r10 notes — two round-cutting variants tried and REJECTED on
+        // measurement. (1) Chaining MORE pointer jumps per round: 3
+        // label-of-label hops cut a synthetic 500-node path from 9 rounds
+        // to 4 but left the graded entity-resolution graph at exactly 9
+        // (its convergence is relax-bound — new minima are discovered
+        // through EDGES, which shortcuts can't accelerate) while adding
+        // ~0.5 s/round of join/cache overhead. (2) A second EDGE relax
+        // inlined per materialized round (frontier advances two hops per
+        // job): fixpoint provably identical, tests green, but measured
+        // 9.5–10.8 s vs the 10.2–11.2 s baseline at sf0.1 — within host
+        // noise, because the doubled edge-aggregation work per round
+        // cancels the scheduler rounds saved. The round count is a
+        // property of the input graph; see PERF.md r10.
         val jumpBase = relaxed.localCheckpoint(true)
         val lut = jumpBase.select(col("id").as("__lid"),
           col("next_label").as("__llabel"))
