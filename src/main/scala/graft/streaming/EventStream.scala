@@ -325,6 +325,106 @@ object EventStream {
       }
   }
 
+  // ------------------------------------------- bounded-stream graded entries
+  //
+  // Everything above runs over MemoryStream in StreamingSpec; the entries
+  // below additionally run the REAL streaming runtime — a `readStream` file
+  // source, incremental stateful execution against a state store, a
+  // checkpoint, and a sink — bounded with `Trigger.AvailableNow` so the
+  // result is finite and deterministic, and hash-graded against the same
+  // DuckDB batch oracle as any batch entry. That is the strongest streaming
+  // correctness statement available without an unbounded source: the
+  // incremental plan (not merely the shared batch expression) must produce
+  // exactly the batch answer. At scale the same queries run unbounded;
+  // AvailableNow doubles as the production backlog-drain/catch-up trigger.
+
+  /** The events feed as a genuine file-source stream: schema pinned from the
+    * batch footer (streaming sources never infer) plus the same `ts`
+    * normalization as the batch reader ([[Tables.normalizeEventsTs]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // The file source anchors `basePath` at the literal path when it is not
+    // a glob — and a single FILE fails its must-be-a-directory check. The
+    // feed is one file directly under the sf dir, so list it as a one-match
+    // glob and anchor basePath at the directory explicitly.
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"))
+  }
+
+  /** Drain a bounded stream into an in-memory sink and return the result
+    * table. The memory sink is the grading harness (results here are
+    * aggregate-sized or match-sized); the production sink is the
+    * `foreachBatch` parquet path that [[runBoundedToParquet]] grades. */
+  private def runBounded(out: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = out.sparkSession
+    spark.catalog.dropTempView(name)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = out.writeStream.queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .format("memory").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Drain a bounded append-mode stream through the PRODUCTION sink path —
+    * `foreachBatch` appending parquet — and read the result back. The query
+    * is started TWICE against the same checkpoint: the restart finds the
+    * source exhausted and must write nothing, so the returned frame doubles
+    * as an exactly-once/idempotent-restart proof the oracle hash would catch
+    * (re-emitted rows = row-count mismatch vs the batch answer). */
+  private def runBoundedToParquet(out: DataFrame): DataFrame = {
+    val spark = out.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sink").toString
+    val data = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    def once(): Unit = {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(data)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    once(); once() // restart from the same checkpoint: must be a no-op
+    spark.read.parquet(data)
+  }
+
+  case class CentEvent(user_id: Long, cents: Long)
+  case class CentTotal(user_id: Long, n_events: Long, total_cents: Long)
+  // public: the state Encoder's generated code constructs it reflectively
+  case class CentState(n: Long, cents: Long)
+
+  /** Exact-integer running totals in `transformWithState` ValueState. Money
+    * is carried as integer cents so the state fold is associative and
+    * order-independent — the same reason batch entries sum DECIMAL
+    * ([[graft.Ops.dsum]]) — which is what makes a custom stateful processor
+    * oracle-checkable at all (a Double accumulation would drift with
+    * row order). */
+  class CentTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CentEvent, CentTotal] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    @transient private var st: ValueState[CentState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CentState]("tot",
+        org.apache.spark.sql.Encoders.product[CentState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+                                 timerValues: TimerValues): Iterator[CentTotal] = {
+      var n = 0L; var c = 0L
+      rows.foreach { e => n += 1; c += e.cents }
+      val prev = if (st.exists()) st.get() else CentState(0L, 0L)
+      val upd = CentState(prev.n + n, prev.cents + c)
+      st.update(upd)
+      Iterator.single(CentTotal(key, upd.n, upd.cents))
+    }
+  }
+
   // ---------------------------------------------------------------- entries
 
   private val tumblingQ: Q = (s, dir) =>
@@ -337,10 +437,82 @@ object EventStream {
     sessionAgg(Tables(s, dir).events, "30 minutes")
       .orderBy("user_id", "session_start")
 
+  /** Tumbling agg through the real streaming runtime (windowed agg state). */
+  private val streamTumblingQ: Q = (s, dir) =>
+    runBounded(streamingTumbling(eventsStream(s, dir), "1 hour", "1 hour"),
+      "stream_tumbling", "complete")
+
+  /** Stream-static broadcast enrichment + streaming agg: each micro-batch
+    * joins the (broadcast) customer dim, then folds into windowless agg
+    * state; `complete` mode emits the converged KPI frame. */
+  private val streamEnrichQ: Q = (s, dir) => {
+    val dim = Tables(s, dir).customer
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = enrichWithDim(
+      eventsStream(s, dir).select("user_id", "value"), dim, "user_id")
+    runBounded(
+      enriched
+        .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")),
+      "stream_enrich", "complete")
+  }
+
+  /** Streaming dedup state (`dropDuplicatesWithinWatermark`) drained through
+    * the production foreachBatch→parquet sink, started twice on one
+    * checkpoint — grades both the dedup operator and exactly-once restart. */
+  private val streamDistinctQ: Q = (s, dir) =>
+    runBoundedToParquet(
+      streamingDedup(eventsStream(s, dir), "ts", "1 hour", Seq("user_id"))
+        .select("user_id"))
+
+  /** Stream-stream event-time-bounded inner join: both sides are independent
+    * file-source streams of the same feed; matches are emitted from the
+    * symmetric join state as they meet. */
+  private val streamJoinQ: Q = (s, dir) => {
+    val views = eventsStream(s, dir).filter(col("event_type") === "view")
+    val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+    runBounded(
+      viewToPurchaseJoin(views, purchases, "1 HOUR", "1 hour")
+        .select(col("v_user"), col("v_ts"), col("p_ts"), col("p_value")),
+      "stream_vp_join", "append")
+  }
+
+  /** Custom stateful processor ([[CentTotalsProcessor]], RocksDB ValueState)
+    * hash-graded: the feed is one file, so AvailableNow drains it in a
+    * single micro-batch and update mode emits exactly one converged row per
+    * user — a multi-file feed would emit one row per (user, batch) and fail
+    * the row-count gate honestly. */
+  private val streamTotalsQ: Q = (s, dir) => {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val evs = eventsStream(s, dir)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[CentEvent]
+      val out = evs.groupByKey(_.user_id)
+        .transformWithState(new CentTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      runBounded(out.toDF(), "stream_totals", "update")
+    } finally {
+      prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val entries: Map[String, Q] = Map(
     "w_tumbling_hourly" -> tumblingQ,
     "w_sliding_6h_1h" -> slidingQ,
     "w_session_windows" -> sessionQ,
+    "stream_tumbling_hourly" -> streamTumblingQ,
+    "stream_static_enrich" -> streamEnrichQ,
+    "stream_distinct_users" -> streamDistinctQ,
+    "stream_view_purchase_join" -> streamJoinQ,
+    "stream_user_totals" -> streamTotalsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +540,29 @@ object EventStream {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'unknown') AS segment, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "stream_distinct_users" ->
+      "SELECT DISTINCT user_id FROM events",
+    "stream_view_purchase_join" ->
+      """SELECT v.user_id AS v_user, v.ts AS v_ts, p.ts AS p_ts,
+        |       p.value AS p_value
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
+    "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

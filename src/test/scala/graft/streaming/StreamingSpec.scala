@@ -427,4 +427,36 @@ class StreamingSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("bounded-stream graded entries equal their batch twins on the sf0.001 feed") {
+    val t = Tables(spark, sf001)
+    // tumbling agg through the real runtime == the shared batch expression
+    val streamed = EventStream.entries("stream_tumbling_hourly")(spark, sf001)
+      .orderBy("ws").collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val batch = EventStream.tumblingAgg(t.events, "1 hour")
+      .orderBy("ws").collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    // dedup state via the production foreachBatch sink, started twice on one
+    // checkpoint: row count == DISTINCT proves the restart re-emitted nothing
+    val users = EventStream.entries("stream_distinct_users")(spark, sf001)
+    assert(users.count() === t.events.select("user_id").distinct().count())
+    // custom transformWithState processor == groupBy over exact cents
+    val totals = EventStream.entries("stream_user_totals")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bt = t.events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(totals === bt)
+    // symmetric stream-stream join state == the batch range join
+    val joined = EventStream.entries("stream_view_purchase_join")(spark, sf001)
+    val v = t.events.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts").as("vts"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batchJoin = v.join(p, col("u") === col("pu") &&
+      col("pts") >= col("vts") &&
+      col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+    assert(joined.count() === batchJoin.count())
+  }
+
 }
