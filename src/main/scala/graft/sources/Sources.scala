@@ -243,7 +243,7 @@ object Sources {
     "s15_schema_evolution" -> schemaEvolutionQ,
     "s5_partitioned_sink" -> partitionedSinkQ,
     "s6_jdbc_roundtrip" -> jdbcRoundtripQ,
-    "s4_path_probe" -> pathProbeQ, // environment probe => rows-only
+    "s4_path_probe" -> pathProbeQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,5 +287,16 @@ object Sources {
         |                     THEN CAST(o_totalprice * 2.0 AS DECIMAL(18,2))
         |                     END) AS DOUBLE), 2) AS doubled_total
         |FROM orders GROUP BY 1 ORDER BY gen""".stripMargin,
+    // The oracle engine's catalog is built by globbing the same sf dir (one
+    // view per parquet found), so catalog membership IS an independent
+    // probe of the same environment — the env-dependence that kept this
+    // entry rows-only grades exactly.
+    "s4_path_probe" ->
+      """SELECT t.table_name,
+        |       EXISTS(SELECT 1 FROM information_schema.tables ti
+        |              WHERE ti.table_name = t.table_name) AS exists_flag
+        |FROM (VALUES ('region'),('nation'),('customer'),('orders'),
+        |             ('lineitem'),('no_such_table')) t(table_name)
+        |ORDER BY table_name""".stripMargin,
   )
 }
