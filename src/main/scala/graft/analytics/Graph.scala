@@ -102,9 +102,15 @@ object Graph {
     val buckets = events.select(col("user_id").as("u"),
         col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
       .distinct()
-    val cool = buckets.groupBy("et", "h").agg(count(lit(1)).as("__bu"))
-      .filter(col("__bu") <= maxBucketUsers).select("et", "h")
-    val b = buckets.join(cool, Seq("et", "h"))
+    // Bucket-size gate as a window over the (et, h)-partitioned frame, NOT
+    // a separate count aggregate joined back: the aggregate+join form makes
+    // `buckets` a divergent-consumer intermediate whose data-sized distinct
+    // re-runs per consumer (the b12/KL/tfidf pattern, PERF.md r10); the
+    // window rides the same (et, h) Exchange the pair join needs anyway.
+    val b = buckets
+      .withColumn("__bu", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("et", "h")))
+      .filter(col("__bu") <= maxBucketUsers)
     val a1 = b.select(col("et"), col("h"), col("u").as("s1"))
     val a2 = b.select(col("et"), col("h"), col("u").as("s2"))
     a1.join(a2, Seq("et", "h")).filter(col("s1") < col("s2"))
