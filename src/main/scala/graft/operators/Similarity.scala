@@ -694,6 +694,178 @@ object Similarity {
         round(col("__s"), 6).as("scale"))
       .select("vec_id", "pos", "q", "scale")
 
+  // ------------------------------------------------- product quantization
+
+  /** Squared L2 distance of two double arrays (sequential fold). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codebook training (Jégou et al., TPAMI 2011): split each UNIT-
+    * NORMALIZED vector into `m` subvectors and run Lloyd k-means per
+    * subspace. Training happens DRIVER-SIDE on a deterministic hash-sampled
+    * subset capped at ~`fitSampleRows` — the standard PQ practice (FAISS
+    * trains codebooks on a bounded sample regardless of corpus size): the
+    * model is m × nCodes × (dim/m) doubles, placing it needs thousands of
+    * points, and at 100 TB a distributed fit would be lloydRounds complete
+    * corpus passes for no recall gain. The sample filter is
+    * `xxhash64(id) mod 1000 < cap` — engine-reproducible, no RNG state —
+    * and the sample is sorted by id before init, so codebooks are a pure
+    * function of the corpus. Zero vectors are excluded (no cosine).
+    *
+    * Determinism: init = first nCodes DISTINCT subvectors in id order;
+    * argmin ties keep the lowest code; empty clusters keep their previous
+    * centroid. A degenerate subspace with fewer than nCodes distinct
+    * subvectors just yields a smaller codebook. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, nCodes: Int = 16, lloydRounds: Int = 10,
+                  fitSampleRows: Long = 10000L): Array[Array[Array[Double]]] = {
+    val c = corpus.select(col(idCol).cast(LongType).as("__id"),
+      toDouble(col(vecCol)).as("__v"))
+    // parquet metadata read, same contract as the ivfIndex fit cap
+    val total = c.count()
+    val sampled = if (total <= fitSampleRows) c else {
+      val perMille = math.max(1L, fitSampleRows * 1000L / total)
+      c.filter(pmod(xxhash64(col("__id")), lit(1000L)) < lit(perMille))
+    }
+    val rows = sampled.orderBy("__id").collect()
+    require(rows.nonEmpty, "pqCodebooks: empty training sample")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val vecs = rows.iterator.map(_.getSeq[Double](1).toArray).flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) None else Some(v.map(_ / n))
+    }.toArray
+    require(vecs.nonEmpty, "pqCodebooks: all sampled vectors were zero")
+    Array.tabulate(m) { s =>
+      val pts = vecs.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      var i = 0
+      while (i < pts.length && init.length < nCodes) {
+        if (seen.add(pts(i).toSeq)) init += pts(i).clone()
+        i += 1
+      }
+      var centroids: Array[Array[Double]] = init.toArray
+      val k = centroids.length
+      for (_ <- 1 to lloydRounds) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < k) {
+            var d = 0.0; var j = 0
+            while (j < sub) { val t = p(j) - centroids(cc)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = cc }
+            cc += 1
+          }
+          var j = 0
+          while (j < sub) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        centroids = Array.tabulate(k) { cc =>
+          if (counts(cc) == 0L) centroids(cc) else sums(cc).map(_ / counts(cc))
+        }
+      }
+      centroids
+    }
+  }
+
+  /** Encode the corpus against trained [[pqCodebooks]]: each vector becomes
+    * an m-entry code word (`array<int>`, nearest codebook entry per
+    * subspace of the unit-normalized vector). This IS the compression step:
+    * at dim 64 / m 8 / nCodes 16 the stored index is 8 small ints per
+    * vector instead of 64 floats (32× smaller in principle; a byte-packed
+    * physical layout is a storage-format detail) — the configuration that
+    * lets a 100 TB float corpus fit a RAM-resident serving tier. The encode
+    * is a single embarrassingly-parallel projection over the corpus — no
+    * shuffle — built from codegen-planned array expressions against the
+    * codebook literal; argmin ties resolve to the FIRST (lowest) code via
+    * `array_position`, matching the driver-side trainer. Zero vectors
+    * encode to NULL codes and drop out of ADC scoring downstream. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    graft.functions.GraftDot.register(corpus.sparkSession)
+    val cb = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", expr("nullif(sqrt(graft_dot(__v, __v)), 0d)"))
+      .withColumn("__nv", transform(col("__v"), x => x / col("__n")))
+      .select(col("neighbor_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+            ctr => l2sq(slice(col("__nv"), s * lit(sub) + lit(1), lit(sub)), ctr))
+          (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+        }).as("codes"))
+  }
+
+  /** PQ-ADC top-k with exact refine — the IndexPQ search shape: the query
+    * precomputes one m × nCodes distance table against the codebook
+    * (dim-sized work ONCE per query), the compressed corpus is scanned with
+    * the O(m) native [[graft.functions.GraftPqAdc]] lookup per candidate
+    * (on unit vectors ‖q−c‖² = 2−2·cos, so `1 − adc/2` estimates cosine),
+    * the best `overfetch·k` ids per query form a shortlist, and an exact
+    * float re-rank of the shortlist orders the final top-k. At 100 TB the
+    * scan touches only the m-byte codes (memory-bandwidth-bound at 1/32 of
+    * the float traffic) and the expensive float reads are shortlist-sized
+    * random access; the query batch broadcasts twice and the corpus never
+    * shuffles — the [[cosineTopK]] discipline. Compose with [[ivfIndex]]
+    * bucketing to also cut the CANDIDATE count (IVFADC) when the corpus
+    * outgrows a full code scan. */
+  def cosineTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, m: Int = 8, nCodes: Int = 32,
+                   overfetch: Int = 8, fitSampleRows: Long = 10000L): DataFrame = {
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, nCodes,
+      fitSampleRows = fitSampleRows)
+    cosineTopKPqRefined(pqIndex(corpus, idCol, vecCol, codebooks), codebooks,
+      corpus, queries, idCol, vecCol, k, overfetch)
+  }
+
+  /** Probe a PREBUILT PQ index (the online-retrieval shape, PQ variant of
+    * [[cosineTopKIvfIncremental]]): ADC scan over the code frame, exact
+    * refine of the shortlist against the float corpus. The index is never
+    * re-encoded and the corpus never shuffles; per query batch the new work
+    * is one table build, one code scan, and a shortlist-sized float read. */
+  def cosineTopKPqRefined(index: DataFrame, codebooks: Array[Array[Array[Double]]],
+                          corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int, overfetch: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftDot.register(spark)
+    graft.functions.GraftPqAdc.register(spark)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val cb = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
+      .withColumn("qnv", transform(col("qv"), x => x / col("qn")))
+      .withColumn("qtab", transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+          ctr => l2sq(slice(col("qnv"), s * lit(sub) + lit(1), lit(sub)), ctr))))
+    // ADC scan: only (query_id, neighbor_id, sim) leaves the scan, and the
+    // scan side carries codes, not vectors
+    val adc = index
+      .join(broadcast(q.select(col("query_id"), col("qtab"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) - expr("graft_pq_adc(qtab, codes)") / lit(2.0)).as("sim"))
+    val short = topKPerQuery(adc, k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine: shortlist-sized — broadcast it onto the corpus so the
+    // float side is read, never shuffled
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
+    val re = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(cv, qv)") / (col("cn") * col("qn"))).as("sim"))
+    topKPerQuery(re, k)
+  }
+
   /** Tolerance-grading of an ANN result against its exact brute-force twin
     * (VERDICT r8 item 1 — the `a10_percentile_approx` sketch pattern applied
     * to retrieval): the approximate member set is engine-local (bucket
@@ -732,6 +904,7 @@ object Similarity {
   private val lshIncBound = 0.95
   private val ivfIncBound = 0.6
   private val cosinePairsBound = 0.95
+  private val pqTopKBound = 0.5
 
   /** Shared WITH-prefix of every graded-ANN oracle: the exact top-k CTE
     * (identical semantics to the `ann_cosine_topk` oracle, parameterized by
@@ -800,6 +973,18 @@ object Similarity {
     recallGraded(
       cosineTopKIvf(e, q, "vec_id", "embedding", 10),
       cosineTopK(e, q, "vec_id", "embedding", 10), ivfTopKBound)
+  }
+
+  /** Graded: PQ-ADC (m=8, 16 codes, 4× overfetch + exact refine) against
+    * its exact twin. The floor is the SimilaritySpec pin on this
+    * weak-similarity synthetic data — the hardest regime for a coarse
+    * 8-byte code; clustered production embeddings sit far above it. */
+  private val pqTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    recallGraded(
+      cosineTopKPq(e, q, "vec_id", "embedding", 10),
+      cosineTopK(e, q, "vec_id", "embedding", 10), pqTopKBound)
   }
 
   private val centroidsQ: Q = (s, dir) =>
@@ -892,6 +1077,7 @@ object Similarity {
     "ann_lsh_topk" -> lshTopK,                   // recall-graded vs exact twin
     "ann_lsh_incremental" -> lshIncrementalQ,    // recall-graded vs exact twin
     "ann_ivf_topk" -> ivfTopK,                   // recall-graded vs exact twin
+    "ann_pq_topk" -> pqTopK,                     // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // recall-graded vs exact twin
@@ -908,6 +1094,7 @@ object Similarity {
     // twin's checksum row and asserts the in-engine recall flag TRUE
     "ann_lsh_topk" -> recallOracleSql("TRUE", 10, lshTopKBound),
     "ann_ivf_topk" -> recallOracleSql("TRUE", 10, ivfTopKBound),
+    "ann_pq_topk" -> recallOracleSql("TRUE", 10, pqTopKBound),
     "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
     "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),
     "dedup_embedding_cosine" ->

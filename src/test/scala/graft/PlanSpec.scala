@@ -312,12 +312,31 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("PQ-ADC scan uses the native lookup kernel and no Exchange carries float vectors") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("graft_pq_adc"), "ADC scan must go through the codegen'd lookup")
+    // every data-moving Exchange carries (query_id, neighbor_id, sim)-shaped
+    // rows — never the float vectors (cv/qv) or the normalized encode
+    // intermediate (__nv); the codes stay on the scan side, the query table
+    // rides a BroadcastExchange
+    val sections = p.split("\\n\\(")
+    sections.filter(s => s.contains("Exchange") && s.contains("hashpartitioning"))
+      .foreach { s =>
+        val input = s.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("cv#") && !input.contains("qv#") && !input.contains("__nv#"),
+          s"no Exchange may carry embedding arrays: $input")
+      }
+  }
+
   test("no registered lazy query plans a CartesianProduct or BroadcastNestedLoop") {
     // entries that run driver-side actions (train/collect/write) during
     // construction are exercised elsewhere; everything lazy is checked here
     val eager = Set("ml_gbt_metrics", "t4_top_errors_labeled", "ann_ivf_topk",
       // round-8: same quantizer-fit + query-collect shape as ann_ivf_topk
       "ann_ivf_incremental",
+      // round-10: PQ codebook training counts + collects a bounded sample
+      // during construction (same fit contract as ann_ivf_topk)
+      "ann_pq_topk",
       "pipeline_clean_ingest", "s5_partitioned_sink", "s6_jdbc_roundtrip",
       "s8_csv_roundtrip", "s11_json_roundtrip", "s4_path_probe",
       // round-4 entries that run driver-side actions during construction

@@ -348,6 +348,73 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "multiple clusters must be used")
   }
 
+  test("graft_pq_adc: matches a hand-computed lookup sum, NULLs on corrupt codes") {
+    graft.functions.GraftPqAdc.register(spark)
+    val tab = Seq(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0))
+    val rows = Seq(
+      (1L, tab, Seq[Option[Int]](Some(2), Some(0))),   // 3.0 + 10.0
+      (2L, tab, Seq[Option[Int]](Some(0), Some(3))),   // code out of range
+      (3L, tab, Seq[Option[Int]](Some(1), None)),      // null code element
+      (4L, tab, Seq[Option[Int]](Some(1))),            // m mismatch
+    ).toDF("id", "qtab", "codes")
+    val got = rows.select($"id", expr("graft_pq_adc(qtab, codes)").as("adc"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(13.0), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("PQ codes: m entries per vector, every code inside its codebook") {
+    val e = Tables(spark, sf001).embeddings
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    assert(cb.length === 8)
+    cb.foreach { book => assert(book.length === 16 && book.forall(_.length === 8)) }
+    val codes = Similarity.pqIndex(e, "vec_id", "embedding", cb).collect()
+    assert(codes.length.toLong === e.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8)
+      cs.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < cb(s).length, s"code $c out of range in subspace $s")
+      }
+    }
+    // deterministic: training + encode are pure functions of the corpus
+    val cb2 = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("PQ-ADC with exact refine finds an exact twin vector as top-1") {
+    val s = spark
+    import s.implicits._
+    // 16 corpus vectors in two well-separated directions + vector 99 an
+    // exact COPY of query 0's vector: after the ADC shortlist + float
+    // refine, the copy must rank first with cosine 1
+    val base = (0L to 15L).map { i =>
+      val bump = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.tabulate(8)(d => if (d < 4) bump + i * 0.01f else 0.3f * d))
+    }
+    val corpus = (base :+ ((99L, base.head._2.clone()))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopKPq(corpus,
+        corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 3, m = 4, nCodes = 4, overfetch = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[Long]("neighbor_id") === 99L)
+    assert(math.abs(out.head.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("PQ-ADC recall on sf0.001 stays above the graded floor") {
+    val e = Tables(spark, sf001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Similarity.cosineTopKPq(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val overlap = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = overlap.toDouble / nExact
+    info(f"PQ-ADC recall@10 on sf0.001: $recall%.3f ($overlap of $nExact)")
+    // graded-entry floor (pqTopKBound) with no slack: this IS the pin
+    assert(recall >= 0.5, f"recall $recall%.3f under the graded floor 0.5")
+  }
+
   test("centroid silhouette: orthogonal clusters score 1, identical clusters 0") {
     // two tight orthogonal clusters: own-centroid sim 1, other 0 ->
     // silhouette (1-0)/(1-0) = 1 for every vector
