@@ -866,6 +866,82 @@ object Similarity {
     topKPerQuery(re, k)
   }
 
+  /** IVFADC (Jégou et al., TPAMI 2011 §IV): the [[ivfIndex]] coarse
+    * quantizer prunes the CANDIDATE COUNT (each query scans only its
+    * `nProbe` of `nCentroids` buckets) and [[pqIndex]] codes shrink the
+    * BYTES PER CANDIDATE (m ints instead of dim floats) — the two
+    * orthogonal reductions composed, which is the configuration
+    * billion-vector services actually run. This variant encodes the raw
+    * vectors rather than per-bucket residuals (residual encoding buys
+    * accuracy when nCentroids is large; at 16 coarse cells the shared
+    * codebook is the simpler, equally-graded choice — documented so the
+    * upgrade path is explicit). The probe assignment is driver-side
+    * (query batch is small by contract, centers are nCentroids×dim), the
+    * probe list and query tables broadcast, the code frame never
+    * shuffles, and the exact float refine touches only the
+    * `overfetch·k` shortlist — at 100 TB a probe reads
+    * nProbe/nCentroids of an index that is itself ~32× smaller than the
+    * float corpus. */
+  def cosineTopKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nCentroids: Int = 16,
+                      nProbe: Int = 6, m: Int = 8, nCodes: Int = 32,
+                      overfetch: Int = 8, fitSampleRows: Long = 10000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftDot.register(spark)
+    graft.functions.GraftPqAdc.register(spark)
+    val (ivf, centers) =
+      ivfIndex(corpus, idCol, vecCol, nCentroids, fitSampleRows = fitSampleRows)
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, nCodes,
+      fitSampleRows = fitSampleRows)
+    val sub = codebooks(0)(0).length
+    val cb = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // the serving-tier index: (bucket, neighbor_id, codes) — the float
+    // vector is dropped after encode; refine re-reads it from the corpus
+    val index = ivf
+      .withColumn("__nv", transform(col("cv"), x => x / col("cn")))
+      .select(col("bucket"), col("neighbor_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+            ctr => l2sq(slice(col("__nv"), s * lit(sub) + lit(1), lit(sub)), ctr))
+          (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+        }).as("codes"))
+    // driver-side probe assignment — same contract as cosineTopKIvfIncremental
+    val qRows = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      centers.zipWithIndex.map { case (ctr, b) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i) - ctr(i); d += t * t; i += 1 }
+        (b, d)
+      }.sortBy(_._2).take(nProbe).map { case (b, _) => (qid, b) }
+    }.toSeq.toDF("query_id", "bucket")
+    val q = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("query_id", "qv")
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
+      .withColumn("qnv", transform(col("qv"), x => x / col("qn")))
+      .withColumn("qtab", transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+          ctr => l2sq(slice(col("qnv"), s * lit(sub) + lit(1), lit(sub)), ctr))))
+    val adc = index
+      .join(broadcast(probes), Seq("bucket"))
+      .join(broadcast(q.select(col("query_id"), col("qtab"))), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) - expr("graft_pq_adc(qtab, codes)") / lit(2.0)).as("sim"))
+    val short = topKPerQuery(adc, k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
+    val re = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(cv, qv)") / (col("cn") * col("qn"))).as("sim"))
+    topKPerQuery(re, k)
+  }
+
   /** Tolerance-grading of an ANN result against its exact brute-force twin
     * (VERDICT r8 item 1 — the `a10_percentile_approx` sketch pattern applied
     * to retrieval): the approximate member set is engine-local (bucket
@@ -905,6 +981,7 @@ object Similarity {
   private val ivfIncBound = 0.6
   private val cosinePairsBound = 0.95
   private val pqTopKBound = 0.5
+  private val ivfPqTopKBound = 0.3
 
   /** Shared WITH-prefix of every graded-ANN oracle: the exact top-k CTE
     * (identical semantics to the `ann_cosine_topk` oracle, parameterized by
@@ -985,6 +1062,18 @@ object Similarity {
     recallGraded(
       cosineTopKPq(e, q, "vec_id", "embedding", 10),
       cosineTopK(e, q, "vec_id", "embedding", 10), pqTopKBound)
+  }
+
+  /** Graded: IVFADC (6-of-16 probes × 8-int codes, 8× overfetch + exact
+    * refine) against its exact twin. Recall is bounded by the IVF probe
+    * stage (the [[ivfTopK]] regime on this weak-similarity synthetic
+    * data); the floor is the SimilaritySpec pin. */
+  private val ivfPqTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    recallGraded(
+      cosineTopKIvfPq(e, q, "vec_id", "embedding", 10),
+      cosineTopK(e, q, "vec_id", "embedding", 10), ivfPqTopKBound)
   }
 
   private val centroidsQ: Q = (s, dir) =>
@@ -1078,6 +1167,7 @@ object Similarity {
     "ann_lsh_incremental" -> lshIncrementalQ,    // recall-graded vs exact twin
     "ann_ivf_topk" -> ivfTopK,                   // recall-graded vs exact twin
     "ann_pq_topk" -> pqTopK,                     // recall-graded vs exact twin
+    "ann_ivfpq_topk" -> ivfPqTopK,               // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // recall-graded vs exact twin
@@ -1095,6 +1185,7 @@ object Similarity {
     "ann_lsh_topk" -> recallOracleSql("TRUE", 10, lshTopKBound),
     "ann_ivf_topk" -> recallOracleSql("TRUE", 10, ivfTopKBound),
     "ann_pq_topk" -> recallOracleSql("TRUE", 10, pqTopKBound),
+    "ann_ivfpq_topk" -> recallOracleSql("TRUE", 10, ivfPqTopKBound),
     "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
     "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),
     "dedup_embedding_cosine" ->

@@ -415,6 +415,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f under the graded floor 0.5")
   }
 
+  test("IVFADC recall on sf0.001 stays above the graded floor") {
+    val e = Tables(spark, sf001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Similarity.cosineTopKIvfPq(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val overlap = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = overlap.toDouble / nExact
+    info(f"IVFADC recall@10 on sf0.001: $recall%.3f ($overlap of $nExact)")
+    assert(recall >= 0.3, f"recall $recall%.3f under the graded floor 0.3")
+    // refine is exact: every returned sim must equal the brute-force cosine
+    val full = Similarity.cosineTopKIvfPq(e, q, "vec_id", "embedding", 10)
+    val brute = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    val mismatched = full.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("sim") - col("bsim")) > 1e-9).count()
+    assert(mismatched === 0L, "refined sims must be the exact cosine")
+  }
+
   test("centroid silhouette: orthogonal clusters score 1, identical clusters 0") {
     // two tight orthogonal clusters: own-centroid sim 1, other 0 ->
     // silhouette (1-0)/(1-0) = 1 for every vector
