@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GraftDot, GraftRollingHash, GraftShingles, GraftSimHash, GraftVocabHits, MinHashAgg}
+import graft.functions.{GraftContainsAny, GraftDot, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftVocabHits, MinHashAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -43,6 +43,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vocab_hits"),
       new ExpressionInfo(classOf[GraftVocabHits].getName, "graft_vocab_hits"),
       GraftVocabHits.builder))
+    // r10 completeness pass (the ADVICE r3 lesson recurred): the --conf
+    // deployment path must install the ENTIRE native surface, not just the
+    // functions that existed when the entry point was written
+    e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[GraftJaroWinkler].getName, "graft_jaro_winkler"),
+      GraftJaroWinkler.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_adc"), GraftPqAdc.info, GraftPqAdc.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_contains_any"),
+      new ExpressionInfo(classOf[GraftContainsAny].getName, "graft_contains_any"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, arr) if arr.foldable =>
+          val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val needles = (0 until data.numElements())
+            .map(i => data.getUTF8String(i).toString)
+          GraftContainsAny(text, needles)
+        case _ => throw new IllegalArgumentException(
+          "graft_contains_any(text, literalStringArray)")
+      }))
     // tier (c): the native as-of join operator (AsOfJoinPlan -> AsOfJoinExec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Rule[LogicalPlan]: HOF dot-product / vocab-count shapes silently
