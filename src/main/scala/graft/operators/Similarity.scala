@@ -982,6 +982,7 @@ object Similarity {
   private val cosinePairsBound = 0.95
   private val pqTopKBound = 0.5
   private val ivfPqTopKBound = 0.3
+  private val pqIncBound = 0.5
 
   /** Shared WITH-prefix of every graded-ANN oracle: the exact top-k CTE
     * (identical semantics to the `ann_cosine_topk` oracle, parameterized by
@@ -1151,6 +1152,26 @@ object Similarity {
       cosineTopK(corpus, q, "vec_id", "embedding", 10), ivfIncBound)
   }
 
+  /** PQ twin of [[lshIncrementalQ]]: codebooks trained and the corpus
+    * slice encoded ONCE — the persisted code frame IS the serving index
+    * (8 ints per vector; the floats stay in storage for the refine) —
+    * then the disjoint query batch probes it through
+    * [[cosineTopKPqRefined]] (ADC scan + shortlist float refine), graded
+    * against the exact twin over the same corpus slice. Same cache
+    * contract as the LSH/IVF incremental entries; floor = the
+    * SimilaritySpec pin. */
+  private val pqIncrementalQ: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val corpus = e.filter(col("vec_id") >= 20)
+    val q = e.filter(col("vec_id") < 10)
+    val cb = pqCodebooks(corpus, "vec_id", "embedding", m = 8, nCodes = 32)
+    val index = pqIndex(corpus, "vec_id", "embedding", cb).persist()
+    recallGraded(
+      cosineTopKPqRefined(index, cb, corpus, q, "vec_id", "embedding", 10,
+        overfetch = 8),
+      cosineTopK(corpus, q, "vec_id", "embedding", 10), pqIncBound)
+  }
+
   /** Hybrid search: BM25 candidates from the documents table, reranked by
     * cosine against doc 0's embedding (doc_id ≡ vec_id in the testdata). */
   private val hybridQ: Q = (s, dir) =>
@@ -1168,6 +1189,7 @@ object Similarity {
     "ann_ivf_topk" -> ivfTopK,                   // recall-graded vs exact twin
     "ann_pq_topk" -> pqTopK,                     // recall-graded vs exact twin
     "ann_ivfpq_topk" -> ivfPqTopK,               // recall-graded vs exact twin
+    "ann_pq_incremental" -> pqIncrementalQ,      // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // recall-graded vs exact twin
@@ -1186,6 +1208,7 @@ object Similarity {
     "ann_ivf_topk" -> recallOracleSql("TRUE", 10, ivfTopKBound),
     "ann_pq_topk" -> recallOracleSql("TRUE", 10, pqTopKBound),
     "ann_ivfpq_topk" -> recallOracleSql("TRUE", 10, ivfPqTopKBound),
+    "ann_pq_incremental" -> recallOracleSql("c.vec_id >= 20", 10, pqIncBound),
     "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
     "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),
     "dedup_embedding_cosine" ->

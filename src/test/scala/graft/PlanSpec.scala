@@ -337,7 +337,7 @@ class PlanSpec extends SparkSpec {
       // round-10: PQ codebook training counts + collects a bounded sample
       // during construction (same fit contract as ann_ivf_topk); IVFADC
       // additionally fits the coarse quantizer + collects the query batch
-      "ann_pq_topk", "ann_ivfpq_topk",
+      "ann_pq_topk", "ann_ivfpq_topk", "ann_pq_incremental",
       "pipeline_clean_ingest", "s5_partitioned_sink", "s6_jdbc_roundtrip",
       "s8_csv_roundtrip", "s11_json_roundtrip", "s4_path_probe",
       // round-4 entries that run driver-side actions during construction

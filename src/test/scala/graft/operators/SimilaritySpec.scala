@@ -436,6 +436,36 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatched === 0L, "refined sims must be the exact cosine")
   }
 
+  test("incremental PQ probe: one encode, cached index, recall above the floor") {
+    val e = Tables(spark, sf001).embeddings
+    val corpus = e.filter(col("vec_id") >= 20)
+    val q1 = e.filter(col("vec_id") < 10)
+    val q2 = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, nCodes = 32)
+    val index = Similarity.pqIndex(corpus, "vec_id", "embedding", cb).persist()
+    index.count() // materialize once
+    try {
+      // the probe's ADC stage must read the CACHED code frame, not re-encode
+      val probe = Similarity.cosineTopKPqRefined(index, cb, corpus, q1,
+        "vec_id", "embedding", 10, overfetch = 8)
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "ADC scan should read the persisted index")
+      // two disjoint batches against the one index, both above the floor
+      for (q <- Seq(q1, q2)) {
+        val approx = Similarity.cosineTopKPqRefined(index, cb, corpus, q,
+          "vec_id", "embedding", 10, overfetch = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.cosineTopK(corpus, q, "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val n = exact.count()
+        val o = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val recall = o.toDouble / n
+        info(f"incremental PQ recall@10: $recall%.3f ($o of $n)")
+        assert(recall >= 0.5, f"recall $recall%.3f under the graded floor 0.5")
+      }
+    } finally index.unpersist()
+  }
+
   test("centroid silhouette: orthogonal clusters score 1, identical clusters 0") {
     // two tight orthogonal clusters: own-centroid sim 1, other 0 ->
     // silhouette (1-0)/(1-0) = 1 for every vector
