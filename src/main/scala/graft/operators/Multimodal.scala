@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, per the builder brief. The IMAGE decode path is
   * REAL — [[ImageIoDecoder]] decodes PNG payloads through the JDK's
-  * `javax.imageio` (no native codecs needed) and its features are
-  * oracle-checked end-to-end. Audio/video decode, which the JDK cannot do,
-  * stays behind the [[MediaDecoder]] trait with [[FakeDecoder]] as the
-  * clearly-marked deterministic stand-in; everything Spark-side — schema,
-  * batch iteration shape, partition-local lifecycle, output contract — is
-  * shared between the two and tested.
+  * `javax.imageio` (no native codecs needed) — and so is the AUDIO path:
+  * [[WavDecoder]] decodes WAV/PCM16 through `javax.sound.sampled`; both
+  * feature sets are oracle-checked end-to-end. VIDEO decode, which the JDK
+  * genuinely cannot do, stays behind the [[MediaDecoder]] trait with
+  * [[FakeDecoder]] as the clearly-marked deterministic stand-in;
+  * everything Spark-side — schema, batch iteration shape, partition-local
+  * lifecycle, output contract — is shared across all three and tested.
   *
   * Design: decode runs via `mapPartitions` over a typed Dataset (the Scala
   * twin of `mapInPandas`): one iterator in / one iterator out per partition,
@@ -108,6 +109,76 @@ object Multimodal {
       def r4(v: Double) = math.round(v * 10000.0) / 10000.0
       Array(w.toDouble, h.toDouble, r4(rs.toDouble / n), r4(gs.toDouble / n),
         r4(bs.toDouble / n))
+    }
+  }
+
+  /** ===== REAL DECODE KERNEL, AUDIO (r10 continuation) =====
+    * A pure-JVM WAV decoder over `javax.sound.sampled` — the JDK ships the
+    * WAVE container reader, so PCM audio needs no native codecs either.
+    * Features: `[n_samples, sample_rate, rms, mean_abs]` over the decoded
+    * signed-16-bit mono samples (exact integer sums divided once, rounded
+    * to 4 decimals — the repo's oracle-rounding convention). PCM is
+    * lossless, so for a synthetically generated integer waveform the
+    * decoded stats equal the generator's closed forms and DuckDB re-derives
+    * them — the same graduation [[ImageIoDecoder]] gave images. */
+  object WavDecoder extends MediaDecoder {
+    def decode(mediaType: String, content: Array[Byte]): Array[Double] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"expected PCM16 mono LE, got $fmt")
+      val bytes = in.readAllBytes()
+      in.close()
+      val n = bytes.length / 2
+      require(n > 0, s"empty $mediaType payload")
+      var sumSq = 0L
+      var sumAbs = 0L
+      var i = 0
+      while (i < n) {
+        val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+        sumSq += s.toLong * s
+        sumAbs += math.abs(s)
+        i += 1
+      }
+      def r4(v: Double) = math.round(v * 10000.0) / 10000.0
+      Array(n.toDouble, fmt.getSampleRate.toDouble,
+        r4(math.sqrt(sumSq.toDouble / n)), r4(sumAbs.toDouble / n))
+    }
+  }
+
+  /** Deterministic synthetic WAV for `media_id`: `800 + (id%40)·25` mono
+    * PCM16 samples at 8 kHz, sample i = `((i·(3 + id%5) + id·7) % 2001) −
+    * 1000` — an integer sawtooth, so every decoded statistic is a
+    * closed-form function of `id` the DuckDB oracle re-derives with a
+    * `range()` unnest (no float trig to drift across engines). */
+  def syntheticWav(mediaId: Long): Array[Byte] = {
+    val n = (800 + (mediaId % 40) * 25).toInt
+    val step = 3 + (mediaId % 5)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i * step + mediaId * 7) % 2001 - 1000).toInt
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Media table with REAL WAV payloads: one synthetic sawtooth clip per
+    * document id, encoded executor-side (no shuffle, no collect). */
+  def syntheticWavMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long].map { id =>
+      val n = (800 + id % 40 * 25).toInt
+      MediaRecord(id, "audio/wav", syntheticWav(id), n, 1, n)
     }
   }
 
@@ -256,6 +327,24 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** REAL audio decode end-to-end (the [[decodeQ]] graduation applied to
+    * the second modality): synthetic integer-sawtooth WAV per document →
+    * JDK WAVE encode → [[WavDecoder]] decode → sample count, rate, RMS,
+    * mean |amplitude|. PCM is lossless, so every column is the generator's
+    * closed form and the oracle re-derives it. (WAVE container bytes stay
+    * engine-local and are not emitted — the binary-plumbing digests are
+    * `mm_binary_stats`.) */
+  private val audioQ: Q = (s, dir) => {
+    decodeFeatures(syntheticWavMedia(s, dir), WavDecoder)
+      .toDF()
+      .select(col("media_id"),
+        element_at(col("feature"), 1).cast(IntegerType).as("n_samples"),
+        element_at(col("feature"), 2).cast(IntegerType).as("sample_rate"),
+        element_at(col("feature"), 3).as("rms"),
+        element_at(col("feature"), 4).as("mean_abs"))
+      .orderBy("media_id")
+  }
+
   private val binaryStatsQ: Q = (s, dir) =>
     binaryStats(syntheticMedia(s, dir).toDF()).orderBy("media_id")
 
@@ -265,6 +354,7 @@ object Multimodal {
 
   val entries: Map[String, Q] = Map(
     "mm_decode_features" -> decodeQ,
+    "mm_audio_features" -> audioQ,
     "mm_binary_stats" -> binaryStatsQ,
     "mm_frame_sample" -> frameSampleQ,
   )
@@ -298,6 +388,26 @@ object Multimodal {
         |       JOIN gm ON m.media_id = gm.media_id
         |       JOIN bm ON m.media_id = bm.media_id
         |ORDER BY m.media_id""".stripMargin,
+    // the audio oracle re-derives the sawtooth generator's closed forms:
+    // exact integer sums of v and v*v over range(n), divided once then
+    // rounded — matching WavDecoder's arithmetic on the lossless PCM
+    "mm_audio_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(800 + (doc_id % 40) * 25 AS BIGINT) AS n,
+        |         3 + doc_id % 5 AS step
+        |  FROM documents),
+        |s AS (SELECT media_id, n,
+        |        (unnest(range(n)) * step + media_id * 7) % 2001 - 1000 AS v
+        |      FROM m),
+        |a AS (SELECT media_id,
+        |        CAST(count(*) AS INT) AS n_samples,
+        |        round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 4) AS rms,
+        |        round(CAST(sum(abs(v)) AS DOUBLE) / count(*), 4) AS mean_abs
+        |      FROM s GROUP BY media_id)
+        |SELECT media_id, n_samples, CAST(8000 AS INT) AS sample_rate,
+        |       rms, mean_abs
+        |FROM a ORDER BY media_id""".stripMargin,
     // the synthetic payload is the UTF-8 bytes of the doc text, so the
     // binary-side digest/length must equal the text-side ones
     "mm_binary_stats" ->

@@ -102,6 +102,28 @@ class MultimodalSpec extends SparkSpec {
     assert(decodes.value === out.length.toLong)
   }
 
+  test("WavDecoder round-trips synthetic WAVs to the generator's closed forms") {
+    // id 0: n = 800, step = 3 — samples (3i % 2001) - 1000; re-derive the
+    // stats driver-side from the FORMULA and assert the decoded WAV agrees
+    val ids = Seq(0L, 1L, 7L, 39L, 123L)
+    ids.foreach { id =>
+      val n = (800 + id % 40 * 25).toInt
+      val step = 3 + id % 5
+      val samples = (0 until n).map(i => (i * step + id * 7) % 2001 - 1000)
+      val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / n)
+      val meanAbs = samples.map(math.abs(_).toDouble).sum / n
+      def r4(v: Double) = math.round(v * 10000.0) / 10000.0
+      val got = Multimodal.WavDecoder.decode("audio/wav", Multimodal.syntheticWav(id))
+      assert(got(0) === n.toDouble, s"id $id sample count")
+      assert(got(1) === 8000.0, s"id $id rate")
+      assert(got(2) === r4(rms), s"id $id rms")
+      assert(got(3) === r4(meanAbs), s"id $id mean_abs")
+    }
+    // negative amplitudes must round-trip through the signed-16-bit encode
+    val s0 = (0 until 800).map(i => (i * 3) % 2001 - 1000)
+    assert(s0.min < -900 && s0.max > 900, "waveform spans both signs")
+  }
+
   test("empty partitions still bracket the decoder: open and close fire, zero decodes") {
     // a real codec context must be released even when a partition carries
     // no rows — e.g. after a selective filter upstream of the decode
