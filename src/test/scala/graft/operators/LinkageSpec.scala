@@ -67,6 +67,47 @@ class LinkageSpec extends SparkSpec {
       s"one-deletion linkage should resolve nearly all: $nCorrect/$nMatched")
   }
 
+  test("sorted neighborhood pairs are exactly the cross-side rank-window pairs") {
+    val c = Seq((1L, "aa", 1), (2L, "cc", 1), (3L, "ee", 1))
+      .toDF("m_id", "c_name", "b")
+    val d = Seq((11L, "ab", 1), (12L, "dd", 1))
+      .toDF("d_id", "d_name", "b")
+    // sorted stream: aa(c) ab(d) cc(c) dd(d) ee(c); w=1 pairs adjacent
+    // cross-side records only
+    val got = Linkage.sortedNeighborhoodCandidates(d, c, "b",
+        "d_id", "d_name", "m_id", "c_name", window = 1)
+      .select("d_id", "m_id", "rank_gap")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((11L, 1L, 1), (11L, 2L, 1), (12L, 2L, 1), (12L, 3L, 1)))
+    // the stream alternates sides, so every gap-2 pair is SAME-side and
+    // w=2 adds nothing; w=3 adds exactly the two gap-3 cross-side pairs
+    val w2 = Linkage.sortedNeighborhoodCandidates(d, c, "b",
+        "d_id", "d_name", "m_id", "c_name", window = 2)
+      .select("d_id", "m_id", "rank_gap")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(w2 === got, s"alternating sides: w=2 must add no cross pairs, got $w2")
+    val w3 = Linkage.sortedNeighborhoodCandidates(d, c, "b",
+        "d_id", "d_name", "m_id", "c_name", window = 3)
+      .select("d_id", "m_id", "rank_gap")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(w3 === got ++ Set((12L, 1L, 3), (11L, 3L, 3)),
+      s"w=3 should add exactly the rank-gap-3 cross-side pairs, got $w3")
+  }
+
+  test("SNM finds matches that equi-blocking loses to a dirty secondary key") {
+    // d4's twin sits in block (uk, B): nation+segment blocking can never
+    // pair them (pinned above). Nation-only SNM sorts 'jon smith' next to
+    // itself regardless of the segment and recovers the match.
+    val snm = Linkage.sortedNeighborhoodCandidates(
+        dirty.withColumnRenamed("nation", "n"),
+        clean.withColumnRenamed("nation", "n").filter($"m_id" === 4L),
+        // one shared block: SNM needs only SOME reliable coarse key
+        "seg", "d_id", "d_name", "m_id", "c_name", window = 3)
+      .filter($"d_id" === 4L && $"m_id" === 4L)
+    assert(snm.count() === 1L,
+      "the cross-block twin must surface in the sort window")
+  }
+
   test("incremental linkage equals the full run restricted to the batch") {
     val full = graft.SparkEntry.queries("link_best_match")(spark, sf001)
       .filter(col("d_id") % 5 === 0)
