@@ -165,6 +165,39 @@ object Layout {
         .otherwise("partial").as("decision"))
       .orderBy("part")
 
+  /** Bloom-augmented manifest: per partition, the zone-map row count and
+    * min/max PLUS the distinct Bloom bit-position set of a point-lookup
+    * key (`hashes` positions per key, `xxhash64(key, seed) mod bits`).
+    * Zone maps prune RANGE predicates but are nearly useless for point
+    * lookups on a key that is scattered across every partition (each
+    * tile's [min, max] spans the whole key space, so no tile ever skips);
+    * the per-tile Bloom answers "could this key be here at all" — the
+    * Iceberg/parquet bloom-filter column stat as a first-class queryable
+    * artifact. The position SET saturates at `bits` ints per tile no
+    * matter how many rows feed it (a storage format packs it to bits/8
+    * bytes), so the manifest stays metadata-sized at 100 TB; the build is
+    * one map-side-combinable aggregation pass. By construction the union
+    * of a tile's row positions contains every present key's positions —
+    * a Bloom probe can false-POSITIVE (hash collisions) but never
+    * false-negative, and the graded entry verifies that guarantee
+    * against the data rather than asserting it. */
+  def bloomManifest(df: DataFrame, partExpr: Column, keyCol: String,
+                    bits: Int = 4096, hashes: Int = 3): DataFrame = {
+    require(bits > 0 && hashes > 0)
+    df.groupBy(partExpr.as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as(s"min_$keyCol"),
+        max(col(keyCol)).as(s"max_$keyCol"),
+        array_distinct(flatten(collect_list(
+          bloomPositions(col(keyCol), bits, hashes)))).as("bloom"))
+  }
+
+  /** The `hashes` Bloom bit positions of one key — shared by build and
+    * probe so the two sides can never drift. */
+  def bloomPositions(key: Column, bits: Int, hashes: Int): Column =
+    array((0 until hashes).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(bits.toLong)).cast("int")): _*)
+
   /** Tile bounding boxes for an arbitrary clustering order — the generic
     * form of [[zOrderTileStats]], used to compare layouts under the same
     * prune predicate. */
@@ -309,7 +342,52 @@ object Layout {
       .orderBy("layout", "pred", "decision")
   }
 
+  /** Bloom-manifest point-lookup prune, GRADED on its guarantee: build
+    * the [[bloomManifest]] of lineitem over ship-month tiles keyed on
+    * l_orderkey, probe 24 literal keys (TPC-H orderkeys are sparse, so
+    * the set mixes present and absent keys), and emit per key the two
+    * numbers DuckDB re-derives exactly — tiles truly containing the key
+    * and tiles a zone-map planner must read — plus the in-engine
+    * no-false-negative check (every truly-containing tile survives the
+    * Bloom probe; a position-arithmetic bug would flip it to FALSE and
+    * hash-fail). The engine-local Bloom SURVIVOR count is hash-dependent
+    * and deliberately not emitted; LayoutSpec pins its effectiveness
+    * (it must out-prune the zone map on this scattered key). */
+  private val bloomPruneQ: Q = (s, dir) => {
+    import s.implicits._
+    val bits = 4096
+    val hashes = 3
+    val li = Tables(s, dir).lineitem
+    val part = date_trunc("month", col("l_shipdate")).cast("date")
+    val m = bloomManifest(li, part, "l_orderkey", bits, hashes)
+    val keysDf = (1L to 24L).toDF("key")
+    val probed = m.crossJoin(broadcast(keysDf))
+      .withColumn("minmax_hit",
+        col("key") >= col("min_l_orderkey") && col("key") <= col("max_l_orderkey"))
+      .withColumn("bloom_hit",
+        forall(bloomPositions(col("key"), bits, hashes),
+          p => array_contains(col("bloom"), p)))
+    val truthTiles = li.filter(col("l_orderkey").between(1L, 24L))
+      .select(col("l_orderkey").as("key"), part.as("part")).distinct()
+    val truth = truthTiles
+      .join(probed.select(col("part"), col("key"), col("bloom_hit")),
+        Seq("part", "key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_tiles_true"),
+        sum(when(!col("bloom_hit"), 1L).otherwise(0L)).as("__viol"))
+    val minmax = probed.groupBy("key")
+      .agg(sum(when(col("minmax_hit"), 1L).otherwise(0L)).as("n_tiles_minmax"))
+    keysDf.join(minmax, Seq("key"), "left")
+      .join(truth, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("n_tiles_true"), lit(0L)).as("n_tiles_true"),
+        coalesce(col("n_tiles_minmax"), lit(0L)).as("n_tiles_minmax"),
+        (coalesce(col("__viol"), lit(0L)) === 0L).as("bloom_no_false_neg"))
+      .orderBy("key")
+  }
+
   val entries: Map[String, Q] = Map(
+    "layout_bloom_prune" -> bloomPruneQ,
     "layout_zorder" -> zorderQ,
     "layout_compaction_plan" -> compactionQ,
     "layout_manifest_stats" -> manifestQ,
@@ -326,6 +404,32 @@ object Layout {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // zone-map counts and true-containment counts re-derived from the
+    // data; the Bloom guarantee flag asserted TRUE (the engine computes
+    // it against the data — no false negative is a structural property
+    // of the position-set union, and a build/probe drift would hash-fail)
+    "layout_bloom_prune" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', l_shipdate) AS part,
+        |         min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |keys AS (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS key),
+        |mm AS (
+        |  SELECT k.key,
+        |         CAST(sum(CASE WHEN k.key >= m.mn AND k.key <= m.mx
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_tiles_minmax
+        |  FROM keys k CROSS JOIN m GROUP BY k.key),
+        |tt AS (
+        |  SELECT l_orderkey AS key,
+        |         CAST(count(DISTINCT date_trunc('month', l_shipdate))
+        |              AS BIGINT) AS n_tiles_true
+        |  FROM lineitem WHERE l_orderkey BETWEEN 1 AND 24 GROUP BY 1)
+        |SELECT k.key, COALESCE(tt.n_tiles_true, 0) AS n_tiles_true,
+        |       mm.n_tiles_minmax, TRUE AS bloom_no_false_neg
+        |FROM keys k JOIN mm ON k.key = mm.key
+        |            LEFT JOIN tt ON k.key = tt.key
+        |ORDER BY k.key""".stripMargin,
     // merged-halves manifest must equal the direct manifest — same oracle
     "layout_manifest_merge" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,

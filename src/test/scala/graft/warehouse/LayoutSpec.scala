@@ -122,4 +122,39 @@ class LayoutSpec extends SparkSpec {
     assert(out === Map(1 -> "skip", 2 -> "skip", 3 -> "full",
       4 -> "partial", 5 -> "partial"))
   }
+
+  test("bloom manifest: bounded, no false negatives, out-prunes the zone map on a scattered key") {
+    val s = spark
+    import s.implicits._
+    val bits = 4096
+    val hashes = 3
+    val li = graft.Tables(spark, sf001).lineitem
+    val part = date_trunc("month", col("l_shipdate")).cast("date")
+    val m = Layout.bloomManifest(li, part, "l_orderkey", bits, hashes)
+    // the position set saturates at `bits` regardless of rows — the
+    // property that keeps the manifest metadata-sized
+    assert(m.select(max(size(col("bloom")))).as[Int].head() <= bits)
+    val keysDf = (1L to 24L).toDF("key")
+    val probed = m.crossJoin(broadcast(keysDf))
+      .withColumn("minmax_hit",
+        col("key") >= col("min_l_orderkey") && col("key") <= col("max_l_orderkey"))
+      .withColumn("bloom_hit",
+        forall(Layout.bloomPositions(col("key"), bits, hashes),
+          p => array_contains(col("bloom"), p)))
+    // structural guarantee: a tile truly containing the key always survives
+    val violations = li.filter(col("l_orderkey").between(1L, 24L))
+      .select(col("l_orderkey").as("key"), part.as("part")).distinct()
+      .join(probed.select(col("part"), col("key"), col("bloom_hit")),
+        Seq("part", "key"))
+      .filter(!col("bloom_hit")).count()
+    assert(violations === 0L, "bloom probes must never false-negative")
+    // effectiveness: orderkeys scatter across every ship month, so the
+    // zone map reads nearly everything while the bloom skips absent keys
+    val (bloomTiles, minmaxTiles) = probed.agg(
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)),
+        sum(when(col("minmax_hit"), 1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    assert(bloomTiles < minmaxTiles,
+      s"bloom should out-prune the zone map: bloom=$bloomTiles minmax=$minmaxTiles")
+  }
 }
