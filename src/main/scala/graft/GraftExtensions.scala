@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GraftContainsAny, GraftDot, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftVocabHits, MinHashAgg}
+import graft.functions.{GraftContainsAny, GraftDot, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftVocabHits, MinHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftJaroWinkler.builder))
     e.injectFunction((
       FunctionIdentifier("graft_pq_adc"), GraftPqAdc.info, GraftPqAdc.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      TopKAgg.builder))
     e.injectFunction((
       FunctionIdentifier("graft_contains_any"),
       new ExpressionInfo(classOf[GraftContainsAny].getName, "graft_contains_any"),

@@ -783,6 +783,45 @@ object CoreQueries {
       .orderBy("o_orderpriority", "rank_in_group")
   }
 
+  /** T6 — per-GROUP top-k FUSED with ordinary aggregates through the
+    * native bounded-heap aggregate [[graft.functions.TopKAgg]]
+    * (`graft_topk`): per priority class, order count + exact revenue +
+    * the top-20 orders by price, ONE aggregation pass over the fact.
+    *
+    * Spark's idiomatic grouped top-k (`row_number` over a partitioned
+    * window + filter) is already partially optimized since 3.5 — the
+    * rank<=k filter pushes down as a partial WindowGroupLimit (pinned
+    * for tfidf in PlanSpec) — but it still pays a per-partition Sort, a
+    * final per-group Sort, AND it cannot produce group-level aggregates
+    * in the same pass: count/sum need a second aggregation joined back.
+    * `graft_topk` is an algebraic aggregate (MinHashAgg's tier-b escape
+    * hatch), so the whole query is partial ObjectHashAggregate → one
+    * Exchange of (count, decimal-sum, k-row heap) states → final merge:
+    * sort-free on the fact, join-free, and the only Exchange carries
+    * |groups|-sized state (plan + window-twin equality pinned in
+    * PlanSpec/TopKAggSpec). At 100 TB that is one fact scan and one
+    * metadata-sized shuffle versus two scans (or a window sort) plus a
+    * re-join. */
+  private val t6TopkGroupNative: Q = (s, dir) => {
+    graft.functions.TopKAgg.register(s)
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        expr("graft_topk(o_totalprice, o_orderkey, 20)").as("top"))
+      .select(col("o_orderpriority"), col("n_orders"), col("revenue"),
+        posexplode(col("top")))
+      .select(
+        col("o_orderpriority"),
+        col("n_orders"),
+        col("revenue"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.tag").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val entries: Map[String, Q] = Map(
@@ -818,6 +857,7 @@ object CoreQueries {
     "j7_left_outer" -> j7LeftOuter,
     "j10_nullsafe_join" -> j10NullSafeJoin,
     "t3_topk_rank" -> t3TopkRank,
+    "t6_topk_group_native" -> t6TopkGroupNative,
     "w2_running_sum" -> w2RunningSum,
     "w3_lag_gap" -> w3LagGap,
     "w4_ntile" -> w4Ntile,
@@ -1033,6 +1073,22 @@ object CoreQueries {
         |       count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "t6_topk_group_native" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders),
+        |aggs AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT r.o_orderpriority, a.n_orders, a.revenue,
+        |       CAST(r.rank AS INT) AS rank, r.o_orderkey, r.o_totalprice
+        |FROM ranked r JOIN aggs a USING (o_orderpriority)
+        |WHERE r.rank <= 20
+        |ORDER BY r.o_orderpriority, rank""".stripMargin,
     "t3_topk_rank" ->
       """WITH top AS (
         |  SELECT o_custkey, count(*) AS n,

@@ -442,4 +442,19 @@ class PlanSpec extends SparkSpec {
     val (ex, _) = ExplainAudit.shuffleCounts(spark, sf001, "b12_rfm_segments")
     assert(ex <= 5, s"expected <= 5 Exchanges, got $ex")
   }
+
+  test("grouped top-k: partial heap aggregate before the shuffle, no Window/Sort on the fact") {
+    val p = plan("t6_topk_group_native")
+    // partial/final split => shuffle carries k-row heap states per group
+    assert(p.contains("partial_graft_topk"),
+      s"expected a Partial-mode graft_topk aggregate:\n$p")
+    assert(!p.contains("Window"), "grouped top-k must not fall back to a window sort")
+    // the group Exchange must carry aggregation state, not raw fact rows
+    val ex = p.split("\\n\\(").find(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning(o_orderpriority"))
+    assert(ex.nonEmpty, s"expected an Exchange on o_orderpriority:\n$p")
+    val input = ex.get.linesIterator.find(_.startsWith("Input")).getOrElse("")
+    assert(!input.contains("o_totalprice") && !input.contains("o_orderkey"),
+      s"group Exchange should carry heap state only, got: $input")
+  }
 }
