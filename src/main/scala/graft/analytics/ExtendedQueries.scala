@@ -364,6 +364,40 @@ object ExtendedQueries {
     * HLL_8 and the estimate after back-conversion can differ in the last
     * digits from the direct HLL_4 sketch once past sparse mode (measured
     * 1488 vs 1492 on sf0.01's 1500 true distincts — 0.27%). */
+  /** A49 — sketch set-ALGEBRA: audience overlap between two order
+    * segments by HLL inclusion-exclusion, |A∩B| ≈ est(A)+est(B)−est(A∪B).
+    * The 100-TB shape this stands for: per-segment sketches are built
+    * once (here both in ONE pass over a per-customer rollup, via
+    * null-skipping conditional `hll_sketch_agg`) and any pairwise overlap
+    * is then sketch arithmetic on KB-sized states — no re-scan, no
+    * distinct-join of two 100-TB segment extracts. Graded the a23 way:
+    * the exact per-segment/union/intersect counts are DuckDB-reproducible
+    * columns, and the sketch estimate must land within ±5% OF THE UNION
+    * (inclusion-exclusion compounds three ~1.6%-rsd estimates, so the
+    * honest tolerance is union-relative, not intersect-relative; measured
+    * |err| ≈ 21 on a 1500-wide union at sf0.01). */
+  private val hllIntersectQ: Q = (s, dir) => {
+    val eps = 0.05
+    val per = Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("a"),
+        max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("b"))
+    per.agg(
+      sum(col("a")).as("n_a"),
+      sum(col("b")).as("n_b"),
+      sum(greatest(col("a"), col("b"))).as("n_union"),
+      sum(col("a") * col("b")).as("n_intersect"),
+      hll_sketch_agg(when(col("a") === 1, col("o_custkey"))).as("sk_a"),
+      hll_sketch_agg(when(col("b") === 1, col("o_custkey"))).as("sk_b"))
+      .select(
+        col("n_a"), col("n_b"), col("n_union"), col("n_intersect"),
+        ((abs(hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          - col("n_intersect"))) <= lit(eps) * col("n_union"))
+          .as("intersect_within_eps"))
+  }
+
   private val hllMergeQ: Q = (s, dir) => {
     val o = Tables(s, dir).orders
     val eps = 0.02
@@ -802,6 +836,7 @@ object ExtendedQueries {
     "a18_count_distinct" -> distinctCountsQ,
     "a19_approx_distinct" -> approxDistinctQ,
     "a23_hll_mergeable" -> hllMergeQ,   // tolerance-graded vs exact (r8)
+    "a49_hll_intersect" -> hllIntersectQ, // sketch set-algebra, union-relative tolerance
     "a41_cms_frequency" -> cmsQ,        // tolerance-graded vs exact
     "a42_crosstab" -> crosstabQ,
     "s7_sql_views" -> sqlViewsQ,
@@ -1064,6 +1099,18 @@ object ExtendedQueries {
         |       TRUE AS merged_within_eps,
         |       TRUE AS merge_consistent
         |FROM orders""".stripMargin,
+    "a49_hll_intersect" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS b
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |       CAST(sum(b) AS BIGINT) AS n_b,
+        |       CAST(sum(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+        |       CAST(sum(a * b) AS BIGINT) AS n_intersect,
+        |       TRUE AS intersect_within_eps
+        |FROM per""".stripMargin,
     "a41_cms_frequency" ->
       """SELECT event_type, count(*) AS n_exact,
         |       TRUE AS est_within_eps,
