@@ -338,7 +338,38 @@ object Gates {
       .orderBy("table_name")
   }
 
+  /** ε-differentially-private count release (Laplace mechanism) with
+    * ENGINE-REPLAYABLE noise: the Laplace draw is derived from the
+    * md5-uniform of the group key + a release tag (the r3_stratified_hash
+    * convention — power-of-two modulus so DuckDB's unsigned
+    * `md5_number_upper` and Spark's signed pmod agree), then inverse-CDF
+    * transformed: noise = −(Δf/ε)·sign(u−½)·ln(1−2|u−½|). Deterministic
+    * noise keyed on (group, release-tag) is exactly how a production DP
+    * release makes repeated queries return the SAME answer instead of
+    * averaging the noise away — re-randomizing per query leaks ε per
+    * call. ln() agrees across engines to ulps; the released value is
+    * rounded to 4 decimals so the hash compare is stable. `n_true` is the
+    * grading-harness column (a real release emits only `n_released`;
+    * sensitivity Δf = 1 for counts, ε = 0.5 here). */
+  private val dpNoisedCountsQ: Q = (s, dir) => {
+    val eps = 0.5
+    val draw = pmod(
+      graft.functions.TextOps.md5Hash64Hof(
+        concat(col("o_orderpriority"), lit(":dp-release-1"))),
+      lit(1048576L))
+    val u = (draw.cast("double") + lit(0.5)) / lit(1048576.0)
+    val v = u - lit(0.5)
+    val noise = lit(-1.0 / eps) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("o_orderpriority"), col("n_true"),
+        round(col("n_true") + noise, 4).as("n_released"))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q_dp_noised_counts" -> dpNoisedCountsQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_k_anonymize_ladder" -> kAnonymizeQ,
     "q_l_diversity" -> lDiversityQ,
@@ -351,6 +382,18 @@ object Gates {
   )
 
   val oracles: Map[String, String] = Map(
+    // the md5-uniform draw replays exactly (power-of-two modulus); the
+    // Laplace inverse-CDF ln() agrees to ulps and the release rounds to 4dp
+    "q_dp_noised_counts" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, count(*) AS n_true,
+        |         (CAST(md5_number_upper(o_orderpriority || ':dp-release-1')
+        |               % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n_true,
+        |       round(n_true + (-1.0 / 0.5) * sign(u - 0.5)
+        |                      * ln(1 - 2 * abs(u - 0.5)), 4) AS n_released
+        |FROM t ORDER BY o_orderpriority""".stripMargin,
     "q_k_anonymize_ladder" ->
       """WITH lv(g) AS (VALUES (250), (500), (1000), (2000), (4000), (8000)),
         |grp AS (
