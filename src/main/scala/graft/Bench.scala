@@ -70,6 +70,7 @@ object Bench {
     // round-10 entries
     "ann_pq_topk", "ann_ivfpq_topk", "ann_pq_incremental",
     "link_snm_accuracy", "layout_bloom_prune", "t6_topk_group_native",
+    "ml_logreg_irls",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

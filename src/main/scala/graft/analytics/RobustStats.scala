@@ -405,7 +405,139 @@ object RobustStats {
       (col("l_orderkey") * 7 + col("l_linenumber")) % 2 === 0,
       alpha = 0.1)
 
+  /** Logistic regression trained IN-ENGINE by ridge-IRLS (penalized
+    * Newton), oracle-EXACT: a fixed `iters`-step schedule from β=0 where
+    * each step aggregates the five weighted moments (Σw, Σwx, Σwx²,
+    * Σ(wη+y−p), Σx(wη+y−p)) as exact DECIMAL(30,10) sums — map-side
+    * combinable, one metadata-sized Exchange per step — then solves the
+    * 2×2 ridge normal equations on the driver (a 1-row collect per step,
+    * the text_bpe_train merge-round contract). β is rounded to 8dp
+    * BETWEEN steps (the module's anchor-rounding discipline) so both
+    * engines iterate from identical states; the DuckDB oracle is the
+    * GENERATED `iters`-times-unrolled CTE chain of the same recurrence
+    * ([[logregOracleSql]] — the text_bpe_train generated-oracle
+    * pattern). Ridge (λ on the Hessian diagonal) keeps the step bounded
+    * on separable data, where plain IRLS diverges.
+    *
+    * Scale shape: the training data never moves — each step is one
+    * partial-aggregate pass producing 5 decimal sums; at 100 TB that is
+    * `iters` scans (or one scan per step over a cached 2-column
+    * projection, as here) with state the size of the model, not the
+    * data. GBT training (ml_gbt_metrics) remains rows-only because its
+    * seeded tree splits aren't oracle-reproducible; THIS entry is the
+    * hash-green trained-classifier counterpart. */
+  def logregIrls(feats: DataFrame, iters: Int, lambda: Double): DataFrame = {
+    val s10 = DecimalType(30, 10)
+    def r8(v: Double): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f = feats.persist()
+    try {
+      var b0 = 0.0
+      var b1 = 0.0
+      for (_ <- 1 to iters) {
+        val eta = lit(b0) + lit(b1) * col("x")
+        val p = lit(1.0) / (lit(1.0) + exp(-eta))
+        val w = p * (lit(1.0) - p)
+        val r = w * eta + (col("y") - p)
+        val m = f.agg(
+          sum(w.cast(s10)).cast(DoubleType),
+          sum((w * col("x")).cast(s10)).cast(DoubleType),
+          sum((w * col("x") * col("x")).cast(s10)).cast(DoubleType),
+          sum(r.cast(s10)).cast(DoubleType),
+          sum((r * col("x")).cast(s10)).cast(DoubleType)).head()
+        val (sww, swx, swxx, r0, r1) =
+          (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3), m.getDouble(4))
+        val det = (sww + lambda) * (swxx + lambda) - swx * swx
+        b0 = r8(((swxx + lambda) * r0 - swx * r1) / det)
+        b1 = r8(((sww + lambda) * r1 - swx * r0) / det)
+      }
+      val pFin = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x"))))
+      f.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("y").cast("int")).as("n_pos"),
+        round(lit(b0), 6).as("beta0"),
+        round(lit(b1), 6).as("beta1"),
+        round(
+          sum((-(col("y") * log(pFin) + (lit(1.0) - col("y")) * log(lit(1.0) - pFin)))
+            .cast(s10)).cast(DoubleType) / count(lit(1)), 6).as("log_loss"))
+        .select(col("n_rows"), col("n_pos"),
+          lit(r6(b0)).as("beta0"), lit(r6(b1)).as("beta1"), col("log_loss"))
+    } finally f.unpersist()
+  }
+
+  /** Planted-Bernoulli label over documents: y_i = 1 iff the
+    * engine-replayable md5-uniform of doc_id falls under σ(−3 + x_i),
+    * x = n_chars/100 — so the IRLS fit must RECOVER the planted (−3, 1)
+    * modulo ridge shrinkage (lands at (−2.83, 0.95) at sf0.01), the same
+    * planted-recovery grading as a47_ols_closed_form. */
+  private val logregQ: Q = (s, dir) => {
+    val x = col("n_chars").cast(DoubleType) / lit(100.0)
+    val u = (pmod(
+      graft.functions.TextOps.md5Hash64Hof(
+        concat(col("doc_id").cast("string"), lit(":lr"))),
+      lit(1048576L)).cast(DoubleType) + lit(0.5)) / lit(1048576.0)
+    val planted = lit(1.0) / (lit(1.0) + exp(lit(3.0) - x))
+    logregIrls(
+      Tables(s, dir).documents
+        .select(x.as("x"),
+          when(u < planted, 1.0).otherwise(0.0).as("y")),
+      iters = 4, lambda = 1.0)
+  }
+
+  /** The generated `iters`-unrolled DuckDB twin of [[logregIrls]] over the
+    * same planted feature frame (text_bpe_train's generated-oracle
+    * pattern): CTE pair (moments_k, beta_k) per step, identical decimal
+    * routing, identical 8dp inter-step rounding. */
+  private def logregOracleSql(iters: Int, lambda: Double): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val feat =
+      """f AS (
+        |  SELECT n_chars / 100.0 AS x,
+        |         CASE WHEN (md5_number_upper(CAST(doc_id AS VARCHAR) || ':lr')
+        |                    % 1048576 + 0.5) / 1048576.0
+        |                   < 1 / (1 + exp(3.0 - n_chars / 100.0))
+        |              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM documents)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val prev = s"b${k - 1}"
+      s"""m$k AS (
+         |  SELECT
+         |    CAST(sum(CAST(w AS DECIMAL(30,10))) AS DOUBLE) AS sww,
+         |    CAST(sum(CAST(w * x AS DECIMAL(30,10))) AS DOUBLE) AS swx,
+         |    CAST(sum(CAST(w * x * x AS DECIMAL(30,10))) AS DOUBLE) AS swxx,
+         |    CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS r0,
+         |    CAST(sum(CAST(r * x AS DECIMAL(30,10))) AS DOUBLE) AS r1
+         |  FROM (SELECT x, p * (1 - p) AS w,
+         |               p * (1 - p) * eta + (y - p) AS r
+         |        FROM (SELECT x, y, b0 + b1 * x AS eta,
+         |                     1 / (1 + exp(-(b0 + b1 * x))) AS p
+         |              FROM f, $prev))),
+         |b$k AS (
+         |  SELECT
+         |    round(((swxx + $lam) * r0 - swx * r1)
+         |          / ((sww + $lam) * (swxx + $lam) - swx * swx), 8) AS b0,
+         |    round(((sww + $lam) * r1 - swx * r0)
+         |          / ((sww + $lam) * (swxx + $lam) - swx * swx), 8) AS b1
+         |  FROM m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $feat,
+       |b0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1),
+       |$steps
+       |SELECT count(*) AS n_rows,
+       |       CAST(sum(CAST(y AS INT)) AS BIGINT) AS n_pos,
+       |       round(min(b0), 6) AS beta0,
+       |       round(min(b1), 6) AS beta1,
+       |       round(CAST(sum(CAST(-(y * ln(p) + (1 - y) * ln(1 - p))
+       |                          AS DECIMAL(30,10))) AS DOUBLE)
+       |             / count(*), 6) AS log_loss
+       |FROM (SELECT y, b0, b1, 1 / (1 + exp(-(b0 + b1 * x))) AS p
+       |      FROM f, b$iters)""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
+    "ml_logreg_irls" -> logregQ,
     "ml_kfold_ols" -> kfoldQ,
     "ml_conformal_interval" -> conformalQ,
     "a37_zscore_outliers" -> zscoreQ,
@@ -418,6 +550,7 @@ object RobustStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_logreg_irls" -> logregOracleSql(iters = 4, lambda = 1.0),
     // per-fold DECIMAL moments; leave-fold-out = exact decimal window
     // subtraction; Cramer + held-out SSE in the same fixed-order double
     // math as the engine

@@ -152,4 +152,33 @@ class RobustStatsSpec extends SparkSpec {
     assert(qhat >= 0.8 && qhat <= 0.9, s"qhat=$qhat")
     assert(coverage >= 0.85 && coverage <= 1.0, s"coverage=$coverage")
   }
+
+  test("ridge-IRLS logistic recovers a separable planted rule within shrinkage") {
+    val s = spark
+    import s.implicits._
+    // y = 1 iff x > 0 with a wide margin: plain IRLS diverges (weights->0),
+    // ridge keeps the step bounded; recovery means beta1 >> 0 and the fit
+    // classifies the training set perfectly by sign
+    val df = ((1 to 100).map(i => (i / 10.0, 1.0)) ++
+      (1 to 100).map(i => (-i / 10.0, 0.0))).toList.toDF("x", "y")
+    val r = RobustStats.logregIrls(df, iters = 4, lambda = 1.0).collect().head
+    assert(r.getLong(0) === 200L && r.getLong(1) === 100L)
+    val (b0, b1, ll) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(b1 > 1.0, s"separating slope not recovered: beta1=$b1")
+    assert(math.abs(b0) < 1.0, s"symmetric data should give ~0 intercept: $b0")
+    assert(ll < 0.2, s"log-loss should be small on separable data: $ll")
+  }
+
+  test("IRLS on zero-signal data shrinks to the base-rate intercept") {
+    val s = spark
+    import s.implicits._
+    // x carries no information: beta1 ~ 0, sigmoid(beta0) ~ base rate 0.25
+    val df = (1 to 400).map(i =>
+      ((i % 7).toDouble, if (i % 4 == 0) 1.0 else 0.0)).toList.toDF("x", "y")
+    val r = RobustStats.logregIrls(df, iters = 4, lambda = 1.0).collect().head
+    val (b0, b1) = (r.getDouble(2), r.getDouble(3))
+    val p = 1.0 / (1.0 + math.exp(-b0))
+    assert(math.abs(b1) < 0.05, s"no-signal slope should be ~0: $b1")
+    assert(math.abs(p - 0.25) < 0.05, s"sigmoid(intercept)=$p should be ~0.25")
+  }
 }
