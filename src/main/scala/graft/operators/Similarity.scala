@@ -112,14 +112,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist2"))
   }
 
-  /** Shared top-k tail: rank by sim within each query, keep k best. The
-    * input must already be projected down to (query_id, neighbor_id, sim). */
+  /** Shared top-k tail: keep the k best neighbors per query, ranked by
+    * (sim desc, neighbor_id asc). The input must already be projected down
+    * to (query_id, neighbor_id, sim).
+    *
+    * Since the r10 continuation this is the native bounded-heap aggregate
+    * [[graft.functions.TopKAgg]] rather than a row_number window: the
+    * window form (even with 3.5's partial WindowGroupLimit) SORTS every
+    * scored candidate row per map partition before the per-query
+    * Exchange, which at real scale is a sort of |corpus-candidates| ×
+    * |queries| rows per partition; the aggregate form rejects
+    * non-qualifying candidates in O(1) against a k-sized heap and ships
+    * one packed heap state per (partition, query) — the Exchange now
+    * carries aggregation state, not candidate rows at all (the r3-weak-#2
+    * "project before the window" lesson, taken to its end point). Output
+    * rows, ranks and tie-breaks are bit-identical to the window form
+    * (TopKAggSpec pins the equality on the same (desc, asc) comparator). */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.TopKAgg.register(scored.sparkSession)
+    scored
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(sim, neighbor_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.tag").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
   }
 
   /** Hyperplane normal matrix for [[lshBucket]]: component (p, d) is

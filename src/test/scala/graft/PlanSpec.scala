@@ -30,20 +30,27 @@ class PlanSpec extends SparkSpec {
       s"scan should read only selected columns: $read")
   }
 
-  test("ann top-k shuffles only (query_id, neighbor_id, sim) — no embedding arrays") {
+  test("ann top-k: heap states cross the per-query Exchange — no embedding arrays, no sort") {
     val p = plan("ann_cosine_topk")
     val sections = p.split("\\n\\(")
     val exchanges = sections.filter(s =>
       s.contains("Exchange") && s.contains("hashpartitioning(query_id"))
-    assert(exchanges.nonEmpty, "expected a per-query window Exchange")
+    assert(exchanges.nonEmpty, "expected a per-query Exchange")
     exchanges.foreach { s =>
       val input = s.linesIterator.find(_.startsWith("Input")).getOrElse("")
       assert(!input.contains("cv#") && !input.contains("qv#"),
-        s"window Exchange must not carry embedding arrays: $input")
+        s"per-query Exchange must not carry embedding arrays: $input")
+      assert(!input.contains("sim#"),
+        s"per-query Exchange should carry heap state, not scored candidate rows: $input")
     }
-    // Spark 4 pushes the rank filter into the shuffle as a group limit —
-    // partial top-k before the Exchange, the shape you want at 100 TB
-    assert(p.contains("WindowGroupLimit"))
+    // r10 continuation: the shared top-k tail is the graft_topk bounded
+    // heap — partial aggregation before the Exchange and NO sort of the
+    // scored candidates anywhere (the window form, even with Spark 4's
+    // WindowGroupLimit, sorted every candidate row per map partition)
+    assert(p.contains("partial_graft_topk"),
+      "expected a Partial-mode graft_topk aggregate")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      "ann top-k must not fall back to the window sort")
   }
 
   test("tfidf top-k: window-derived df, partial WindowGroupLimit before the shuffle") {
