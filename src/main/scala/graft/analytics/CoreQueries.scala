@@ -767,19 +767,24 @@ object CoreQueries {
     * engines, and corpus growth (a grown group only ever APPENDS
     * higher-ranked rows after the kept ones are fixed... new rows can
     * displace old ones only by drawing a lower hash, which is the
-    * documented uniform-without-replacement semantics). One
-    * hash-partitioned window per stratum — k·strata output rows; the
-    * rank's sort is per-group, never global. */
+    * documented uniform-without-replacement semantics). Since the r10
+    * continuation the per-stratum selection rides the [[graft.functions
+    * .TopKAgg]] bounded heap (score = −draw, so smallest draws win; equal
+    * draws break toward the smaller key — the same total order as the
+    * previous window) instead of a row_number window: no per-group sort
+    * of the WHOLE stratum, one packed k-row state per (partition,
+    * stratum) across the Exchange. Output is bit-identical. */
   private val r4GroupSample: Q = (s, dir) => {
+    graft.functions.TopKAgg.register(s)
     val draw = pmod(graft.functions.TextOps.md5Hash64Hof(
       col("o_orderkey").cast(StringType)), lit(1048576L))
     Tables(s, dir).orders
-      .withColumn("__draw", draw)
-      .withColumn("rank_in_group", row_number().over(
-        Window.partitionBy("o_orderpriority")
-          .orderBy(col("__draw"), col("o_orderkey"))))
-      .filter(col("rank_in_group") <= 20)
-      .select(col("o_orderpriority"), col("o_orderkey"), col("rank_in_group"))
+      .withColumn("__nd", -draw.cast(DoubleType))
+      .groupBy("o_orderpriority")
+      .agg(expr("graft_topk(__nd, o_orderkey, 20)").as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), col("col.tag").as("o_orderkey"),
+        (col("pos") + 1).as("rank_in_group"))
       .orderBy("o_orderpriority", "rank_in_group")
   }
 
