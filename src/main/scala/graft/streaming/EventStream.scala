@@ -504,7 +504,47 @@ object EventStream {
     }
   }
 
+  /** Streaming "trending now": a complete-mode streaming aggregation of
+    * exact decimal value totals per (event_type, user), whose per-batch
+    * state flows through the [[graft.functions.TopKAgg]] bounded heap
+    * inside `foreachBatch` to publish the current top-5 users per event
+    * type — the incrementally-maintained dashboard trending tile. Each
+    * micro-batch OVERWRITES the published tile (the tile is a snapshot,
+    * not a log, so the restart-idempotence story is the overwrite itself);
+    * with the bounded one-file feed AvailableNow drains in one batch and
+    * the final tile must equal the batch answer exactly. At scale the
+    * streaming state is |event_type × active users| running sums and the
+    * published tile is k rows per type — both metadata-sized; the heap
+    * aggregate keeps the per-batch publish sort-free (same argument as
+    * [[graft.operators.Similarity]]'s topKPerQuery). */
+  private val streamTrendingQ: Q = (s, dir) => {
+    graft.functions.TopKAgg.register(s)
+    val agg = eventsStream(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("total_dec"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_trend").toString
+    val data = java.nio.file.Files.createTempDirectory("graft_trend_sink").toString
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.functions.TopKAgg.register(b.sparkSession)
+        b.select(col("event_type"), col("user_id"),
+            col("total_dec").cast("double").as("total"))
+          .groupBy("event_type")
+          .agg(expr("graft_topk(total, user_id, 5)").as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).as("rank"),
+            col("col.tag").as("user_id"), col("col.score").as("total"))
+          .write.mode("overwrite").parquet(data)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(data).orderBy("event_type", "rank")
+  }
+
   val entries: Map[String, Q] = Map(
+    "stream_trending_topk" -> streamTrendingQ,
     "w_tumbling_hourly" -> tumblingQ,
     "w_sliding_6h_1h" -> slidingQ,
     "w_session_windows" -> sessionQ,
@@ -516,6 +556,19 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_trending_topk" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, total,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY total DESC, user_id) AS INT) AS rank
+        |  FROM t)
+        |SELECT event_type, rank, user_id, total FROM r
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "w_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
