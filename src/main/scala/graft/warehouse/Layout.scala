@@ -44,6 +44,52 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert curve index (the canonical xy2d bit-transform): appends
+    * column `out` = the Hilbert d-index of the low-`bits` grid cell
+    * (x, y). Unlike the Morton code, CONSECUTIVE Hilbert indices are
+    * always grid-ADJACENT (no 2^k jumps at quadrant seams), which is why
+    * Hilbert clustering yields tighter tile bounding boxes than Z-order
+    * on box predicates — the curve every modern OPTIMIZE implementation
+    * offers beside Z-order. The per-step quadrant rotation makes the
+    * index a FOLD over bit positions with mutating (x, y) state, so it
+    * is built as one small projection per bit (CollapseProject keeps
+    * them separate — the when() chains are non-cheap and multiply
+    * referenced; inlining all `bits` steps into one expression grows the
+    * tree ~3x per step). Pure integer arithmetic, whole-stage codegen,
+    * no UDF; bit-identical to the unrolled-CTE SQL twin in the
+    * layout_hilbert_prune oracle. */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+                  out: String): DataFrame = {
+    val mask = lit((1L << bits) - 1)
+    var cur = df
+      .withColumn("__hx", x.cast(LongType).bitwiseAND(mask))
+      .withColumn("__hy", y.cast(LongType).bitwiseAND(mask))
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      cur = cur
+        .withColumn(out,
+          col(out) + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+        // quadrant rotation: ry=0 => (x', y') = rx=1 ? (s-1-y, s-1-x)
+        // : (y, x); ry=1 => unchanged — both new values read the OLD
+        // state, so they are computed in one projection step
+        .withColumn("__hx2",
+          when(col("__hy").bitwiseAND(lit(s)) === 0,
+            when(col("__hx").bitwiseAND(lit(s)) > 0,
+              lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__hy",
+          when(col("__hy").bitwiseAND(lit(s)) === 0,
+            when(col("__hx").bitwiseAND(lit(s)) > 0,
+              lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__hx2"))
+    }
+    cur.drop("__hx", "__hy", "__hx2")
+  }
+
   /** Per-"file" bounding boxes after Z-order clustering — the GRADED-SCALE
     * PROOF HARNESS, not the production re-layout. It uses a global
     * unpartitioned `ntile` (a single-task sort) ONLY because exact
@@ -395,7 +441,72 @@ object Layout {
     "layout_prune_plan" -> pruneQ,
     "layout_zorder_prune" -> zorderPruneQ,
     "layout_compare_prune" -> comparePruneQ,
+    "layout_hilbert_prune" -> hilbertPruneQ,
   )
+
+  /** Hilbert-clustered tile census against the same three rectangular
+    * predicates as [[comparePruneQ]] — the curve-quality capstone of the
+    * layout family. Same harness shape (256-grid scaled coordinates,
+    * ntile(32) proof tiles, skip/full/partial census); the oracle is the
+    * GENERATED 8-step-unrolled CTE twin of [[withHilbert]]
+    * ([[hilbertStepsSql]]). Honest measurement note: at this coarse proof
+    * granularity (32 tiles over a uniform grid) the census reads
+    * comparable to zorder_scaled (box skip 18 vs 19 at sf0.01) — the
+    * adjacency advantage shows up as tile counts approach grid cells,
+    * i.e. in per-FILE bounding boxes at real scale, not in 1875-row proof
+    * tiles. What IS pinned (LayoutSpec): the canonical 4×4 curve table
+    * and the adjacency property Morton provably lacks — consecutive
+    * Hilbert indices are always grid-adjacent, so a tile of consecutive
+    * indices is a connected region with a perimeter-bound bounding box. */
+  // lazy: declared after the entries map it is registered in
+  private lazy val hilbertPruneQ: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir).lineitem.select("l_partkey", "l_suppkey")
+    val big = 1L << 40
+    val preds = Seq(
+      ("x_range", 200L, 600L, 0L, big),
+      ("y_range", 0L, big, 20L, 80L),
+      ("box", 200L, 600L, 20L, 80L),
+    ).toDF("pred", "x1", "x2", "y1", "y2")
+    val ranges = li.agg(max(col("l_partkey")).as("xmax"),
+      max(col("l_suppkey")).as("ymax"))
+    val scaled = withHilbert(
+      li.crossJoin(broadcast(ranges)),
+      floor(col("l_partkey") * lit(256.0) / (col("xmax") + lit(1))),
+      floor(col("l_suppkey") * lit(256.0) / (col("ymax") + lit(1))),
+      bits = 8, out = "hv")
+    val tiles = tileStats(scaled, "l_partkey", "l_suppkey", 32,
+      Seq(col("hv"), col("l_partkey"), col("l_suppkey")))
+    tiles.crossJoin(broadcast(preds))
+      .select(col("pred"), col("n"),
+        when(col("x_max") < col("x1") || col("x_min") > col("x2") ||
+             col("y_max") < col("y1") || col("y_min") > col("y2"), "skip")
+          .when(col("x_min") >= col("x1") && col("x_max") <= col("x2") &&
+                col("y_min") >= col("y1") && col("y_max") <= col("y2"),
+            "full")
+          .otherwise("partial").as("decision"))
+      .groupBy("pred", "decision")
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n")).as("n_rows"))
+      .orderBy("pred", "decision")
+  }
+
+  /** The generated unrolled-CTE SQL twin of [[withHilbert]]: one CTE per
+    * bit position threading (hx, hy, d) through the xy2d rotation. */
+  private def hilbertStepsSql(bits: Int): String =
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      s"""h${k + 1} AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CASE WHEN (hy & $s) = 0
+         |         THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END
+         |         ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0
+         |         THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END
+         |         ELSE hy END AS hy,
+         |    d + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |                       (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS d
+         |  FROM h$k)""".stripMargin
+    }.mkString(",\n")
 
   private def zTerms(xc: String, yc: String, bits: Int): String =
     (0 until bits).map { i =>
@@ -404,6 +515,41 @@ object Layout {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "layout_hilbert_prune" ->
+      s"""WITH rng AS (SELECT max(l_partkey) AS xmax, max(l_suppkey) AS ymax
+         |             FROM lineitem),
+         |h0 AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         (CAST(floor(l_partkey * 256.0 / (xmax + 1)) AS BIGINT) & 255)
+         |           AS hx,
+         |         (CAST(floor(l_suppkey * 256.0 / (ymax + 1)) AS BIGINT) & 255)
+         |           AS hy,
+         |         CAST(0 AS BIGINT) AS d
+         |  FROM lineitem, rng),
+         |${hilbertStepsSql(8)},
+         |t AS (
+         |  SELECT *, ntile(32) OVER (ORDER BY d, l_partkey, l_suppkey) AS tile
+         |  FROM h8),
+         |tiles AS (
+         |  SELECT tile, count(*) AS n,
+         |         min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |         min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+         |  FROM t GROUP BY 1),
+         |preds(pred, x1, x2, y1, y2) AS (VALUES
+         |  ('x_range', 200, 600, 0, 1099511627776),
+         |  ('y_range', 0, 1099511627776, 20, 80),
+         |  ('box', 200, 600, 20, 80)),
+         |dec AS (
+         |  SELECT pred, n,
+         |         CASE WHEN x_max < x1 OR x_min > x2
+         |                OR y_max < y1 OR y_min > y2 THEN 'skip'
+         |              WHEN x_min >= x1 AND x_max <= x2
+         |               AND y_min >= y1 AND y_max <= y2 THEN 'full'
+         |              ELSE 'partial' END AS decision
+         |  FROM tiles, preds)
+         |SELECT pred, decision, count(*) AS n_tiles,
+         |       CAST(sum(n) AS BIGINT) AS n_rows
+         |FROM dec GROUP BY 1, 2 ORDER BY pred, decision""".stripMargin,
     // zone-map counts and true-containment counts re-derived from the
     // data; the Bloom guarantee flag asserted TRUE (the engine computes
     // it against the data — no false negative is a structural property

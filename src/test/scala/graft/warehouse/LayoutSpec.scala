@@ -157,4 +157,42 @@ class LayoutSpec extends SparkSpec {
     assert(bloomTiles < minmaxTiles,
       s"bloom should out-prune the zone map: bloom=$bloomTiles minmax=$minmaxTiles")
   }
+
+  test("hilbert index matches the canonical 4x4 curve table") {
+    val s = spark
+    import s.implicits._
+    // xy2d reference values (the standard bit-transform, d2xy-invertible)
+    val expected = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (1, 1) -> 2L, (0, 1) -> 3L,
+      (0, 2) -> 4L, (0, 3) -> 5L, (1, 3) -> 6L, (1, 2) -> 7L,
+      (2, 2) -> 8L, (2, 3) -> 9L, (3, 3) -> 10L, (3, 2) -> 11L,
+      (3, 1) -> 12L, (2, 1) -> 13L, (2, 0) -> 14L, (3, 0) -> 15L)
+    val pts = (for (x <- 0 until 4; y <- 0 until 4) yield (x, y)).toDF("x", "y")
+    val got = Layout.withHilbert(pts, col("x"), col("y"), bits = 2, out = "d")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("hilbert adjacency: consecutive indices are grid-adjacent (morton is not)") {
+    val s = spark
+    import s.implicits._
+    val n = 16 // bits = 4, exhaustive 256-cell grid
+    val pts = (for (x <- 0 until n; y <- 0 until n) yield (x, y)).toDF("x", "y")
+    val idx = Layout.withHilbert(pts, col("x"), col("y"), bits = 4, out = "d")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // bijection onto [0, n*n)
+    assert(idx.map(_._3).sorted.toSeq === (0L until (n.toLong * n)))
+    val byD = idx.map(t => t._3 -> ((t._1, t._2))).toMap
+    val byZ = idx.map(t => t._4 -> ((t._1, t._2))).toMap
+    def manhattan(a: (Int, Int), b: (Int, Int)) =
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2)
+    // every consecutive Hilbert pair is a unit step — the locality
+    // guarantee behind perimeter-bound tile bounding boxes
+    assert((0L until (n.toLong * n - 1)).forall(d =>
+      manhattan(byD(d), byD(d + 1)) == 1))
+    // Morton violates it at every quadrant seam (e.g. z=1 -> z=2 jumps)
+    assert((0L until (n.toLong * n - 1)).exists(z =>
+      manhattan(byZ(z), byZ(z + 1)) > 1))
+  }
 }
