@@ -71,6 +71,10 @@ object Bench {
     "ann_pq_topk", "ann_ivfpq_topk", "ann_pq_incremental",
     "link_snm_accuracy", "layout_bloom_prune", "t6_topk_group_native",
     "ml_logreg_irls",
+    // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
+    // rounds are candidate-sized work behind per-round localCheckpoint
+    // materializations — ~10 s of scheduler latency at sf0.1 that
+    // amortizes at real scale (same story as the iterative graph trio).
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

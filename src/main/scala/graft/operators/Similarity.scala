@@ -445,6 +445,83 @@ object Similarity {
     * the lexical stage stays the matches-sized shuffle of
     * [[graft.functions.TextOps.bm25TopK]]. Fully deterministic (both
     * scores rounded before ranking) => oracle-checked end-to-end. */
+  /** Maximal-Marginal-Relevance diversity selection: from each query's
+    * `kCand` nearest candidates, greedily pick `kSel` items maximizing
+    * `λ·sim(query, c) − (1−λ)·max over picked s of sim(c, s)` — the
+    * diversity-aware sampler of retrieval-augmented pipelines and
+    * training-data curation (near-duplicate candidates are penalized by
+    * their similarity to what is already selected, so the picked set
+    * covers the neighborhood instead of re-sampling its densest clump).
+    *
+    * Execution shape: candidate generation is [[cosineTopK]]
+    * (corpus-sized work happens once); the candidate×candidate cosine
+    * frame is |q|·kCand² rows; each of the `kSel` greedy rounds is a
+    * penalty aggregation + an argmax via the [[graft.functions.TopKAgg]]
+    * heap (k=1) — all distributed, no driver loop over data. The greedy
+    * recurrence is data-dependent, so the DuckDB oracle is GENERATED with
+    * one unrolled (m_k, s_k, sel_k) CTE triple per round
+    * ([[mmrOracleSql]] — the logreg/BPE generated-oracle pattern).
+    * Determinism: all similarities are rounded to 4dp before scoring in
+    * BOTH engines, λ = 0.75 so λ and 1−λ are exact binary doubles, ties
+    * break toward the smaller id. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, kCand: Int, kSel: Int,
+                lam: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftDot.register(spark)
+    graft.functions.TopKAgg.register(spark)
+    // persist both frames every greedy round re-reads, and localCheckpoint
+    // the selected set per round — without the snapshot the self-referencing
+    // lineage re-executes the candidate stage 2^kSel times (the
+    // snapshot-before-release lesson of the graph family, PERF.md r10)
+    val cands = cosineTopK(corpus, queries, idCol, vecCol, kCand)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .persist()
+    val vecs = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
+    val cv = cands.join(broadcast(vecs), col("neighbor_id") === col("cid"))
+      .select(col("query_id"), col("neighbor_id"), col("v"), col("nrm"))
+    val a = cv.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cv.select(col("query_id").as("qb"), col("neighbor_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cc = a.join(b, col("query_id") === col("qb") && col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4).as("cc"))
+      .persist()
+    try {
+      def pick(scored: DataFrame, scoreCol: String, order: Int): DataFrame =
+        scored.groupBy("query_id")
+          .agg(expr(s"graft_topk($scoreCol, neighbor_id, 1)").as("t"))
+          .select(col("query_id"),
+            col("t").getItem(0).getField("tag").as("sel_id"),
+            lit(order).as("pick_order"),
+            round(col("t").getItem(0).getField("score"), 4).as("mmr_score"))
+      var selected = pick(
+        cands.select(col("query_id"), col("neighbor_id"),
+          (lit(lam) * col("sim")).as("m")), "m", 1).localCheckpoint()
+      for (step <- 2 to kSel) {
+        val sel = selected.select(col("query_id").as("qs"), col("sel_id"))
+        val pen = cc.join(sel,
+            col("query_id") === col("qs") && col("id_b") === col("sel_id"))
+          .groupBy(col("query_id").as("qp"), col("id_a"))
+          .agg(max(col("cc")).as("pen"))
+        val remaining = cands.join(
+          sel.select(col("qs").as("query_id"), col("sel_id").as("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        val scored = remaining.join(pen,
+            remaining("query_id") === col("qp") &&
+              remaining("neighbor_id") === col("id_a"))
+          .select(remaining("query_id"), col("neighbor_id"),
+            (lit(lam) * col("sim") - lit(1 - lam) * col("pen")).as("m"))
+        selected = selected.unionByName(pick(scored, "m", step))
+          .localCheckpoint()
+      }
+      // the final localCheckpoint snapshot is independent of the caches
+      selected.orderBy("query_id", "pick_order")
+    } finally { cc.unpersist(); cands.unpersist() }
+  }
+
   def hybridRerank(docs: DataFrame, emb: DataFrame, docIdCol: String,
                    textCol: String, vecIdCol: String, vecCol: String,
                    queryTerms: Seq[String], queryVecId: Long,
@@ -1037,6 +1114,71 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val mmrQ: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    mmrRerank(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      kCand = 12, kSel = 4, lam = 0.75)
+  }
+
+  /** The generated kSel-unrolled DuckDB twin of [[mmrRerank]]: one
+    * (m_k, s_k, sel_k) CTE triple per greedy round. */
+  private def mmrOracleSql(kCand: Int, kSel: Int): String = {
+    val steps = (2 to kSel).map { k =>
+      s"""m$k AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         0.75 * c.sim - 0.25 * max(x.cc) AS m
+         |  FROM cands c
+         |  JOIN cc x ON x.query_id = c.query_id AND x.id_a = c.neighbor_id
+         |  JOIN sel${k - 1} s ON s.query_id = x.query_id AND s.sel_id = x.id_b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+         |                    WHERE z.query_id = c.query_id
+         |                      AND z.sel_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.sim),
+         |s$k AS (
+         |  SELECT query_id, neighbor_id AS sel_id, $k AS pick_order,
+         |         round(m, 4) AS mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY m DESC, neighbor_id) AS rn FROM m$k)
+         |  WHERE rn = 1),
+         |sel$k AS (SELECT query_id, sel_id FROM sel${k - 1}
+         |          UNION ALL SELECT query_id, sel_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to kSel).map(k => s"SELECT * FROM s$k").mkString("\n  UNION ALL ")
+    s"""WITH cands0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(c.embedding::DOUBLE[],
+       |                                q.embedding::DOUBLE[]) AS sim_raw
+       |  FROM embeddings c
+       |  JOIN embeddings q ON q.vec_id < 3 AND q.vec_id != c.vec_id),
+       |cands AS (
+       |  SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim_raw DESC, neighbor_id) AS rn
+       |        FROM cands0)
+       |  WHERE rn <= $kCand),
+       |cc AS (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+       |                                      eb.embedding::DOUBLE[]), 4) AS cc
+       |  FROM cands a
+       |  JOIN cands b ON a.query_id = b.query_id
+       |              AND a.neighbor_id != b.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+       |s1 AS (
+       |  SELECT query_id, neighbor_id AS sel_id, 1 AS pick_order,
+       |         round(0.75 * sim, 4) AS mmr_score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY 0.75 * sim DESC, neighbor_id) AS rn
+       |        FROM cands)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT query_id, sel_id FROM s1),
+       |$steps
+       |SELECT query_id, pick_order, sel_id, mmr_score
+       |FROM ($unions)
+       |ORDER BY query_id, pick_order""".stripMargin
+  }
+
   /** Graded (VERDICT r8 item 1): single-bucket sign-LSH probed against its
     * exact twin. The recall floor is the SimilaritySpec self-bucket pin —
     * deliberately low: on weak-similarity synthetic data a 4-plane single
@@ -1208,6 +1350,7 @@ object Similarity {
     "ann_pq_incremental" -> pqIncrementalQ,      // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
+    "ann_mmr_rerank" -> mmrQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // recall-graded vs exact twin
     "emb_label_centroids" -> centroidsQ,
     "emb_quantize_int8" -> quantizeQ,
@@ -1218,6 +1361,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_mmr_rerank" -> mmrOracleSql(kCand = 12, kSel = 4),
     // graded-ANN oracles (VERDICT r8 item 1): DuckDB reproduces the exact
     // twin's checksum row and asserts the in-engine recall flag TRUE
     "ann_lsh_topk" -> recallOracleSql("TRUE", 10, lshTopKBound),

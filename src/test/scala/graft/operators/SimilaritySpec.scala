@@ -488,4 +488,23 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(d.toSeq === Seq((0, 2L, 0.0)))
   }
+
+  test("MMR rerank skips the near-duplicate that pure top-k keeps") {
+    // query 0 points along x; 10/11 are near-identical twins at sim ~0.90,
+    // 12 sits at sim 0.88 on the OTHER side (cc(10,12) ~ 0.585). Pure
+    // top-2 = the twins; MMR's second pick must be 12: the twin scores
+    // 0.75*0.90 - 0.25*1.0 = 0.425 while the diverse candidate scores
+    // 0.75*0.88 - 0.25*0.585 = 0.514 — diversity wins exactly when the
+    // relevance gap is smaller than (1 - cc)/3 at lambda = 0.75.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (10L, Seq(0.9f, 0.436f)), (11L, Seq(0.9f, 0.4359f)),
+      (12L, Seq(0.88f, -0.475f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", kCand = 3, kSel = 2, lam = 0.75)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).toMap
+    assert(out(1) === 10L, s"first pick should be the most similar: $out")
+    assert(out(2) === 12L, s"second pick must be the DIVERSE candidate: $out")
+  }
 }
