@@ -202,4 +202,33 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expect, s"corpus: $texts")
     }
   }
+
+  test("bounded top-k heap law: any chunking + merge order equals sort-take-k") {
+    // the algebraic-aggregate contract behind graft_topk: partial heaps
+    // over arbitrary partition boundaries, merged in arbitrary order, give
+    // exactly the (score desc, tag asc) prefix — the law that makes the
+    // Partial/Final split safe under any shuffle layout. Narrow tag/score
+    // ranges force score ties so the tag tie-break is exercised.
+    def drain(h: graft.functions.TopKHeap): List[(Double, Long)] =
+      (0 until h.size).map(i => (h.scores(i), h.tags(i))).toList
+        .sortBy { case (s, t) => (-s, t) }
+    val pairGen = Gen.zip(
+      Gen.choose(0, 20).map(_.toDouble / 2.0), Gen.choose(0L, 15L))
+    forAll(Gen.zip(Gen.listOf(pairGen), Gen.choose(1, 8)), n = 300) { case (xs, k) =>
+      val ref = xs.sortBy { case (s, t) => (-s, t) }.take(k)
+      val chunkSize = 1 + (xs.length % 5)
+      val partials = xs.grouped(chunkSize).map { ch =>
+        val h = new graft.functions.TopKHeap(k)
+        ch.foreach { case (s, t) => h.insert(s, t) }
+        h
+      }.toList
+      // merge right-to-left (a different order than Spark's left fold)
+      val merged = partials.reverse.foldLeft(new graft.functions.TopKHeap(k)) {
+        (acc, h) =>
+          (0 until h.size).foreach(i => acc.insert(h.scores(i), h.tags(i)))
+          acc
+      }
+      assert(drain(merged) === ref, s"k=$k xs=$xs")
+    }
+  }
 }
