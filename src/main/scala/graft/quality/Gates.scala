@@ -368,8 +368,40 @@ object Gates {
       .orderBy("o_orderpriority")
   }
 
+  /** ε-DP MEAN release with clipping — the other half of the Laplace
+    * mechanism that [[dpNoisedCountsQ]] doesn't exercise: values are
+    * clipped to a public bound [0, hi] so the mean's sensitivity is
+    * hi/n, and the noise scale b = hi/(n·ε) is computed per group from
+    * its own n. Same engine-replayable md5-inverse-CDF draw (keyed on
+    * the group + a distinct release tag), decimal-exact clipped sums,
+    * release rounded to 6dp. `mean_true` is the grading-harness column. */
+  private val dpNoisedMeanQ: Q = (s, dir) => {
+    val eps = 0.5
+    val hi = 400.0
+    val draw = pmod(
+      graft.functions.TextOps.md5Hash64Hof(
+        concat(col("o_orderpriority"), lit(":dp-release-2"))),
+      lit(1048576L))
+    val u = (draw.cast("double") + lit(0.5)) / lit(1048576.0)
+    val v = u - lit(0.5)
+    val lap = signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    val clipped = least(greatest(col("o_totalprice"), lit(0.0)), lit(hi))
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(clipped.cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double") / count(lit(1))).as("mean_true"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("mean_true"), 6).as("mean_true"),
+        round(col("mean_true")
+          + lit(-hi / eps) / col("n") * lap, 6).as("mean_released"))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Map[String, Q] = Map(
     "q_dp_noised_counts" -> dpNoisedCountsQ,
+    "q_dp_noised_mean" -> dpNoisedMeanQ,
     "q_k_anonymity" -> kAnonymityQ,
     "q_k_anonymize_ladder" -> kAnonymizeQ,
     "q_l_diversity" -> lDiversityQ,
@@ -393,6 +425,20 @@ object Gates {
         |SELECT o_orderpriority, n_true,
         |       round(n_true + (-1.0 / 0.5) * sign(u - 0.5)
         |                      * ln(1 - 2 * abs(u - 0.5)), 4) AS n_released
+        |FROM t ORDER BY o_orderpriority""".stripMargin,
+    "q_dp_noised_mean" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |         CAST(sum(CAST(least(greatest(o_totalprice, 0), 400)
+        |                       AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS mean_raw,
+        |         (CAST(md5_number_upper(o_orderpriority || ':dp-release-2')
+        |               % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n, round(mean_raw, 6) AS mean_true,
+        |       round(mean_raw + (-400.0 / 0.5) / n * sign(u - 0.5)
+        |                        * ln(1 - 2 * abs(u - 0.5)), 6)
+        |         AS mean_released
         |FROM t ORDER BY o_orderpriority""".stripMargin,
     "q_k_anonymize_ladder" ->
       """WITH lv(g) AS (VALUES (250), (500), (1000), (2000), (4000), (8000)),
