@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -536,7 +536,118 @@ object RobustStats {
        |      FROM f, b$iters)""".stripMargin
   }
 
+  /** Bernoulli Naive Bayes over token-presence features, trained and
+    * evaluated IN-ENGINE and oracle-exact WITHOUT iteration: training is
+    * one counting aggregate (class priors + per-feature Laplace-smoothed
+    * conditionals), scoring is a broadcast of that 1-row model onto the
+    * held-out split, and the output is the confusion matrix + accuracy.
+    * The label is token-planted (doc contains `labelToken`), and the
+    * label token is deliberately IN the vocabulary — the fit must
+    * recover it as the dominant feature and score ~perfect held-out
+    * accuracy, the same planted-recovery grading as a47/ml_logreg.
+    *
+    * Determinism: the train/test split is the engine-replayable
+    * md5-draw; all probability arithmetic runs in the same
+    * left-association order in both engines (the class score is a fold
+    * starting from the log-prior), and per-class scores round to 9dp
+    * before the argmax comparison. Scale shape: train = one map-side
+    * combinable aggregate, score = model-broadcast map pass — nothing
+    * data-sized ever shuffles. */
+  def naiveBayesContains(docs: DataFrame, idCol: String, textCol: String,
+                         labelToken: String, vocab: Seq[String]): DataFrame = {
+    val isTrain = pmod(graft.functions.TextOps.md5Hash64Hof(
+      concat(col(idCol).cast("string"), lit(":nb"))), lit(4096L)) < 3277
+    val y = when(col(textCol).contains(labelToken), 1).otherwise(0)
+    val featCols = vocab.zipWithIndex.map { case (w, i) =>
+      when(col(textCol).contains(w), 1).otherwise(0).as(s"f$i")
+    }
+    val feats = docs.select(
+      (Seq(y.as("y"), isTrain.as("tr")) ++ featCols): _*)
+    val countAggs = vocab.indices.flatMap(i => Seq(
+      sum(col(s"f$i") * col("y")).as(s"c1_$i"),
+      sum(col(s"f$i") * (lit(1) - col("y"))).as(s"c0_$i")))
+    val model = feats.filter(col("tr")).agg(
+      count(lit(1)).as("n_train"),
+      (sum(col("y")) +: countAggs): _*)
+    def classScore(prefix: String, nc: Column): Column = {
+      val prior = log(nc.cast("double") / col("n_train"))
+      vocab.indices.foldLeft(prior) { (acc, i) =>
+        val p = (col(s"${prefix}_$i") + lit(1.0)) / (nc + lit(2.0))
+        acc + when(col(s"f$i") === 1, log(p)).otherwise(log(lit(1.0) - p))
+      }
+    }
+    val n1 = col("sum(y)")
+    val scored = feats.filter(!col("tr")).crossJoin(broadcast(model))
+      .withColumn("s1", round(classScore("c1", n1), 9))
+      .withColumn("s0", round(classScore("c0", col("n_train") - n1), 9))
+      .withColumn("p", when(col("s1") >= col("s0"), 1).otherwise(0))
+    scored.agg(
+      max(col("n_train")).as("n_train"),
+      count(lit(1)).as("n_test"),
+      sum(when(col("y") === 1 && col("p") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("y") === 0 && col("p") === 1, 1).otherwise(0)).as("fp"),
+      sum(when(col("y") === 0 && col("p") === 0, 1).otherwise(0)).as("tn"),
+      sum(when(col("y") === 1 && col("p") === 0, 1).otherwise(0)).as("fn"))
+      .select(col("n_train"), col("n_test"), col("tp"), col("fp"),
+        col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast(DoubleType) / col("n_test"), 4)
+          .as("accuracy"))
+  }
+
+  private val nbVocab = Seq(
+    "vector", "join", "filter", "stream", "hash", "table", "query", "sort")
+
+  private val naiveBayesQ: Q = (s, dir) =>
+    naiveBayesContains(Tables(s, dir).documents, "doc_id", "text",
+      labelToken = "vector", vocab = nbVocab)
+
+  /** Generated single-pass DuckDB twin of [[naiveBayesContains]] — same
+    * vocab, same md5 split, same fold-from-prior association order. */
+  private def naiveBayesOracleSql(labelToken: String,
+                                  vocab: Seq[String]): String = {
+    val featDefs = vocab.zipWithIndex.map { case (w, i) =>
+      s"CASE WHEN contains(text, '$w') THEN 1 ELSE 0 END AS f$i"
+    }.mkString(",\n         ")
+    val countDefs = vocab.indices.map(i =>
+      s"CAST(sum(f$i * y) AS BIGINT) AS c1_$i, " +
+        s"CAST(sum(f$i * (1 - y)) AS BIGINT) AS c0_$i").mkString(",\n         ")
+    def score(prefix: String, nc: String): String =
+      vocab.indices.foldLeft(s"ln(CAST($nc AS DOUBLE) / n_train)") { (acc, i) =>
+        acc + s" + CASE WHEN f$i = 1" +
+          s" THEN ln((${prefix}_$i + 1.0) / ($nc + 2.0))" +
+          s" ELSE ln(1.0 - (${prefix}_$i + 1.0) / ($nc + 2.0)) END"
+      }
+    s"""WITH f AS (
+       |  SELECT CASE WHEN contains(text, '$labelToken') THEN 1 ELSE 0 END AS y,
+       |         md5_number_upper(CAST(doc_id AS VARCHAR) || ':nb')
+       |           % 4096 < 3277 AS tr,
+       |         $featDefs
+       |  FROM documents),
+       |model AS (
+       |  SELECT count(*) AS n_train, CAST(sum(y) AS BIGINT) AS n1,
+       |         $countDefs
+       |  FROM f WHERE tr),
+       |scored AS (
+       |  SELECT y,
+       |         round(${score("c1", "n1")}, 9) AS s1,
+       |         round(${score("c0", "(n_train - n1)")}, 9) AS s0
+       |  FROM f, model WHERE NOT tr),
+       |cm AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN y = 1 AND s1 >= s0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN y = 0 AND s1 >= s0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN y = 0 AND s1 < s0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN y = 1 AND s1 < s0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    count(*) AS n_test
+       |  FROM scored)
+       |SELECT (SELECT n_train FROM model) AS n_train, n_test,
+       |       tp, fp, tn, fn,
+       |       round(CAST(tp + tn AS DOUBLE) / n_test, 4) AS accuracy
+       |FROM cm""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
+    "ml_naive_bayes" -> naiveBayesQ,
     "ml_logreg_irls" -> logregQ,
     "ml_kfold_ols" -> kfoldQ,
     "ml_conformal_interval" -> conformalQ,
@@ -550,6 +661,7 @@ object RobustStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_naive_bayes" -> naiveBayesOracleSql("vector", nbVocab),
     "ml_logreg_irls" -> logregOracleSql(iters = 4, lambda = 1.0),
     // per-fold DECIMAL moments; leave-fold-out = exact decimal window
     // subtraction; Cramer + held-out SSE in the same fixed-order double
