@@ -594,6 +594,56 @@ object RobustStats {
           .as("accuracy"))
   }
 
+  /** ROC-AUC as the Mann-Whitney rank statistic — the threshold-free
+    * ranking metric the calibration-bin table (a46) doesn't give:
+    * AUC = (Σ ranks of positives − n₁(n₁+1)/2) / (n₁·n₀), with AVERAGE
+    * ranks on score ties (the exact tie-corrected U, identical to
+    * integrating the ROC curve with trapezoids). Everything up to the
+    * final division is integer/rational window arithmetic, so the oracle
+    * re-derives it exactly; the one division rounds to 6dp.
+    *
+    * Scale shape: one global rank — but over the SCORES column only
+    * (2 narrow columns cross the sort), and at 100 TB the production
+    * variant buckets scores first (a46's binning) and computes the same
+    * statistic per-bucket with closed-form tie handling; the exact
+    * global rank is the graded-scale proof harness, the same trade as
+    * the layout family's ntile census. */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(scoreCol).as("s"), col(labelCol).as("y"))
+      .withColumn("rk", rank().over(Window.orderBy(col("s"))))
+      .withColumn("nties", count(lit(1)).over(Window.partitionBy(col("s"))))
+      // average rank of a tie group = rank + (nties - 1) / 2
+      .withColumn("avgrk",
+        col("rk").cast(DoubleType) + (col("nties") - 1).cast(DoubleType) / 2.0)
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("n_pos"),
+      sum(when(col("y") === 1, col("avgrk")).otherwise(0.0)).as("rsum"))
+      .select(col("n"), col("n_pos"),
+        round((col("rsum") - col("n_pos").cast(DoubleType)
+          * (col("n_pos") + 1).cast(DoubleType) / 2.0)
+          / (col("n_pos") * (col("n") - col("n_pos"))).cast(DoubleType), 6)
+          .as("auc"))
+  }
+
+  /** Same planted label as [[logregQ]], scored by the raw n_chars feature:
+    * the AUC of a monotone feature against its own planted logistic label
+    * is the separability the plant built in (~0.89 at sf0.01). */
+  private val aucQ: Q = (s, dir) => {
+    val u = (pmod(
+      graft.functions.TextOps.md5Hash64Hof(
+        concat(col("doc_id").cast("string"), lit(":lr"))),
+      lit(1048576L)).cast(DoubleType) + lit(0.5)) / lit(1048576.0)
+    val x = col("n_chars").cast(DoubleType) / lit(100.0)
+    val planted = lit(1.0) / (lit(1.0) + exp(lit(3.0) - x))
+    aucRoc(
+      Tables(s, dir).documents
+        .select(col("n_chars").cast(DoubleType).as("score"),
+          when(u < planted, 1).otherwise(0).as("label")),
+      "score", "label")
+  }
+
   private val nbVocab = Seq(
     "vector", "join", "filter", "stream", "hash", "table", "query", "sort")
 
@@ -647,6 +697,7 @@ object RobustStats {
   }
 
   val entries: Map[String, Q] = Map(
+    "ml_auc_roc" -> aucQ,
     "ml_naive_bayes" -> naiveBayesQ,
     "ml_logreg_irls" -> logregQ,
     "ml_kfold_ols" -> kfoldQ,
@@ -661,6 +712,30 @@ object RobustStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // tie-corrected Mann-Whitney: average ranks per score value, exact
+    // rational arithmetic up to one rounded division
+    "ml_auc_roc" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS score,
+        |         CASE WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)
+        |                          || ':lr') % 1048576 AS DOUBLE) + 0.5)
+        |                   / 1048576.0
+        |                  < 1 / (1 + exp(3.0 - n_chars / 100.0))
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT y,
+        |         CAST(rank() OVER (ORDER BY score) AS DOUBLE)
+        |           + (CAST(count(*) OVER (PARTITION BY score) AS DOUBLE) - 1)
+        |             / 2.0 AS avgrk
+        |  FROM d)
+        |SELECT count(*) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       round((sum(CASE WHEN y = 1 THEN avgrk ELSE 0.0 END)
+        |              - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2.0)
+        |             / CAST(sum(y) * (count(*) - sum(y)) AS DOUBLE), 6)
+        |         AS auc
+        |FROM r""".stripMargin,
     "ml_naive_bayes" -> naiveBayesOracleSql("vector", nbVocab),
     "ml_logreg_irls" -> logregOracleSql(iters = 4, lambda = 1.0),
     // per-fold DECIMAL moments; leave-fold-out = exact decimal window
