@@ -70,7 +70,7 @@ object Bench {
     // round-10 entries
     "ann_pq_topk", "ann_ivfpq_topk", "ann_pq_incremental",
     "link_snm_accuracy", "layout_bloom_prune", "t6_topk_group_native",
-    "ml_logreg_irls", "ml_naive_bayes", "a49_hll_intersect",
+    "ml_logreg_irls", "ml_naive_bayes", "ml_auc_roc", "a49_hll_intersect",
     "q_dp_noised_counts", "layout_hilbert_prune", "stream_trending_topk",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
