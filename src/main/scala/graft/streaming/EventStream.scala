@@ -442,6 +442,24 @@ object EventStream {
     runBounded(streamingTumbling(eventsStream(s, dir), "1 hour", "1 hour"),
       "stream_tumbling", "complete")
 
+  /** SESSION windows in the real streaming runtime: `session_window(ts,
+    * gap)` grows MERGING state (two sessions fuse when a late event
+    * bridges their gap — state tumbling/sliding windows never need), and
+    * the 30-minute gap semantics are exactly the batch gaps-and-islands
+    * break (`lag >= 30 min` starts a new session), so the converged
+    * complete-mode result must hash-equal the same DuckDB oracle shape as
+    * the batch `w_session_windows`. At scale session state is
+    * |active (user, open session)| and merges are per-key local —
+    * watermark-evictable in the unbounded deployment. */
+  private val streamSessionQ: Q = (s, dir) =>
+    runBounded(
+      eventsStream(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("session_start"), col("n")),
+      "stream_session", "complete")
+
   /** Stream-static broadcast enrichment + streaming agg: each micro-batch
     * joins the (broadcast) customer dim, then folds into windowless agg
     * state; `complete` mode emits the converged KPI frame. */
@@ -549,6 +567,7 @@ object EventStream {
     "w_sliding_6h_1h" -> slidingQ,
     "w_session_windows" -> sessionQ,
     "stream_tumbling_hourly" -> streamTumblingQ,
+    "stream_session_windows" -> streamSessionQ,
     "stream_static_enrich" -> streamEnrichQ,
     "stream_distinct_users" -> streamDistinctQ,
     "stream_view_purchase_join" -> streamJoinQ,
@@ -593,6 +612,19 @@ object EventStream {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "stream_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
