@@ -169,10 +169,44 @@ object Bench {
     math.min(pass(), pass())
   }
 
+  /** MULTI-thread calibration probe (VERDICT r10 wrong-item 3): `threads`
+    * concurrent copies of the same spin loop, timed wall-clock until all
+    * join. The r10 sessions documented a host mode the single-thread probe
+    * is BLIND to — hypervisor contention that inflates 32-thread work
+    * 15-20% while single-core speed reads 1.01-1.09 — so the host-adjusted
+    * regression list divides by THIS probe's ratio when the baseline
+    * carries one. Per-thread work is the same 200M-iteration loop as the
+    * single-thread probe: on a healthy 32-vCPU host wall ≈ the
+    * single-thread time; under multi-thread contention it stretches by
+    * exactly the factor the bench queries feel. */
+  private def calibrateMt(threads: Int): Double = {
+    def pass(): Double = {
+      val sink = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val th = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + tid
+          var i = 0
+          while (i < 200000000) {
+            x = java.lang.Long.rotateLeft(x * 0x100000001B3L, 31) ^ i
+            i += 1
+          }
+          sink.addAndGet(x) // defeat dead-code elimination
+        })
+        th.setDaemon(true); th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass()
+    math.min(pass(), pass())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibration = calibrate()
+    val calibrationMt = calibrateMt(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -305,13 +339,22 @@ object Bench {
     // divides this run's times by the speed ratio before flagging, so it
     // isolates CODE regressions from HOST regressions. Both lists are
     // emitted; a real regression appears in both.
-    val prevCalib = if (!baselineFile.isFile) None else
-      try """"calibration":([0-9.Ee+-]+)""".r
-        .findFirstMatchIn(scala.io.Source.fromFile(baselineFile, "UTF-8").mkString)
-        .map(_.group(1).toDouble)
-      catch { case _: Throwable => None }
+    def baselineField(name: String): Option[Double] =
+      if (!baselineFile.isFile) None else
+        try ("\"" + name + "\":([0-9.Ee+-]+)").r
+          .findFirstMatchIn(scala.io.Source.fromFile(baselineFile, "UTF-8").mkString)
+          .map(_.group(1).toDouble)
+        catch { case _: Throwable => None }
+    val prevCalib = baselineField("calibration")
+    val prevCalibMt = baselineField("calibration_mt")
     val hostRatio = prevCalib.filter(_ > 0).map(c => calibration / c)
-    val moversAdj = hostRatio match {
+    // 32-thread host ratio (VERDICT r10 wrong-item 3): the contention mode
+    // this environment actually exhibits inflates multi-thread work while
+    // the single-thread probe stays flat, so the ADJUSTED flag list divides
+    // by the MT ratio when the baseline recorded one; ST is the fallback
+    // for baselines written before the probe existed.
+    val hostRatioMt = prevCalibMt.filter(_ > 0).map(c => calibrationMt / c)
+    val moversAdj = hostRatioMt.orElse(hostRatio) match {
       case Some(r) if r > 0 => shared.flatMap { n =>
         val adj = nowMap(n) / r
         val ratio = adj / prevQueries(n)
@@ -324,30 +367,59 @@ object Bench {
       val sumPrev = shared.map(prevQueries).sum
       val sumNow = shared.map(nowMap).sum
       val host = hostRatio.map(r =>
-        s""","host_speed_ratio":${math.round(r * 1000.0) / 1000.0},"regressions_gt_25pct_hostadj":${jmap(moversAdj)}""").getOrElse("")
+        s""","host_speed_ratio":${math.round(r * 1000.0) / 1000.0}""").getOrElse("") +
+        hostRatioMt.map(r =>
+          s""","host_speed_ratio_mt":${math.round(r * 1000.0) / 1000.0}""").getOrElse("") +
+        (if (hostRatio.isDefined || hostRatioMt.isDefined)
+          s""","regressions_gt_25pct_hostadj":${jmap(moversAdj)}""" else "")
       s""","prev_artifact":${jstr(prevName)},"prev_kind":${jstr(prevKind)},"shared_n":${shared.size},"shared_sum_prev":$sumPrev,"shared_sum_now":$sumNow,"regressions_gt_25pct":${jmap(movers)}$host"""
     }
     val taintedJson = tainted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"queries_min_extcpu":${jmap(minExts)},"tainted":$taintedJson,"taint_extcpu":$taintExt,"runs":$repeats,"loadavg":$loadavg,"loadavg_per_pass":$loads$cmp,"errors":$es,"sf":"$sfDir"}""")
+    // Baseline refresh decision (computed now, WRITTEN after shutdown):
+    // tainted or erroring runs never overwrite, and — the r10 lesson
+    // (wrong-item 2: a taint-free run on a DEGRADED host silently raised
+    // the bar +30%) — neither does a run whose shared-set total drifts
+    // >10% from the committed baseline in either direction. Such a shift
+    // with no code change is a host signature, not a code signature; a
+    // deliberate recalibration sets SPARK_GRAFT_BASELINE_FORCE=1 and
+    // names itself in PERF.md.
+    val baselineDrift: Option[Double] =
+      if (prevName == baselineFile.getName && shared.nonEmpty)
+        Some(shared.map(minMap).sum / shared.map(prevQueries).sum)
+      else None
+    val forceRefresh = sys.env.get("SPARK_GRAFT_BASELINE_FORCE").contains("1")
+    val driftOk = baselineDrift.forall(d => d > 0.90 && d < 1.10)
+    val refresh = tainted.isEmpty && errors.isEmpty && (forceRefresh || driftOk)
+    val refreshNote =
+      s""","baseline_refreshed":$refresh,"baseline_drift":${baselineDrift.map(d => (math.round(d * 1000.0) / 1000.0).toString).getOrElse("null")}"""
+
+    // EVERYTHING below prints AFTER teardown (VERDICT r10 wrong-item 1):
+    // the state-store maintenance pool's shutdown stack traces used to land
+    // on stdout after our JSON, pushing it out of the driver's 2000-char
+    // tail window. QuietShutdown stops streams + the StateStore pool while
+    // the RpcEnv is still up, then stops the session — nothing logs past
+    // it, and the result lines are the last thing on stdout by
+    // construction.
+    QuietShutdown(spark)
+    if (!refresh && tainted.isEmpty && errors.isEmpty)
+      System.err.println(f"[bench] baseline refresh REFUSED: shared-set drift ${baselineDrift.getOrElse(Double.NaN)}%.3f outside [0.90,1.10] (set SPARK_GRAFT_BASELINE_FORCE=1 for a named recalibration)")
+    // Persist this run's numbers + calibrations as the per-sf baseline for
+    // the NEXT run's comparison (and as committed history the judge can
+    // diff): full min + median maps survive here even when the driver's
+    // tail capture truncates the stdout line. Times and calibrations are a
+    // CONSISTENT SNAPSHOT from the same run — mixing best-known times
+    // across hosts would break the single host-speed ratio the adjusted
+    // comparison relies on.
+    if (refresh) try {
+      baselineFile.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(baselineFile, "UTF-8")
+      try w.println(s"""{"sf":"$sfTag","runs":$repeats,"calibration":$calibration,"calibration_mt":$calibrationMt,"total":$total,"queries":${jmap(mins)},"queries_median":${jmap(medians)}}""")
+      finally w.close()
+    } catch { case _: Throwable => () } // baseline is best-effort, never fatal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,"calibration_mt_sec":$calibrationMt,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"queries_min_extcpu":${jmap(minExts)},"tainted":$taintedJson,"taint_extcpu":$taintExt,"runs":$repeats,"loadavg":$loadavg,"loadavg_per_pass":$loads$cmp$refreshNote,"errors":$es,"sf":"$sfDir"}""")
     // Short summary LAST (VERDICT r5): the full per-query line above can
     // outgrow a tail-capture buffer; this line always fits, so the headline
     // total survives truncation. Readers wanting detail parse the long line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${mins.length},"n_errors":${errors.size},"sf":"$sfDir","detail":"per-query map on previous line"}""")
-    // Persist this run's numbers + calibration as the per-sf baseline for
-    // the NEXT run's comparison (and as committed history the judge can
-    // diff): full min + median maps survive here even when the driver's
-    // tail capture truncates the stdout line. Times and calibration are a
-    // CONSISTENT SNAPSHOT from the same run — mixing best-known times
-    // across hosts would break the single host-speed ratio the adjusted
-    // comparison relies on. Tainted runs (any query with no clean sample)
-    // do not overwrite the baseline — a contended host must not become
-    // the bar future rounds are measured against.
-    if (tainted.isEmpty && errors.isEmpty) try {
-      baselineFile.getParentFile.mkdirs()
-      val w = new java.io.PrintWriter(baselineFile, "UTF-8")
-      try w.println(s"""{"sf":"$sfTag","runs":$repeats,"calibration":$calibration,"total":$total,"queries":${jmap(mins)},"queries_median":${jmap(medians)}}""")
-      finally w.close()
-    } catch { case _: Throwable => () } // baseline is best-effort, never fatal
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,"calibration_mt_sec":$calibrationMt,"n_queries":${mins.length},"n_errors":${errors.size},"sf":"$sfDir","detail":"per-query map on previous line"}""")
   }
 }

@@ -79,9 +79,11 @@ object Slope {
     }.mkString("{", ",", "}")
     val fJson = flagged.map { case (n, r) => s"${jstr(n)}:$r" }.mkString("{", ",", "}")
     val es = errors.toSeq.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // teardown BEFORE the result lines so streaming shutdown noise cannot
+    // push them out of a tail-capture window (VERDICT r10 wrong-item 1)
+    QuietShutdown(spark)
     println(s"""{"metric":"slope","sf_small":${jstr(sfSmall)},"sf_big":${jstr(sfBig)},"gate":$gate,"runs":$repeats,"n_queries":${rows.length},"queries":$qJson,"flagged":$fJson,"errors":$es}""")
     println(s"""{"metric":"slope","n_queries":${rows.length},"n_flagged":${flagged.length},"n_errors":${errors.size},"detail":"per-query map on previous line"}""")
-    spark.stop()
     if (flagged.nonEmpty || errors.nonEmpty) sys.exit(1)
   }
 }

@@ -568,7 +568,7 @@ object RobustStats {
       sum(col(s"f$i") * (lit(1) - col("y"))).as(s"c0_$i")))
     val model = feats.filter(col("tr")).agg(
       count(lit(1)).as("n_train"),
-      (sum(col("y")) +: countAggs): _*)
+      (sum(col("y")).as("n1") +: countAggs): _*)
     def classScore(prefix: String, nc: Column): Column = {
       val prior = log(nc.cast("double") / col("n_train"))
       vocab.indices.foldLeft(prior) { (acc, i) =>
@@ -576,7 +576,7 @@ object RobustStats {
         acc + when(col(s"f$i") === 1, log(p)).otherwise(log(lit(1.0) - p))
       }
     }
-    val n1 = col("sum(y)")
+    val n1 = col("n1")
     val scored = feats.filter(!col("tr")).crossJoin(broadcast(model))
       .withColumn("s1", round(classScore("c1", n1), 9))
       .withColumn("s0", round(classScore("c0", col("n_train") - n1), 9))
@@ -621,9 +621,15 @@ object RobustStats {
       sum(col("y")).as("n_pos"),
       sum(when(col("y") === 1, col("avgrk")).otherwise(0.0)).as("rsum"))
       .select(col("n"), col("n_pos"),
-        round((col("rsum") - col("n_pos").cast(DoubleType)
-          * (col("n_pos") + 1).cast(DoubleType) / 2.0)
-          / (col("n_pos") * (col("n") - col("n_pos"))).cast(DoubleType), 6)
+        // Degenerate-class semantic (ADVICE r10): with only one class
+        // present (n_pos = 0 or n_pos = n) ranking quality is undefined —
+        // emit an EXPLICIT null rather than relying on the divide-by-zero
+        // null of non-ANSI mode, so the contract survives ANSI on.
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          round((col("rsum") - col("n_pos").cast(DoubleType)
+            * (col("n_pos") + 1).cast(DoubleType) / 2.0)
+            / (col("n_pos") * (col("n") - col("n_pos"))).cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType))
           .as("auc"))
   }
 

@@ -27,6 +27,11 @@ final class TopKHeap(val k: Int) extends Serializable {
     s1 < s2 || (s1 == s2 && t1 > t2)
 
   def insert(s: Double, t: Long): Unit = {
+    // NaN scores are skipped like nulls (ADVICE r10): under raw < a NaN
+    // admitted while size<k could never be evicted, and eval()'s sort
+    // comparator would lose transitivity. Guarding here covers update,
+    // merge, and deserialize in one place.
+    if (java.lang.Double.isNaN(s)) return
     if (size < k) {
       var i = size
       scores(i) = s; tags(i) = t; size += 1
@@ -95,9 +100,18 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0 && k <= (1 << 20), s"graft_topk k out of range: $k")
+
+  // The function is registered session-wide (GraftExtensions), so external
+  // callers may pass DECIMAL prices or int tags: declare the expected types
+  // and let Catalyst insert casts (or fail at analysis) instead of the
+  // executor-side ClassCastException a raw asInstanceOf would throw.
+  // (declared as Seq[DataType], a covariant refinement of the
+  // Seq[AbstractDataType] contract — AbstractDataType itself is sql-private)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(score, tag)
   override def nullable: Boolean = false
@@ -173,9 +187,17 @@ case class TopKAgg(
 
 object TopKAgg {
   val builder: Seq[Expression] => Expression = {
-    case Seq(s, t, Literal(k: Int, IntegerType)) => TopKAgg(s, t, k)
+    // k: any FOLDABLE integral expression (literal, CAST(lit), named arg
+    // constant-folded) — not just a bare Int literal (ADVICE r10)
+    case Seq(s, t, kExpr) if kExpr.foldable &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType) =>
+      kExpr.eval() match {
+        case n: java.lang.Number => TopKAgg(s, t, n.intValue())
+        case other => throw new IllegalArgumentException(
+          s"graft_topk k must be a non-null integer constant, got $other")
+      }
     case args => throw new IllegalArgumentException(
-      s"graft_topk(score, tag, intLiteral), got ${args.length} args")
+      s"graft_topk(score, tag, intConstant), got ${args.length} args")
   }
 
   /** Register `graft_topk(score, tag, k)` (idempotent). */

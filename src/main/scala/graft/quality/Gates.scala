@@ -350,7 +350,12 @@ object Gates {
     * call. ln() agrees across engines to ulps; the released value is
     * rounded to 4 decimals so the hash compare is stable. `n_true` is the
     * grading-harness column (a real release emits only `n_released`;
-    * sensitivity Δf = 1 for counts, ε = 0.5 here). */
+    * sensitivity Δf = 1 for counts, ε = 0.5 here). CAVEAT (ADVICE r10):
+    * grading requires a PUBLIC seed, so here the PRF is keyed on public
+    * values and anyone can replay the draw and subtract the noise — a
+    * real release derives the draw from a SECRET key, or the ε-DP
+    * guarantee is formally void; this form is the replayability harness
+    * only. */
   private val dpNoisedCountsQ: Q = (s, dir) => {
     val eps = 0.5
     val draw = pmod(

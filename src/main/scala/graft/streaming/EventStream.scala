@@ -338,6 +338,33 @@ object EventStream {
   // exactly the batch answer. At scale the same queries run unbounded;
   // AvailableNow doubles as the production backlog-drain/catch-up trigger.
 
+  /** Temp dirs (checkpoints, sinks, staged sources) created by the graded
+    * streaming entries, deleted recursively when the JVM exits — a 3-pass
+    * bench × repeats used to leave `graft_ckpt_*`/`graft_*_sink` dirs
+    * behind (VERDICT r10 wrong-item 5). A shutdown hook (not per-call
+    * deletion) because a checkpoint must outlive the entry call: the
+    * restart-idempotence entries re-open it within the same process. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      tempDirs.asScala.foreach { root =>
+        try java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+                   catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+      }
+    }))
+    true
+  }
+  private def tempDir(prefix: String): String = {
+    require(cleanupHookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
+
   /** The events feed as a genuine file-source stream: schema pinned from the
     * batch footer (streaming sources never infer) plus the same `ts`
     * normalization as the batch reader ([[Tables.normalizeEventsTs]]). */
@@ -361,7 +388,7 @@ object EventStream {
   private def runBounded(out: DataFrame, name: String, mode: String): DataFrame = {
     val spark = out.sparkSession
     spark.catalog.dropTempView(name)
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val ckpt = tempDir(s"graft_ckpt_$name")
     val q = out.writeStream.queryName(name).outputMode(mode)
       .option("checkpointLocation", ckpt)
       .format("memory").trigger(
@@ -378,8 +405,8 @@ object EventStream {
     * (re-emitted rows = row-count mismatch vs the batch answer). */
   private def runBoundedToParquet(out: DataFrame): DataFrame = {
     val spark = out.sparkSession
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sink").toString
-    val data = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = tempDir("graft_ckpt_sink")
+    val data = tempDir("graft_stream_sink")
     def once(): Unit = {
       val q = out.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -541,8 +568,8 @@ object EventStream {
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
         .as("total_dec"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_trend").toString
-    val data = java.nio.file.Files.createTempDirectory("graft_trend_sink").toString
+    val ckpt = tempDir("graft_ckpt_trend")
+    val data = tempDir("graft_trend_sink")
     val q = agg.writeStream.outputMode("complete")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -561,7 +588,65 @@ object EventStream {
     s.read.parquet(data).orderBy("event_type", "rank")
   }
 
+  /** MULTI-BATCH incremental state merge (VERDICT r10 item 9): the seven
+    * r10 `stream_*` entries drain their whole feed in ONE AvailableNow
+    * batch, so they prove batch-equivalence but not that state carried
+    * ACROSS batches. Here the feed is staged as two files appearing one
+    * drain apart: half the events (user parity split) land before the
+    * first AvailableNow run, the other half before a second run on the
+    * SAME checkpoint. The second run restores the complete-mode agg state
+    * from the checkpoint and must merge ONLY the new file into it — the
+    * entry `require`s, from the query's own progress metrics, that run 2
+    * read exactly the second half's rows (a from-scratch re-read would
+    * read both and silently hide a state-restore bug). The final
+    * complete-mode tile then hash-grades against the unchanged all-events
+    * batch oracle: correct totals after run 2 are only possible if
+    * checkpointed state + new-file increments merged exactly. At scale
+    * this is the production shape — a catch-up AvailableNow pass per
+    * landing batch, state in the store, tile overwritten per pass. */
+  private val streamIncrementalQ: Q = (s, dir) => {
+    val src = tempDir("graft_inc_src")
+    val ckpt = tempDir("graft_ckpt_inc")
+    val data = tempDir("graft_inc_sink")
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+    val schema = ev.schema
+    // stage one half of the feed as the next source file (user parity:
+    // both halves non-empty at every sf, and the split is deterministic)
+    def stage(parity: Int): Long = {
+      val half = ev.filter(pmod(col("user_id"), lit(2)) === parity)
+      val tmp = tempDir(s"graft_inc_stage$parity")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"batch$parity.parquet"))
+      half.count()
+    }
+    def drain(expectRows: Long): Unit = {
+      val q = s.readStream.schema(schema).parquet(src)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(data)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val read = q.recentProgress.map(_.numInputRows).sum
+      require(read == expectRows,
+        s"incremental drain read $read rows, expected $expectRows — " +
+          "the restart re-read already-committed files instead of resuming state")
+    }
+    drain(stage(0))
+    drain(stage(1))
+    s.read.parquet(data)
+  }
+
   val entries: Map[String, Q] = Map(
+    "stream_incremental_totals" -> streamIncrementalQ,
     "stream_trending_topk" -> streamTrendingQ,
     "w_tumbling_hourly" -> tumblingQ,
     "w_sliding_6h_1h" -> slidingQ,
@@ -575,6 +660,11 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_incremental_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM events GROUP BY 1""".stripMargin,
     "stream_trending_topk" ->
       """WITH t AS (
         |  SELECT event_type, user_id,
