@@ -831,6 +831,15 @@ object Similarity {
       if (n == 0.0) None else Some(v.map(_ / n))
     }.toArray
     require(vecs.nonEmpty, "pqCodebooks: all sampled vectors were zero")
+    subspaceKMeans(vecs, m, nCodes, lloydRounds, sub)
+  }
+
+  /** The per-subspace Lloyd trainer shared by [[pqCodebooks]] (raw unit
+    * vectors) and [[pqResidualCodebooks]] (per-bucket residuals): same
+    * deterministic init (first nCodes distinct subvectors in input order),
+    * tie, and empty-cluster rules for both. */
+  private def subspaceKMeans(vecs: Array[Array[Double]], m: Int, nCodes: Int,
+                             lloydRounds: Int, sub: Int): Array[Array[Array[Double]]] =
     Array.tabulate(m) { s =>
       val pts = vecs.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
       val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -864,6 +873,56 @@ object Similarity {
       }
       centroids
     }
+
+  /** RESIDUAL PQ codebook training (Jégou et al., TPAMI 2011 §IV-A — the
+    * IVFADC configuration production systems run): codebooks are trained on
+    * `nv − ĉ(bucket)` — each sampled unit vector MINUS its coarse cell's
+    * unit-normalized centroid — instead of on the raw unit vectors. Within
+    * a cell the residuals concentrate near the origin with far lower
+    * variance than the vectors themselves, so the same m × nCodes budget
+    * quantizes them with much smaller error; that is the standard recall
+    * fix when the coarse quantizer dominates the error budget (the
+    * documented `ann_ivfpq_topk` upgrade path). Bucket assignment uses the
+    * RAW vector against the raw centers — exactly [[ivfIndex]]'s rule — so
+    * train-time and index-time residuals are computed against the same
+    * reference points. Same deterministic sample/init contract as
+    * [[pqCodebooks]]. */
+  def pqResidualCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                          centers: Array[Array[Double]],
+                          m: Int = 8, nCodes: Int = 16, lloydRounds: Int = 10,
+                          fitSampleRows: Long = 10000L): Array[Array[Array[Double]]] = {
+    val c = corpus.select(col(idCol).cast(LongType).as("__id"),
+      toDouble(col(vecCol)).as("__v"))
+    val total = c.count()
+    val sampled = if (total <= fitSampleRows) c else {
+      val perMille = math.max(1L, fitSampleRows * 1000L / total)
+      c.filter(pmod(xxhash64(col("__id")), lit(1000L)) < lit(perMille))
+    }
+    val rows = sampled.orderBy("__id").collect()
+    require(rows.nonEmpty, "pqResidualCodebooks: empty training sample")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"pqResidualCodebooks: dim $dim not divisible by m=$m")
+    val centersNorm = centers.map { ctr =>
+      val n = math.sqrt(ctr.map(x => x * x).sum)
+      if (n == 0.0) ctr else ctr.map(_ / n)
+    }
+    val residuals = rows.iterator.map(_.getSeq[Double](1).toArray).flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) None else {
+        // raw-space nearest center = ivfIndex's bucket rule
+        var best = 0; var bestD = Double.MaxValue
+        var b = 0
+        while (b < centers.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centers(b)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = b }
+          b += 1
+        }
+        Some(Array.tabulate(dim)(j => v(j) / n - centersNorm(best)(j)))
+      }
+    }.toArray
+    require(residuals.nonEmpty, "pqResidualCodebooks: all sampled vectors were zero")
+    subspaceKMeans(residuals, m, nCodes, lloydRounds, dim / m)
   }
 
   /** Encode the corpus against trained [[pqCodebooks]]: each vector becomes
@@ -1035,6 +1094,120 @@ object Similarity {
     topKPerQuery(re, k)
   }
 
+  /** RESIDUAL-encoded IVFADC (r11 — the upgrade path [[cosineTopKIvfPq]]'s
+    * scaladoc documents): identical probe/scan/refine plan shape, but PQ
+    * codes quantize `nv − ĉ(bucket)` (per-cell residuals,
+    * [[pqResidualCodebooks]]) instead of the raw unit vectors, and each
+    * query builds ONE ADC distance table PER PROBED BUCKET against its own
+    * residual `qnv − ĉ(bucket)`: since ‖qnv − nv‖² = ‖(qnv − ĉ_b) −
+    * (nv − ĉ_b)‖², the same `1 − adc/2` cosine estimate holds with the
+    * quantization error now taken on the per-cell residuals. Cost delta
+    * vs the flat-code variant is query-side only — nProbe tables instead
+    * of one (m × nCodes × (dim/m) in-plan work per (query, bucket), still
+    * metadata-sized) — while the corpus-side scan reads the same m-int
+    * codes and never reshuffles; the exact float refine is unchanged.
+    *
+    * MEASURED, honestly (RecallProbe, m=8/nCodes=32/6-of-16 probes/8×
+    * overfetch, recall@10 vs the exact twin): on the weak-similarity
+    * synthetic embeddings residual LOSES — 0.66 vs flat 0.75 at sf0.01,
+    * 0.41 vs 0.56 at sf0.1 — and the geometry says it must: the corpus is
+    * unit vectors with mean cos to its cell centroid ≈ 0.14, so residual
+    * norms are √(2 − 2·0.14) ≈ 1.31 — residuals SPREAD WIDER than the
+    * vectors themselves, and the same codebook budget quantizes them
+    * worse. Residual encoding pays off exactly when cells concentrate
+    * (mean cos > 0.5 ⇒ residual norm < 1), the regime of real clustered
+    * embedding corpora — SimilaritySpec pins the uplift on a deterministic
+    * clustered corpus (16 tight direction cells, overfetch=1 so the ADC
+    * ranking itself decides): flat 0.406 → residual 0.600 recall@10 at
+    * the same config and index bytes.
+    * The graded entry keeps the weak-similarity corpus (the hardest
+    * regime, same floor discipline as the other ANN entries). */
+  def cosineTopKIvfPqResidual(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              nCentroids: Int = 16, nProbe: Int = 6,
+                              m: Int = 8, nCodes: Int = 32,
+                              overfetch: Int = 8,
+                              fitSampleRows: Long = 10000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftDot.register(spark)
+    graft.functions.GraftPqAdc.register(spark)
+    val (ivf, centers) =
+      ivfIndex(corpus, idCol, vecCol, nCentroids, fitSampleRows = fitSampleRows)
+    val codebooks = pqCodebooksResidualFor(corpus, idCol, vecCol, centers,
+      m, nCodes, fitSampleRows)
+    val sub = codebooks(0)(0).length
+    val cb = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val centersNorm = centers.map { ctr =>
+      val n = math.sqrt(ctr.map(x => x * x).sum)
+      if (n == 0.0) ctr else ctr.map(_ / n)
+    }
+    val cnl = typedLit(centersNorm.map(_.toSeq).toSeq)
+    // serving-tier index: (bucket, neighbor_id, residual codes) — residual
+    // computed in-plan against the bucket's unit centroid, float dropped
+    val index = ivf
+      .withColumn("__nv", transform(col("cv"), x => x / col("cn")))
+      .withColumn("__rv", zip_with(col("__nv"),
+        element_at(cnl, (col("bucket") + lit(1)).cast(IntegerType)),
+        (a, b) => a - b))
+      .select(col("bucket"), col("neighbor_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+            ctr => l2sq(slice(col("__rv"), s * lit(sub) + lit(1), lit(sub)), ctr))
+          (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+        }).as("codes"))
+    // driver-side probe assignment (raw-space, the ivfIndex rule)
+    val qRows = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      centers.zipWithIndex.map { case (ctr, b) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i) - ctr(i); d += t * t; i += 1 }
+        (b, d)
+      }.sortBy(_._2).take(nProbe).map { case (b, _) => (qid, b) }
+    }.toSeq.toDF("query_id", "bucket")
+    val q = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("query_id", "qv")
+      .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
+      .withColumn("qnv", transform(col("qv"), x => x / col("qn")))
+    // one ADC table per (query, probed bucket) against the query's OWN
+    // residual in that bucket — nProbe small rows per query, broadcast
+    val probeTabs = probes.join(q.select(col("query_id"), col("qnv")), Seq("query_id"))
+      .withColumn("__qr", zip_with(col("qnv"),
+        element_at(cnl, (col("bucket") + lit(1)).cast(IntegerType)),
+        (a, b) => a - b))
+      .select(col("query_id"), col("bucket"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+            ctr => l2sq(slice(col("__qr"), s * lit(sub) + lit(1), lit(sub)), ctr)))
+          .as("qtab"))
+    val adc = index
+      .join(broadcast(probeTabs), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) - expr("graft_pq_adc(qtab, codes)") / lit(2.0)).as("sim"))
+    val short = topKPerQuery(adc, k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", expr("nullif(sqrt(graft_dot(cv, cv)), 0d)"))
+    val re = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(cv, qv)") / (col("cn") * col("qn"))).as("sim"))
+    topKPerQuery(re, k)
+  }
+
+  /** Indirection so [[cosineTopKIvfPqResidual]] reads top-down; delegates
+    * to [[pqResidualCodebooks]]. */
+  private def pqCodebooksResidualFor(corpus: DataFrame, idCol: String,
+                                     vecCol: String, centers: Array[Array[Double]],
+                                     m: Int, nCodes: Int,
+                                     fitSampleRows: Long): Array[Array[Array[Double]]] =
+    pqResidualCodebooks(corpus, idCol, vecCol, centers, m, nCodes,
+      fitSampleRows = fitSampleRows)
+
   /** Tolerance-grading of an ANN result against its exact brute-force twin
     * (VERDICT r8 item 1 — the `a10_percentile_approx` sketch pattern applied
     * to retrieval): the approximate member set is engine-local (bucket
@@ -1075,6 +1248,7 @@ object Similarity {
   private val cosinePairsBound = 0.95
   private val pqTopKBound = 0.5
   private val ivfPqTopKBound = 0.3
+  private val ivfPqResidualBound = 0.3
   private val pqIncBound = 0.5
 
   /** Shared WITH-prefix of every graded-ANN oracle: the exact top-k CTE
@@ -1235,6 +1409,22 @@ object Similarity {
       cosineTopK(e, q, "vec_id", "embedding", 10), ivfPqTopKBound)
   }
 
+  /** Graded (r11): RESIDUAL-encoded IVFADC at the exact same m/nCodes/
+    * probe/overfetch config as [[ivfPqTopK]], against the same exact twin —
+    * so the two entries' measured recalls isolate the residual-encoding
+    * effect at equal index bytes. On THIS corpus that effect is negative
+    * (see [[cosineTopKIvfPqResidual]]: weak-similarity cells ⇒ residuals
+    * wider than the vectors); the floor is the sf0.1 measurement with
+    * margin, and the uplift regime is pinned in SimilaritySpec on a
+    * clustered corpus. */
+  private val ivfPqResidualTopK: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    recallGraded(
+      cosineTopKIvfPqResidual(e, q, "vec_id", "embedding", 10),
+      cosineTopK(e, q, "vec_id", "embedding", 10), ivfPqResidualBound)
+  }
+
   private val centroidsQ: Q = (s, dir) =>
     labelCentroids(Tables(s, dir).embeddings, "label", "embedding")
       .orderBy("label", "pos")
@@ -1347,6 +1537,7 @@ object Similarity {
     "ann_ivf_topk" -> ivfTopK,                   // recall-graded vs exact twin
     "ann_pq_topk" -> pqTopK,                     // recall-graded vs exact twin
     "ann_ivfpq_topk" -> ivfPqTopK,               // recall-graded vs exact twin
+    "ann_ivfpq_residual_topk" -> ivfPqResidualTopK, // recall-graded vs exact twin
     "ann_pq_incremental" -> pqIncrementalQ,      // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
@@ -1368,6 +1559,7 @@ object Similarity {
     "ann_ivf_topk" -> recallOracleSql("TRUE", 10, ivfTopKBound),
     "ann_pq_topk" -> recallOracleSql("TRUE", 10, pqTopKBound),
     "ann_ivfpq_topk" -> recallOracleSql("TRUE", 10, ivfPqTopKBound),
+    "ann_ivfpq_residual_topk" -> recallOracleSql("TRUE", 10, ivfPqResidualBound),
     "ann_pq_incremental" -> recallOracleSql("c.vec_id >= 20", 10, pqIncBound),
     "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
     "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),

@@ -436,6 +436,64 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatched === 0L, "refined sims must be the exact cosine")
   }
 
+  test("residual IVFADC recall on sf0.001 stays above the graded floor, refine exact") {
+    val e = Tables(spark, sf001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Similarity.cosineTopKIvfPqResidual(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val overlap = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = overlap.toDouble / nExact
+    info(f"residual IVFADC recall@10 on sf0.001: $recall%.3f ($overlap of $nExact)")
+    assert(recall >= 0.3, f"recall $recall%.3f under the graded floor 0.3")
+    val full = Similarity.cosineTopKIvfPqResidual(e, q, "vec_id", "embedding", 10)
+    val brute = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    val mismatched = full.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("sim") - col("bsim")) > 1e-9).count()
+    assert(mismatched === 0L, "refined sims must be the exact cosine")
+  }
+
+  test("residual encoding beats flat codes on a CLUSTERED corpus (its target regime)") {
+    // The graded entries run on the weak-similarity synthetic embeddings,
+    // where cells barely concentrate (mean cos to centroid ~0.14) and
+    // residuals spread WIDER than the unit vectors — there residual
+    // encoding measurably loses (see cosineTopKIvfPqResidual's scaladoc).
+    // This pin covers the regime the technique exists for: a corpus of 16
+    // tight direction clusters (mean cos to center ~0.95), where per-cell
+    // residuals are short and the same codebook budget quantizes them far
+    // better. overfetch=1 removes the exact-refine safety net so the ADC
+    // ranking quality itself decides recall.
+    val dim = 64; val nClusters = 16; val perCluster = 32
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val v = unit(centers(c).map(x => x + 0.05 * rnd.nextGaussian()))
+      ((c * perCluster + i).toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % perCluster === 0) // one query per cluster
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nExact
+    val flat = recall(Similarity.cosineTopKIvfPq(
+      e, q, "vec_id", "embedding", 10, overfetch = 1))
+    val residual = recall(Similarity.cosineTopKIvfPqResidual(
+      e, q, "vec_id", "embedding", 10, overfetch = 1))
+    info(f"clustered corpus recall@10 — flat: $flat%.3f residual: $residual%.3f")
+    assert(residual > flat,
+      f"residual $residual%.3f should beat flat $flat%.3f on clustered data")
+  }
+
   test("incremental PQ probe: one encode, cached index, recall above the floor") {
     val e = Tables(spark, sf001).embeddings
     val corpus = e.filter(col("vec_id") >= 20)
