@@ -72,6 +72,8 @@ object Bench {
     "link_snm_accuracy", "layout_bloom_prune", "t6_topk_group_native",
     "ml_logreg_irls", "ml_naive_bayes", "ml_auc_roc", "a49_hll_intersect",
     "q_dp_noised_counts", "layout_hilbert_prune", "stream_trending_topk",
+    // round-11 entries
+    "mm_video_frames", "ann_ivfpq_residual_topk", "stream_incremental_totals",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
     // materializations — ~10 s of scheduler latency at sf0.1 that

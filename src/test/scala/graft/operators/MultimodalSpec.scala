@@ -102,6 +102,37 @@ class MultimodalSpec extends SparkSpec {
     assert(decodes.value === out.length.toLong)
   }
 
+  test("GifFrameDecoder demuxes synthetic clips: frame count, dims, sampled means exact") {
+    // real JDK animated-GIF encode -> real multi-frame demux with stride-2
+    // sampling; the explicit 256-gray palette + interlaceFlag FALSE make
+    // the round trip lossless, so every sampled frame's mean is EXACTLY
+    // the generator's closed form — the mm_video_frames oracle contract.
+    // ids 0 and 3 cover h = 4, the height where the JDK writer's default
+    // INTERLACED output scrambles rows (the r11 bring-up bug).
+    def r4(v: Double) = math.round(v * 10000.0) / 10000.0
+    for (id <- Seq(0L, 1L, 3L, 7L, 123L, 499L)) {
+      val dec = new Multimodal.GifFrameDecoder(every = 2)
+      val f = dec.decode("video/gif", Multimodal.syntheticGif(id))
+      val w = (8 + id % 5).toInt; val h = (4 + id % 3).toInt
+      val n = (3 + id % 4).toInt
+      val sampled = 0 until n by 2
+      val expected = Seq(n.toDouble, w.toDouble, h.toDouble) ++ sampled.map { fr =>
+        val sum = (for (x <- 0 until w; y <- 0 until h)
+          yield (x * 3 + y * 5 + id * 7 + fr * 11) % 256).sum
+        r4(sum.toDouble / (w * h))
+      }
+      assert(f.toSeq === expected,
+        s"decoded video features for id=$id diverge from the closed form")
+    }
+  }
+
+  test("GifFrameDecoder random-access: stride larger than clip still reads frame 0") {
+    val dec = new Multimodal.GifFrameDecoder(every = 100)
+    val f = dec.decode("video/gif", Multimodal.syntheticGif(5L))
+    assert(f.length === 4, "n_frames + dims + exactly one sampled frame")
+    assert(f(0) === (3 + 5 % 4).toDouble)
+  }
+
   test("WavDecoder round-trips synthetic WAVs to the generator's closed forms") {
     // id 0: n = 800, step = 3 — samples (3i % 2001) - 1000; re-derive the
     // stats driver-side from the FORMULA and assert the decoded WAV agrees
