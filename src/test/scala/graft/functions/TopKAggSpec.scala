@@ -79,4 +79,51 @@ class TopKAggSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(out == Seq(1L))
   }
+
+  test("DECIMAL score and INT tag are implicitly cast, not executor-crashed (ADVICE r10)") {
+    TopKAgg.register(spark)
+    import spark.implicits._
+    // the standard warehouse money type + an int key: before the
+    // ImplicitCastInputTypes fix this threw ClassCastException on the
+    // executor; now Catalyst inserts the casts at analysis time
+    val df = Seq(("g", BigDecimal("12.50"), 1), ("g", BigDecimal("99.99"), 2),
+      ("g", BigDecimal("50.00"), 3))
+      .toDF("g", "price", "id")
+      .select(col("g"), col("price").cast("decimal(18,2)").as("price"), col("id"))
+    val out = df.groupBy("g")
+      .agg(expr("graft_topk(price, id, 2)").as("top"))
+      .select(col("top.tag").as("tags"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(2L, 3L), s"got $out")
+  }
+
+  test("NaN scores never occupy heap slots (ADVICE r10)") {
+    TopKAgg.register(spark)
+    import spark.implicits._
+    // NaN first so it would seed the heap while size<k under the old raw-<
+    // compare; it must be skipped like a null and never block finite scores
+    val df = Seq(("g", Double.NaN, 1L), ("g", 1.0, 2L), ("g", 3.0, 3L))
+      .toDF("g", "s", "t")
+    val out = df.coalesce(1).groupBy("g")
+      .agg(expr("graft_topk(s, t, 2)").as("top"))
+      .select(col("top.tag").as("tags"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(3L, 2L), s"got $out")
+  }
+
+  test("k accepts any foldable integral constant, rejects non-constants (ADVICE r10)") {
+    TopKAgg.register(spark)
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 2L)).toDF("g", "s", "t")
+    // CAST(2 AS BIGINT) is foldable but not a bare Int literal
+    val out = df.groupBy("g")
+      .agg(expr("graft_topk(s, t, CAST(2 AS BIGINT))").as("top"))
+      .select(col("top.tag").as("tags"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(2L, 1L))
+    val err = intercept[Exception] {
+      df.groupBy("g").agg(expr("graft_topk(s, t, t)").as("top")).collect()
+    }
+    assert(err.getMessage.contains("graft_topk"), s"got: ${err.getMessage}")
+  }
 }
