@@ -74,6 +74,7 @@ object Bench {
     "q_dp_noised_counts", "layout_hilbert_prune", "stream_trending_topk",
     // round-11 entries
     "mm_video_frames", "ann_ivfpq_residual_topk", "stream_incremental_totals",
+    "stream_late_data_drop",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
     // materializations — ~10 s of scheduler latency at sf0.1 that

@@ -645,7 +645,68 @@ object EventStream {
     s.read.parquet(data)
   }
 
+  /** WATERMARK LATE-DATA DROP across batches (r11): the one streaming
+    * semantic the other entries don't grade — rows arriving BELOW the
+    * watermark are dropped, the streaming twin of the reference's
+    * out-of-month row drop (`Ex02DataIngestion.scala:77`). The feed is
+    * staged in reverse time order: the LAST day of events drains first
+    * (advancing the watermark to max(ts) − 1h and, in append mode,
+    * emitting every hourly window that closed below it), then ALL OLDER
+    * days land as a second file on the same checkpoint — every row of it
+    * is below the persisted watermark, so the second drain must emit
+    * NOTHING and the sink must be byte-identical before/after (required
+    * in-entry). The final frame hash-grades against a batch oracle that
+    * re-derives exactly the last-day windows with
+    * `window_end <= max(ts) − 1h` — if late rows leaked into state and
+    * out the sink, or if the watermark failed to persist across the
+    * restart, the hash catches it. At scale this is the backfill-safety
+    * property: a replayed old partition cannot corrupt already-published
+    * windows. */
+  private val streamLateDropQ: Q = (s, dir) => {
+    val src = tempDir("graft_late_src")
+    val ckpt = tempDir("graft_ckpt_late")
+    val data = tempDir("graft_late_sink")
+    val ev = Tables(s, dir).events.select(col("user_id"), col("ts"), col("value"))
+    val schema = ev.schema
+    // deterministic split the oracle re-derives: the last CALENDAR DAY of
+    // the feed vs everything before it (session TZ pinned UTC)
+    val dayStart = ev.agg(date_trunc("day", max(col("ts"))).as("d0")).head().getTimestamp(0)
+    def stage(tag: String, part: DataFrame): Unit = {
+      val tmp = tempDir(s"graft_late_stage_$tag")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, s"batch_$tag.parquet"))
+    }
+    def drain(): Long = {
+      val q = s.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("window.start").as("ws"), col("n"), col("total"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(data)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(data).count()
+    }
+    stage("recent", ev.filter(col("ts") >= lit(dayStart)))
+    val afterRecent = drain()
+    stage("late", ev.filter(col("ts") < lit(dayStart)))
+    val afterLate = drain()
+    require(afterLate == afterRecent,
+      s"late batch changed the sink ($afterRecent -> $afterLate rows): " +
+        "below-watermark rows must be dropped, not emitted")
+    s.read.parquet(data).orderBy("ws")
+  }
+
   val entries: Map[String, Q] = Map(
+    "stream_late_data_drop" -> streamLateDropQ,
     "stream_incremental_totals" -> streamIncrementalQ,
     "stream_trending_topk" -> streamTrendingQ,
     "w_tumbling_hourly" -> tumblingQ,
@@ -660,6 +721,22 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    // append-mode emission = hourly windows of the LAST calendar day whose
+    // end closed at or below the final watermark max(ts) − 1h; the staged
+    // older days are entirely below that watermark and must not appear
+    // (ts carries microseconds, so the <= vs < boundary is measure-zero)
+    "stream_late_data_drop" ->
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+        |recent AS (
+        |  SELECT e.ts, e.value FROM events e, mx
+        |  WHERE e.ts >= date_trunc('day', mts)),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM recent GROUP BY 1)
+        |SELECT ws, n, total FROM w, mx
+        |WHERE ws + INTERVAL 1 HOUR <= mts - INTERVAL 1 HOUR
+        |ORDER BY ws""".stripMargin,
     "stream_incremental_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
