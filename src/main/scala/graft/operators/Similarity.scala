@@ -423,17 +423,67 @@ object Similarity {
         while (i < qv.length) { val t = qv(i) - ctr(i); d += t * t; i += 1 }
         (b, d)
       }.sortBy(_._2).take(nProbe).map { case (b, _) => (qid, b) }
-    }.toSeq.toDF("query_id", "bucket")
+    }
+    val probesDf = probes.toSeq.toDF("query_id", "bucket")
     val qVecs = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq.toDF("query_id", "qv").withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
 
+    // Static bucket prune BEFORE the join: the inner join on `bucket`
+    // already restricts the index to the probed buckets, but the probe
+    // assignment is driver-known, so push it as a literal IN-filter too —
+    // on a bucket-PARTITIONED index store ([[ivfIndexPersist]]) this is
+    // the scan's PartitionFilters line, i.e. the probe physically reads
+    // union-of-probes/nCentroids of the index instead of all of it.
+    val probedBuckets = probes.map(_._2).distinct.sorted.toIndexedSeq
     val scored = index
-      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("bucket").isin(probedBuckets: _*))
+      .join(broadcast(probesDf), Seq("bucket"))
       .join(broadcast(qVecs), Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (expr("graft_dot(cv, qv)") / (col("cn") * col("qn"))).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** Persist an [[ivfIndex]] as cold storage artifacts (the
+    * `faiss.write_index` analog for a distributed index): the corpus index
+    * frame is written PARTITIONED BY `bucket` — the physical layout the
+    * [[ivfIndex]] scaladoc promises, where one probe reads
+    * `nProbe/nCentroids` of the data because the bucket list prunes at the
+    * file-listing level — and the coarse-quantizer centroids go to a
+    * sibling `nCentroids`-row table. Everything a retrieval service needs
+    * to serve queries is on disk; no state from the build survives in the
+    * reloading session. */
+  def ivfIndexPersist(corpus: DataFrame, idCol: String, vecCol: String,
+                      root: String, nCentroids: Int = 16, seed: Long = 42L,
+                      fitSampleRows: Long = 100000L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (index, centers) =
+      ivfIndex(corpus, idCol, vecCol, nCentroids, seed, fitSampleRows)
+    index.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/ivf_index")
+    centers.zipWithIndex.map { case (c, b) => (b, c.toSeq) }.toSeq
+      .toDF("bucket", "center").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/ivf_centroids")
+  }
+
+  /** Reload a persisted IVF index (the `faiss.read_index` analog): the
+    * bucket-partitioned index frame comes back as a plain scan whose
+    * partition column is the bucket key — so [[cosineTopKIvfIncremental]]'s
+    * literal bucket IN-filter lands in the scan's `PartitionFilters`
+    * (pinned in SimilaritySpec) — and the centroid table is collected back
+    * to the driver-side array the probe assignment needs (nCentroids × dim
+    * doubles, the same bound as the build). The round trip is lossless
+    * (doubles in parquet), so a reloaded probe is bit-identical to one
+    * against the just-built index. */
+  def ivfIndexLoad(spark: SparkSession, root: String)
+      : (DataFrame, Array[Array[Double]]) = {
+    val index = spark.read.parquet(s"$root/ivf_index")
+    val centers = spark.read.parquet(s"$root/ivf_centroids")
+      .orderBy("bucket").collect()
+      .map(_.getSeq[Double](1).toArray)
+    (index, centers)
   }
 
   /** Hybrid retrieval (the RAG-ingest search shape): BM25 over the text
@@ -1500,6 +1550,31 @@ object Similarity {
       cosineTopK(corpus, q, "vec_id", "embedding", 10), ivfIncBound)
   }
 
+  /** Index-persistence lifecycle, GRADED end-to-end (r11): build the IVF
+    * index, write it to cold storage (bucket-partitioned parquet + the
+    * centroid table — [[ivfIndexPersist]]), RELOAD both artifacts from
+    * disk, and serve the query batch off the reloaded index. Nothing from
+    * the build survives into the serve: the probe sees only what a fresh
+    * session would read back. The quantizer fit is seeded and the parquet
+    * round trip lossless, so the reloaded probe is bit-identical to
+    * [[ivfTopK]] (equality pinned in SimilaritySpec along with the
+    * PartitionFilters bucket prune) and the same exact-twin oracle grades
+    * it. This is the missing third leg of the retrieval story: build once
+    * ([[ivfIndex]]), serve batches ([[cosineTopKIvfIncremental]]),
+    * SURVIVE A RESTART (this entry). */
+  private val indexPersistQ: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val root = new java.io.File(
+      s"target/tmp/ivf_persist_${new java.io.File(dir).getName}")
+      .getAbsolutePath
+    ivfIndexPersist(e, "vec_id", "embedding", root)
+    val (index, centers) = ivfIndexLoad(s, root)
+    recallGraded(
+      cosineTopKIvfIncremental(index, centers, q, "vec_id", "embedding", 10),
+      cosineTopK(e, q, "vec_id", "embedding", 10), ivfTopKBound)
+  }
+
   /** PQ twin of [[lshIncrementalQ]]: codebooks trained and the corpus
     * slice encoded ONCE — the persisted code frame IS the serving index
     * (8 ints per vector; the floats stay in storage for the refine) —
@@ -1540,6 +1615,7 @@ object Similarity {
     "ann_ivfpq_residual_topk" -> ivfPqResidualTopK, // recall-graded vs exact twin
     "ann_pq_incremental" -> pqIncrementalQ,      // recall-graded vs exact twin
     "ann_ivf_incremental" -> ivfIncrementalQ,    // recall-graded vs exact twin
+    "ann_index_persist" -> indexPersistQ,        // recall-graded vs exact twin
     "ann_hybrid_rerank" -> hybridQ,
     "ann_mmr_rerank" -> mmrQ,
     "dedup_embedding_cosine" -> cosinePairsQ,    // recall-graded vs exact twin
@@ -1563,6 +1639,9 @@ object Similarity {
     "ann_pq_incremental" -> recallOracleSql("c.vec_id >= 20", 10, pqIncBound),
     "ann_lsh_incremental" -> recallOracleSql("c.vec_id >= 20", 10, lshIncBound),
     "ann_ivf_incremental" -> recallOracleSql("c.vec_id >= 20", 10, ivfIncBound),
+    // the reloaded-index probe is bit-identical to ann_ivf_topk (seeded
+    // fit + lossless parquet round trip), so the same exact-twin grades it
+    "ann_index_persist" -> recallOracleSql("TRUE", 10, ivfTopKBound),
     "dedup_embedding_cosine" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -211,6 +211,85 @@ object Layout {
         .otherwise("partial").as("decision"))
       .orderBy("part")
 
+  // ------------------------------------------------------- transaction log
+
+  /** Live file set of a commit log at `asOf`: for every file, its LATEST
+    * action with `version <= asOf` decides — live iff that action is an
+    * `add`. This is snapshot reconstruction through a Delta/Iceberg-style
+    * log of (version, add|remove, file, stats) actions: the table's state
+    * at any version is a pure function of the metadata log, the data files
+    * are never read. The log of a 100-TB table is a few million rows — the
+    * window below shuffles metadata, and in a real deployment the log is
+    * checkpointed so only the tail replays. */
+  def snapshotAt(log: DataFrame, asOf: Int): DataFrame = {
+    val w = Window.partitionBy("file").orderBy(col("version").desc)
+    log.filter(col("version") <= asOf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("action") === "add")
+      .drop("__rn")
+  }
+
+  /** Time-travel census: one row per requested version with the snapshot's
+    * file count, row count, and byte total — `SELECT ... VERSION AS OF v`
+    * resolved for every v in one pass. The versions frame is a broadcast
+    * literal; the log replays once per version but stays metadata-sized.
+    * Invariants the graded entry hash-pins: a compaction version keeps
+    * n_rows constant while n_files drops; a delete version drops both. */
+  def timeTravelCensus(log: DataFrame, versions: Seq[Int]): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val vs = versions.toDF("as_of")
+    val w = Window.partitionBy("as_of", "file").orderBy(col("version").desc)
+    log.join(broadcast(vs), col("version") <= col("as_of"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("action") === "add")
+      .groupBy("as_of")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("bytes"))
+      .orderBy("as_of")
+  }
+
+  /** VACUUM plan: the files that are safe to physically delete because no
+    * RETAINED snapshot can reach them — a file is deletable iff it appears
+    * in the log but is live in none of `retainedVersions`. Everything
+    * newer than the retention horizon is protected even if already
+    * `remove`d (time travel to a retained version must still work), which
+    * is exactly why Delta's `VACUUM` refuses sub-horizon retention. Pure
+    * metadata anti-join; emits the reclaimable inventory with its stats so
+    * the reclaimed bytes are an auditable number. */
+  def vacuumPlan(log: DataFrame, retainedVersions: Seq[Int]): DataFrame = {
+    val live = retainedVersions.map(v => snapshotAt(log, v).select("file"))
+      .reduce(_ unionAll _).distinct()
+    log.filter(col("action") === "add")
+      .select("file", "part", "n_rows", "bytes").distinct()
+      .join(live, Seq("file"), "left_anti")
+      .orderBy("file")
+  }
+
+  /** Optimistic-concurrency conflict detection between two transactions
+    * that committed against the SAME base snapshot: per partition, the
+    * size of each transaction's remove-set and of their intersection —
+    * two txns that both remove a common file cannot serialize (Delta's
+    * ConcurrentDeleteDelete), disjoint remove-sets commit in either order.
+    * Inputs are the txns' (file, part) remove-sets; the check is one
+    * metadata-sized full-outer join on `file`, no data read, which is why
+    * a 100-TB table can run conflict detection per commit. */
+  def commitConflicts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("file"), col("part"), lit(1).as("__a"))
+      .join(b.select(col("file"), col("part").as("__pb"), lit(1).as("__b")),
+        Seq("file"), "full_outer")
+      .select(coalesce(col("part"), col("__pb")).as("part"),
+        col("__a"), col("__b"))
+      .groupBy("part")
+      .agg(sum(coalesce(col("__a"), lit(0))).as("n_txn_a"),
+        sum(coalesce(col("__b"), lit(0))).as("n_txn_b"),
+        sum(when(col("__a") === 1 && col("__b") === 1, 1)
+          .otherwise(0)).as("n_common"))
+      .withColumn("verdict",
+        when(col("n_common") > 0, "delete_delete").otherwise("disjoint"))
+      .orderBy("part")
+
   /** Bloom-augmented manifest: per partition, the zone-map row count and
     * min/max PLUS the distinct Bloom bit-position set of a point-lookup
     * key (`hashes` positions per key, `xxhash64(key, seed) mod bits`).
@@ -317,6 +396,77 @@ object Layout {
         date_trunc("month", col("l_shipdate")).cast("date"), cols)
     mergeManifests(half(col("l_orderkey") % 2 === 0),
       half(col("l_orderkey") % 2 =!= 0), cols)
+  }
+
+  /** Deterministic file inventory for the transaction-log entries: one
+    * "file" per (ship month, orderkey % 4) of lineitem, with row count and
+    * an exact-decimal byte proxy — the post-ingest layout of a partitioned
+    * table where each month received four bucketed writer outputs. */
+  private def fileInventory(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("part"),
+        (col("l_orderkey") % 4).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        // exact-decimal sum (the engine-vs-oracle double-summation-order
+        // convention of CoreQueries): cents as BIGINT, bit-stable
+        (sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+          .cast("long").as("bytes"))
+      .withColumn("file",
+        concat(col("part").cast("string"), lit("/b"), col("bucket")))
+
+  /** Deterministic four-version commit log over [[fileInventory]] — the
+    * lifecycle a real table walks: v0/v1 ingest (buckets 0-1, then 2-3),
+    * v2 compaction (buckets 0-1 removed, one `c01` file per month added
+    * with their combined stats — row count invariant, file count down),
+    * v3 deletion (bucket-2 files before 1997 removed — rows actually
+    * drop). Remove actions carry the file's stats, as Delta remove
+    * actions reference known files. */
+  private def commitLog(s: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val inv = fileInventory(s, dir)
+    def slice(pred: Column, ver: Int, act: String) =
+      inv.filter(pred).select(lit(ver).as("version"), lit(act).as("action"),
+        col("file"), col("part"), col("n_rows"), col("bytes"))
+    val c01 = inv.filter(col("bucket").isin(0, 1))
+      .groupBy("part")
+      .agg(sum("n_rows").as("n_rows"), sum("bytes").as("bytes"))
+      .select(lit(2).as("version"), lit("add").as("action"),
+        concat(col("part").cast("string"), lit("/c01")).as("file"),
+        col("part"), col("n_rows"), col("bytes"))
+    slice(col("bucket").isin(0, 1), 0, "add")
+      .unionAll(slice(col("bucket").isin(2, 3), 1, "add"))
+      .unionAll(slice(col("bucket").isin(0, 1), 2, "remove"))
+      .unionAll(c01)
+      .unionAll(slice(col("bucket") === 2
+        && col("part") < lit("1997-01-01").cast("date"), 3, "remove"))
+  }
+
+  /** Snapshot census at every version of the log: the compaction (v1→v2)
+    * must keep n_rows constant while n_files drops, the delete (v2→v3)
+    * drops both — both invariants land in the hash. */
+  private val timeTravelQ: Q = (s, dir) =>
+    timeTravelCensus(commitLog(s, dir), Seq(0, 1, 2, 3))
+
+  /** Reclaimable-file inventory with snapshots 2 and 3 retained: the
+    * compacted-away bucket-0/1 files are deletable; the v3-deleted
+    * bucket-2 files are NOT (still live at retained v2) — the retention
+    * horizon protecting time travel is what the hash pins. */
+  private val vacuumQ: Q = (s, dir) =>
+    vacuumPlan(commitLog(s, dir), retainedVersions = Seq(2, 3))
+
+  /** Conflict matrix between the v2 compaction (removes buckets 0-1) and a
+    * concurrent delete of bucket-1 files from 1997 on, both based on v1:
+    * months ≥ 1997 collide on the bucket-1 file (`delete_delete`), earlier
+    * months serialize (`disjoint`). */
+  private val conflictsQ: Q = (s, dir) => {
+    val inv = fileInventory(s, dir)
+    commitConflicts(
+      inv.filter(col("bucket").isin(0, 1)).select("file", "part"),
+      inv.filter(col("bucket") === 1
+        && col("part") >= lit("1997-01-01").cast("date"))
+        .select("file", "part"))
   }
 
   /** Prune decisions for a ~16-month ship-date range: months before/after
@@ -438,6 +588,9 @@ object Layout {
     "layout_compaction_plan" -> compactionQ,
     "layout_manifest_stats" -> manifestQ,
     "layout_manifest_merge" -> manifestMergeQ,
+    "layout_time_travel" -> timeTravelQ,
+    "layout_vacuum_plan" -> vacuumQ,
+    "layout_commit_conflicts" -> conflictsQ,
     "layout_prune_plan" -> pruneQ,
     "layout_zorder_prune" -> zorderPruneQ,
     "layout_compare_prune" -> comparePruneQ,
@@ -513,6 +666,40 @@ object Layout {
       s"((($xc >> $i) & 1) * ${1L << (2 * i)}) + " +
         s"((($yc >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
+
+  /** DuckDB twin of [[fileInventory]] (shared WITH-prefix, ends open for
+    * appending further CTEs). */
+  private val invCteSql: String =
+    """WITH inv AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,
+      |         CAST(l_orderkey % 4 AS INT) AS bucket,
+      |         count(*) AS n_rows,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |              AS BIGINT) AS bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |files AS (
+      |  SELECT CAST(part AS VARCHAR) || '/b' || CAST(bucket AS VARCHAR)
+      |           AS file,
+      |         part, bucket, n_rows, bytes FROM inv)""".stripMargin
+
+  /** DuckDB twin of [[commitLog]], built on [[invCteSql]]. */
+  private val logCteSql: String =
+    s"""$invCteSql,
+       |c01 AS (
+       |  SELECT CAST(part AS VARCHAR) || '/c01' AS file, part,
+       |         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       |         CAST(sum(bytes) AS BIGINT) AS bytes
+       |  FROM files WHERE bucket IN (0, 1) GROUP BY part),
+       |log AS (
+       |  SELECT 0 AS version, 'add' AS action, file, part, n_rows, bytes
+       |  FROM files WHERE bucket IN (0, 1)
+       |  UNION ALL SELECT 1, 'add', file, part, n_rows, bytes
+       |  FROM files WHERE bucket IN (2, 3)
+       |  UNION ALL SELECT 2, 'remove', file, part, n_rows, bytes
+       |  FROM files WHERE bucket IN (0, 1)
+       |  UNION ALL SELECT 2, 'add', file, part, n_rows, bytes FROM c01
+       |  UNION ALL SELECT 3, 'remove', file, part, n_rows, bytes
+       |  FROM files WHERE bucket = 2 AND part < DATE '1997-01-01')""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "layout_hilbert_prune" ->
@@ -621,6 +808,50 @@ object Layout {
         |SELECT event_type, bin, count(*) AS n_files,
         |       CAST(sum(size_bytes) AS BIGINT) AS bytes
         |FROM packed GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "layout_time_travel" ->
+      s"""$logCteSql,
+         |vs AS (SELECT unnest([0, 1, 2, 3]) AS as_of),
+         |last AS (
+         |  SELECT as_of, file, action, n_rows, bytes,
+         |         row_number() OVER (PARTITION BY as_of, file
+         |                            ORDER BY version DESC) AS rn
+         |  FROM log JOIN vs ON version <= as_of)
+         |SELECT as_of, count(*) AS n_files,
+         |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |       CAST(sum(bytes) AS BIGINT) AS bytes
+         |FROM last WHERE rn = 1 AND action = 'add'
+         |GROUP BY as_of ORDER BY as_of""".stripMargin,
+    "layout_vacuum_plan" ->
+      s"""$logCteSql,
+         |vs AS (SELECT unnest([2, 3]) AS as_of),
+         |last AS (
+         |  SELECT as_of, file, action,
+         |         row_number() OVER (PARTITION BY as_of, file
+         |                            ORDER BY version DESC) AS rn
+         |  FROM log JOIN vs ON version <= as_of),
+         |live AS (
+         |  SELECT DISTINCT file FROM last WHERE rn = 1 AND action = 'add')
+         |SELECT DISTINCT file, part, n_rows, bytes
+         |FROM log WHERE action = 'add'
+         |  AND file NOT IN (SELECT file FROM live)
+         |ORDER BY file""".stripMargin,
+    "layout_commit_conflicts" ->
+      s"""$invCteSql,
+         |a AS (SELECT file, part FROM files WHERE bucket IN (0, 1)),
+         |b AS (SELECT file, part FROM files
+         |      WHERE bucket = 1 AND part >= DATE '1997-01-01'),
+         |j AS (
+         |  SELECT coalesce(a.part, b.part) AS part,
+         |         CASE WHEN a.file IS NOT NULL THEN 1 ELSE 0 END AS fa,
+         |         CASE WHEN b.file IS NOT NULL THEN 1 ELSE 0 END AS fb
+         |  FROM a FULL OUTER JOIN b ON a.file = b.file)
+         |SELECT part,
+         |       CAST(sum(fa) AS BIGINT) AS n_txn_a,
+         |       CAST(sum(fb) AS BIGINT) AS n_txn_b,
+         |       CAST(sum(fa * fb) AS BIGINT) AS n_common,
+         |       CASE WHEN sum(fa * fb) > 0 THEN 'delete_delete'
+         |            ELSE 'disjoint' END AS verdict
+         |FROM j GROUP BY part ORDER BY part""".stripMargin,
     "layout_manifest_stats" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,
         |       count(*) AS n_rows,

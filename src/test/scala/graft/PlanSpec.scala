@@ -362,13 +362,30 @@ class PlanSpec extends SparkSpec {
       // round-8 (ADVICE r7): these materialize via localCheckpoint during
       // construction so internal corpus-sized caches can be released
       // inside the function instead of leaking to the caller
-      "dedup_semantic", "dedup_split_leakage")
+      "dedup_semantic", "dedup_split_leakage",
+      // round-11: builds, WRITES, and reloads the IVF index during
+      // construction (the persistence lifecycle is the operator)
+      "ann_index_persist")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a
       // broadcast query set — BroadcastNestedLoop with a tiny build side is
       // exactly the right plan there, so only flag true cartesians for it
-      if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      val cartesian =
+        if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else None
+      // retry-safety census: RoundRobinPartitioning (a column-less
+      // repartition(n)) distributes rows by position, which is NOT
+      // deterministic across task retries — on a real cluster a fetch
+      // failure + stage retry can duplicate or lose rows (SPARK-23207's
+      // hazard class; Spark's sort-before-roundrobin mitigation is off for
+      // non-orderable rows). Every registered plan must partition by KEY
+      // (hash/range) or not at all.
+      val roundRobin =
+        if (p.contains("RoundRobinPartitioning"))
+          Some(s"$name: RoundRobinPartitioning (retry-unsafe repartition)")
+        else None
+      cartesian ++ roundRobin
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

@@ -195,4 +195,85 @@ class LayoutSpec extends SparkSpec {
     assert((0L until (n.toLong * n - 1)).exists(z =>
       manhattan(byZ(z), byZ(z + 1)) > 1))
   }
+
+  // ------------------------------------------------------- transaction log
+
+  private def toyLog = {
+    val s = spark
+    import s.implicits._
+    // two files added at v0; f1 compacted away at v1 into c; c removed at v2
+    Seq(
+      (0, "add", "f1", "p", 10L, 100L),
+      (0, "add", "f2", "p", 20L, 200L),
+      (1, "remove", "f1", "p", 10L, 100L),
+      (1, "add", "c", "p", 10L, 100L),
+      (2, "remove", "c", "p", 10L, 100L),
+    ).toDF("version", "action", "file", "part", "n_rows", "bytes")
+  }
+
+  test("snapshotAt: latest action per file wins, removes drop out") {
+    def files(v: Int) = Layout.snapshotAt(toyLog, v)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(files(0) === Set("f1", "f2"))
+    assert(files(1) === Set("f2", "c")) // f1 replaced by its compaction
+    assert(files(2) === Set("f2"))      // c deleted
+  }
+
+  test("time-travel census: compaction keeps rows, delete drops them") {
+    val c = Layout.timeTravelCensus(toyLog, Seq(0, 1, 2)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(c(0) === ((2L, 30L)))
+    assert(c(1) === ((2L, 30L))) // file count same, rows invariant
+    assert(c(2) === ((1L, 20L))) // the delete actually drops rows
+  }
+
+  test("vacuum plan: only files unreachable from every retained snapshot") {
+    // retaining v1 and v2: f1 (gone since v1) is reclaimable; c is gone at
+    // v2 but still live at retained v1, so the retention horizon saves it
+    val del = Layout.vacuumPlan(toyLog, Seq(1, 2))
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(del === Set("f1"))
+    // retaining only v2 releases c as well
+    val del2 = Layout.vacuumPlan(toyLog, Seq(2))
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(del2 === Set("f1", "c"))
+  }
+
+  test("commit conflicts: overlapping remove-sets collide, disjoint commit") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("f1", "p1"), ("f2", "p2")).toDF("file", "part")
+    val b = Seq(("f2", "p2"), ("f3", "p2")).toDF("file", "part")
+    val out = Layout.commitConflicts(a, b).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out("p1") === ((1L, 0L, 0L, "disjoint")))
+    assert(out("p2") === ((1L, 2L, 1L, "delete_delete")))
+  }
+
+  test("graded log entries: lifecycle invariants hold on sf0.001") {
+    val tt = graft.SparkEntry.queries("layout_time_travel")(spark, sf001)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(tt.keySet === Set(0, 1, 2, 3))
+    // v1 -> v2 is the compaction: rows and bytes invariant, files drop
+    assert(tt(2)._2 === tt(1)._2 && tt(2)._3 === tt(1)._3)
+    assert(tt(2)._1 < tt(1)._1)
+    // v2 -> v3 is the delete: rows drop
+    assert(tt(3)._2 < tt(2)._2)
+    // vacuum with {2,3} retained reclaims exactly the compacted-away
+    // bucket-0/1 files: the v3-deleted bucket-2 files stay protected
+    val del = graft.SparkEntry.queries("layout_vacuum_plan")(spark, sf001)
+      .select("file").collect().map(_.getString(0))
+    assert(del.nonEmpty)
+    assert(del.forall(f => f.endsWith("/b0") || f.endsWith("/b1")), del.take(5).mkString(","))
+    // conflicts: collisions only from 1997 on (a sparse tail month may
+    // lack a bucket-1 file and legitimately stay disjoint), and both
+    // verdicts must actually occur
+    val cf = graft.SparkEntry.queries("layout_commit_conflicts")(spark, sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getString(4)))
+    assert(cf.forall { case (p, v) =>
+      v == "disjoint" || p >= "1997-01-01" })
+    assert(cf.exists(_._2 == "delete_delete") && cf.exists(_._2 == "disjoint"))
+  }
 }
