@@ -217,34 +217,36 @@ object Multimodal {
     * 4-pass interlace grid (h ≤ 4 decoded with permuted/zeroed rows —
     * found by the oracle during r11 bring-up). */
   def syntheticGif(mediaId: Long): Array[Byte] = {
-    val w = (8 + mediaId % 5).toInt
-    val h = (4 + mediaId % 3).toInt
-    val n = (3 + mediaId % 4).toInt
-    val gray = Array.tabulate(256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
-    val writerIt = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
-    require(writerIt.hasNext, "JDK GIF writer missing")
-    val writer = writerIt.next()
-    val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    try {
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < n) {
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            raster.setSample(x, y, 0,
-              ((x * 3 + y * 5 + mediaId * 7 + f * 11) % 256).toInt)
-            x += 1
-          }
-          y += 1
-        }
+    val ctx = new GifEncodeContext
+    try ctx.encode(mediaId) finally ctx.close()
+  }
+
+  /** Reusable GIF ENCODE context — the encode-side sibling of the
+    * [[MediaDecoder]] open/decode/close contract: ONE JDK writer instance
+    * plus a per-(w, h) cache of interlace-pinned frame metadata serve
+    * every clip in a partition. The writer lookup and the metadata
+    * DOM-tree build/`setFromTree` round trip were PER FRAME in the r11
+    * bring-up (~2x the encode cost at 60k clips); the tree depends only on
+    * the frame geometry and the fixed 256-gray indexed type, so it is
+    * built once per distinct (w, h) — 15 combos in the fixture — and
+    * passed by reference thereafter (the JDK GIF writer reads, never
+    * mutates, image metadata). `writer.reset()` between clips returns the
+    * writer to its initial state so one instance can emit any number of
+    * independent sequences. */
+  final class GifEncodeContext {
+    private val writer = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(it.hasNext, "JDK GIF writer missing")
+      it.next()
+    }
+    private val gray = Array.tabulate(256)(_.toByte)
+    private val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    private val mdCache =
+      scala.collection.mutable.Map.empty[(Int, Int), javax.imageio.metadata.IIOMetadata]
+
+    private def frameMetadata(img: java.awt.image.BufferedImage)
+        : javax.imageio.metadata.IIOMetadata =
+      mdCache.getOrElseUpdate((img.getWidth, img.getHeight), {
         val md = writer.getDefaultImageMetadata(
           new javax.imageio.ImageTypeSpecifier(img), null)
         val fmt = md.getNativeMetadataFormatName
@@ -259,26 +261,71 @@ object Multimodal {
           }
         desc.setAttribute("interlaceFlag", "FALSE")
         md.setFromTree(fmt, root)
-        writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, md), null)
-        f += 1
+        md
+      })
+
+    def encode(mediaId: Long): Array[Byte] = {
+      val w = (8 + mediaId % 5).toInt
+      val h = (4 + mediaId % 3).toInt
+      val n = (3 + mediaId % 4).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((x * 3 + y * 5 + mediaId * 7 + f * 11) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, frameMetadata(img)), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.reset()
+        ios.close()
       }
-      writer.endWriteSequence()
-    } finally {
-      writer.dispose()
-      ios.close()
+      out.toByteArray
     }
-    out.toByteArray
+
+    def close(): Unit = writer.dispose()
   }
 
   /** Media table with REAL animated-GIF payloads: one synthetic clip per
     * document id, encoded executor-side (no shuffle, no collect). */
   def syntheticGifMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables(spark, dir).documents.select(col("doc_id")).as[Long].map { id =>
-      MediaRecord(id, "video/gif", syntheticGif(id),
-        (8 + id % 5).toInt, (4 + id % 3).toInt, (3 + id % 4).toInt)
-    }
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // one encode context per partition (the open/close contract the
+        // decode side already follows); closed when the iterator drains
+        val ctx = new GifEncodeContext
+        var closed = false
+        new Iterator[MediaRecord] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; ctx.close() }
+            h
+          }
+          def next(): MediaRecord = {
+            val id = it.next()
+            MediaRecord(id, "video/gif", ctx.encode(id),
+              (8 + id % 5).toInt, (4 + id % 3).toInt, (3 + id % 4).toInt)
+          }
+        }
+      }
   }
 
   /** Deterministic synthetic WAV for `media_id`: `800 + (id%40)·25` mono
