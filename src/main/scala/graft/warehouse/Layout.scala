@@ -259,8 +259,18 @@ object Layout {
     * metadata anti-join; emits the reclaimable inventory with its stats so
     * the reclaimed bytes are an auditable number. */
   def vacuumPlan(log: DataFrame, retainedVersions: Seq[Int]): DataFrame = {
-    val live = retainedVersions.map(v => snapshotAt(log, v).select("file"))
-      .reduce(_ unionAll _).distinct()
+    val spark = log.sparkSession
+    import spark.implicits._
+    // liveness across ALL retained versions in one log pass (the
+    // timeTravelCensus broadcast-versions shape) instead of one
+    // snapshotAt per version — the log replays once however long the
+    // retention window is
+    val vs = retainedVersions.toDF("as_of")
+    val w = Window.partitionBy("as_of", "file").orderBy(col("version").desc)
+    val live = log.join(broadcast(vs), col("version") <= col("as_of"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("action") === "add")
+      .select("file").distinct()
     log.filter(col("action") === "add")
       .select("file", "part", "n_rows", "bytes").distinct()
       .join(live, Seq("file"), "left_anti")
@@ -401,7 +411,15 @@ object Layout {
   /** Deterministic file inventory for the transaction-log entries: one
     * "file" per (ship month, orderkey % 4) of lineitem, with row count and
     * an exact-decimal byte proxy — the post-ingest layout of a partitioned
-    * table where each month received four bucketed writer outputs. */
+    * table where each month received four bucketed writer outputs.
+    *
+    * Materialized ONCE via eager localCheckpoint: in a deployment this
+    * inventory (like the commit log built from it) is a STORED metadata
+    * table the format reads back, never re-derived from data. The lazy
+    * form re-aggregated lineitem per downstream reference — the commit
+    * log's five union slices alone re-ran the data-sized groupBy five
+    * times and `layout_vacuum_plan` planned 39 Exchanges; checkpointed,
+    * every log operation is a scan over ~4·months metadata rows. */
   private def fileInventory(s: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame =
     Tables(s, dir).lineitem
@@ -415,6 +433,7 @@ object Layout {
           .cast("long").as("bytes"))
       .withColumn("file",
         concat(col("part").cast("string"), lit("/b"), col("bucket")))
+      .localCheckpoint(true)
 
   /** Deterministic four-version commit log over [[fileInventory]] — the
     * lifecycle a real table walks: v0/v1 ingest (buckets 0-1, then 2-3),
@@ -441,6 +460,10 @@ object Layout {
       .unionAll(c01)
       .unionAll(slice(col("bucket") === 2
         && col("part") < lit("1997-01-01").cast("date"), 3, "remove"))
+      // the log, like the inventory it derives from, is a STORED table in
+      // any real format — materialize so multi-reference consumers
+      // (vacuum's live-set + add-set passes) scan it, not its derivation
+      .localCheckpoint(true)
   }
 
   /** Snapshot census at every version of the log: the compaction (v1→v2)

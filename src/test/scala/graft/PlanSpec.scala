@@ -164,6 +164,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+
   test("join strategy hints override the planner's default choice") {
     import org.apache.spark.sql.functions._
     val t = graft.Tables(spark, sf001)
@@ -365,7 +366,11 @@ class PlanSpec extends SparkSpec {
       "dedup_semantic", "dedup_split_leakage",
       // round-11: builds, WRITES, and reloads the IVF index during
       // construction (the persistence lifecycle is the operator)
-      "ann_index_persist")
+      "ann_index_persist",
+      // round-11: materialize the fixture file inventory via eager
+      // localCheckpoint (the stored metadata table a table format reads
+      // back — re-deriving it per reference re-aggregated the data table)
+      "layout_time_travel", "layout_vacuum_plan", "layout_commit_conflicts")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a
