@@ -133,6 +133,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0) === (3 + 5 % 4).toDouble)
   }
 
+  test("one GifEncodeContext serves mixed-dimension clips byte-identically") {
+    // the per-partition encode reuse (one writer, metadata cached per
+    // (w, h)) must be invisible in the output: every clip encoded through
+    // a SHARED context equals the standalone single-use encode, across
+    // ids covering repeated and alternating dimension combos — the hazard
+    // would be stale metadata (wrong dims/interlace) leaking between
+    // differently-sized clips
+    val ctx = new Multimodal.GifEncodeContext
+    try {
+      for (id <- Seq(0L, 1L, 2L, 0L, 14L, 7L, 0L, 59L)) {
+        assert(java.util.Arrays.equals(ctx.encode(id), Multimodal.syntheticGif(id)),
+          s"shared-context encode diverges for id=$id")
+      }
+    } finally ctx.close()
+  }
+
   test("WavDecoder round-trips synthetic WAVs to the generator's closed forms") {
     // id 0: n = 800, step = 3 — samples (3i % 2001) - 1000; re-derive the
     // stats driver-side from the FORMULA and assert the decoded WAV agrees
