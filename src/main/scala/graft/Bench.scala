@@ -76,7 +76,7 @@ object Bench {
     "mm_video_frames", "ann_ivfpq_residual_topk", "stream_incremental_totals",
     "stream_late_data_drop",
     "ann_index_persist", "layout_time_travel", "layout_vacuum_plan",
-    "layout_commit_conflicts",
+    "layout_commit_conflicts", "layout_log_checkpoint",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
     // materializations — ~10 s of scheduler latency at sf0.1 that

@@ -166,11 +166,22 @@ object Multimodal {
     * re-derives it — the same graduation the PNG and WAV kernels got. */
   final class GifFrameDecoder(every: Int) extends MediaDecoder {
     require(every >= 1, s"sampling stride must be positive, got $every")
-    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
-    def decode(mediaType: String, content: Array[Byte]): Array[Double] = {
+    // the reader IS the per-partition codec context the MediaDecoder
+    // lifecycle exists for: created in open(), `setInput` per clip (which
+    // resets all per-stream state), disposed in close() — the decode-side
+    // twin of GifEncodeContext's writer reuse. @transient + lazy because
+    // the decoder instance is serialized into the task closure; the
+    // native-resource field must be born executor-side.
+    @transient private var reader: javax.imageio.ImageReader = _
+    override def open(): Unit = {
+      javax.imageio.ImageIO.setUseCache(false)
       val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       require(it.hasNext, "JDK GIF reader missing")
-      val reader = it.next()
+      reader = it.next()
+    }
+    override def close(): Unit = if (reader != null) { reader.dispose(); reader = null }
+    def decode(mediaType: String, content: Array[Byte]): Array[Double] = {
+      if (reader == null) open() // standalone (non-mapPartitions) use
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
       try {
@@ -200,7 +211,7 @@ object Multimodal {
         }
         out
       } finally {
-        reader.dispose()
+        reader.setInput(null)
         iis.close()
       }
     }

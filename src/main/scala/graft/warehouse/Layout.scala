@@ -277,6 +277,21 @@ object Layout {
       .orderBy("file")
   }
 
+  /** Log CHECKPOINT at version `v` (Delta's checkpoint-parquet mechanism):
+    * every action at `version <= v` collapses into the equivalent live
+    * snapshot re-stamped as `add`s AT `v`; later actions pass through
+    * unchanged. Replay equivalence — `snapshotAt(checkpoint(log, v), u) ==
+    * snapshotAt(log, u)` for every `u >= v` — is what lets a reader of a
+    * 100-TB table replay a bounded log tail instead of every commit since
+    * table creation; versions BEFORE `v` become unreachable (the graded
+    * entry's oracle replays the FULL log, so the hash is the equivalence
+    * theorem checked by an independent derivation, not a self-test). */
+  def checkpointLog(log: DataFrame, v: Int): DataFrame =
+    snapshotAt(log, v)
+      .select(lit(v).as("version"), lit("add").as("action"),
+        col("file"), col("part"), col("n_rows"), col("bytes"))
+      .unionAll(log.filter(col("version") > v))
+
   /** Optimistic-concurrency conflict detection between two transactions
     * that committed against the SAME base snapshot: per partition, the
     * size of each transaction's remove-set and of their intersection —
@@ -479,6 +494,13 @@ object Layout {
   private val vacuumQ: Q = (s, dir) =>
     vacuumPlan(commitLog(s, dir), retainedVersions = Seq(2, 3))
 
+  /** Replay-equivalence grading: the snapshot census at versions 2 and 3
+    * computed from the CHECKPOINTED-at-2 log, while the oracle replays the
+    * FULL log — equal hashes prove the checkpoint preserved every
+    * reachable snapshot through an independent derivation. */
+  private val logCheckpointQ: Q = (s, dir) =>
+    timeTravelCensus(checkpointLog(commitLog(s, dir), 2), Seq(2, 3))
+
   /** Conflict matrix between the v2 compaction (removes buckets 0-1) and a
     * concurrent delete of bucket-1 files from 1997 on, both based on v1:
     * months ≥ 1997 collide on the bucket-1 file (`delete_delete`), earlier
@@ -614,6 +636,7 @@ object Layout {
     "layout_time_travel" -> timeTravelQ,
     "layout_vacuum_plan" -> vacuumQ,
     "layout_commit_conflicts" -> conflictsQ,
+    "layout_log_checkpoint" -> logCheckpointQ,
     "layout_prune_plan" -> pruneQ,
     "layout_zorder_prune" -> zorderPruneQ,
     "layout_compare_prune" -> comparePruneQ,
@@ -834,6 +857,21 @@ object Layout {
     "layout_time_travel" ->
       s"""$logCteSql,
          |vs AS (SELECT unnest([0, 1, 2, 3]) AS as_of),
+         |last AS (
+         |  SELECT as_of, file, action, n_rows, bytes,
+         |         row_number() OVER (PARTITION BY as_of, file
+         |                            ORDER BY version DESC) AS rn
+         |  FROM log JOIN vs ON version <= as_of)
+         |SELECT as_of, count(*) AS n_files,
+         |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |       CAST(sum(bytes) AS BIGINT) AS bytes
+         |FROM last WHERE rn = 1 AND action = 'add'
+         |GROUP BY as_of ORDER BY as_of""".stripMargin,
+    // the oracle replays the FULL log; the engine replays the
+    // checkpointed-at-2 log — equal hashes = replay equivalence
+    "layout_log_checkpoint" ->
+      s"""$logCteSql,
+         |vs AS (SELECT unnest([2, 3]) AS as_of),
          |last AS (
          |  SELECT as_of, file, action, n_rows, bytes,
          |         row_number() OVER (PARTITION BY as_of, file

@@ -370,7 +370,8 @@ class PlanSpec extends SparkSpec {
       // round-11: materialize the fixture file inventory via eager
       // localCheckpoint (the stored metadata table a table format reads
       // back — re-deriving it per reference re-aggregated the data table)
-      "layout_time_travel", "layout_vacuum_plan", "layout_commit_conflicts")
+      "layout_time_travel", "layout_vacuum_plan", "layout_commit_conflicts",
+      "layout_log_checkpoint")
     val offenders = SparkEntry.queries.keys.filterNot(eager).flatMap { name =>
       val p = plan(name)
       // ann_cosine_topk joins on an inequality (self-match exclusion) over a

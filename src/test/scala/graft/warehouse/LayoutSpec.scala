@@ -239,6 +239,21 @@ class LayoutSpec extends SparkSpec {
     assert(del2 === Set("f1", "c"))
   }
 
+  test("log checkpoint: replay-equivalent at and after v, unreachable before") {
+    val ck = Layout.checkpointLog(toyLog, 1)
+    def files(log: org.apache.spark.sql.DataFrame, v: Int) =
+      Layout.snapshotAt(log, v).select("file").collect()
+        .map(_.getString(0)).toSet
+    // every version >= the checkpoint resolves identically through either log
+    assert(files(ck, 1) === files(toyLog, 1))
+    assert(files(ck, 2) === files(toyLog, 2))
+    // the checkpoint is smaller: 2 live adds + 1 later action vs 5 actions
+    assert(ck.count() === 3 && toyLog.count() === 5)
+    // versions BEFORE the checkpoint are unreachable (the semantic cost a
+    // retention policy accounts for before checkpointing)
+    assert(files(ck, 0) === Set.empty[String])
+  }
+
   test("commit conflicts: overlapping remove-sets collide, disjoint commit") {
     val s = spark
     import s.implicits._
