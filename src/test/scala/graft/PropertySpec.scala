@@ -231,4 +231,38 @@ class PropertySpec extends AnyFunSuite {
       assert(drain(merged) === ref, s"k=$k xs=$xs")
     }
   }
+  test("transaction log: snapshotAt and any checkpoint replay match a reference fold") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import graft.warehouse.Layout
+    // random logs over 6 files x 5 versions with adds and removes; at most
+    // one action per (version, file) so latest-action-wins is well-defined
+    val actionGen = for {
+      v <- Gen.choose(0, 4)
+      f <- Gen.choose(0, 5)
+      add <- Gen.oneOf(true, false)
+      r <- Gen.choose(1L, 100L)
+    } yield (v, if (add) "add" else "remove", s"f$f", "p", r, r * 10)
+    val logGen = Gen.listOfN(15, actionGen).map(as =>
+      as.groupBy(a => (a._1, a._3)).map(_._2.head).toList)
+    forAll(logGen, n = 5) { actions =>
+      val log = actions.toDF("version", "action", "file", "part", "n_rows", "bytes")
+      // reference fold: a file is live at asOf iff its latest action with
+      // version <= asOf is an add
+      def refLive(asOf: Int): Set[String] =
+        actions.filter(_._1 <= asOf).groupBy(_._3)
+          .collect { case (f, as) if as.maxBy(_._1)._2 == "add" => f }.toSet
+      def live(df: org.apache.spark.sql.DataFrame, v: Int): Set[String] =
+        Layout.snapshotAt(df, v).select("file").collect()
+          .map(_.getString(0)).toSet
+      for (v <- Seq(0, 2, 4)) {
+        assert(live(log, v) === refLive(v), s"snapshotAt($v) on $actions")
+        // replay equivalence: a checkpoint at ANY w <= v is invisible at v
+        for (w <- 0 to v by 2) {
+          assert(live(Layout.checkpointLog(log, w), v) === refLive(v),
+            s"checkpoint($w) replayed to $v on $actions")
+        }
+      }
+    }
+  }
 }
