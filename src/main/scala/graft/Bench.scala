@@ -359,7 +359,13 @@ object Bench {
     // by the MT ratio when the baseline recorded one; ST is the fallback
     // for baselines written before the probe existed.
     val hostRatioMt = prevCalibMt.filter(_ > 0).map(c => calibrationMt / c)
-    val moversAdj = hostRatioMt.orElse(hostRatio) match {
+    // The adjustment exists to FORGIVE a degraded host (ratio > 1), never
+    // to manufacture flags on a fast one: sub-second entries are
+    // scheduler-latency-bound and do not speed up with the probe, so
+    // dividing by a ratio < 1 inflated 21 of them into spurious
+    // host-adjusted flags in one r11 run. Clamp at 1.0 — a faster-probe
+    // run falls back to the raw comparison, which is already emitted.
+    val moversAdj = hostRatioMt.orElse(hostRatio).map(_.max(1.0)) match {
       case Some(r) if r > 0 => shared.flatMap { n =>
         val adj = nowMap(n) / r
         val ratio = adj / prevQueries(n)
