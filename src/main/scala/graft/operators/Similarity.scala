@@ -482,7 +482,7 @@ object Similarity {
     val index = spark.read.parquet(s"$root/ivf_index")
     val centers = spark.read.parquet(s"$root/ivf_centroids")
       .orderBy("bucket").collect()
-      .map(_.getSeq[Double](1).toArray)
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
     (index, centers)
   }
 

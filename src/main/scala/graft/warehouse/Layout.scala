@@ -218,9 +218,12 @@ object Layout {
     * `add`. This is snapshot reconstruction through a Delta/Iceberg-style
     * log of (version, add|remove, file, stats) actions: the table's state
     * at any version is a pure function of the metadata log, the data files
-    * are never read. The log of a 100-TB table is a few million rows — the
-    * window below shuffles metadata, and in a real deployment the log is
-    * checkpointed so only the tail replays. */
+    * are never read. Assumes at most ONE action per (version, file) — the
+    * invariant every transaction log guarantees (a commit either adds or
+    * removes a given file, never both). The log of a 100-TB table is a few
+    * million rows — the window below shuffles metadata, and in a real
+    * deployment the log is checkpointed so only the tail replays
+    * ([[checkpointLog]]). */
   def snapshotAt(log: DataFrame, asOf: Int): DataFrame = {
     val w = Window.partitionBy("file").orderBy(col("version").desc)
     log.filter(col("version") <= asOf)
