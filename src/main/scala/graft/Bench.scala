@@ -100,7 +100,11 @@ object Bench {
     * against mins. Any parse failure just disables the comparison keys. */
   private def previousArtifact(baseline: java.io.File, sfTag: String,
                                known: Set[String]): (String, String, Map[String, Double]) = {
-    val pair = """"([a-z0-9_]+)":([0-9.Ee+-]+)""".r
+    // whitespace-tolerant: our own writer emits compact `"k":v`, but a
+    // named recalibration may rewrite the baseline through a pretty
+    // printer (`"k": v`) — r11 learned that a space here silently
+    // disabled the baseline comparison AND its drift guard
+    val pair = """"([a-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
     def pairsIn(body: String) = pair.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter { case (k, _) => known(k) }.toMap
@@ -109,9 +113,11 @@ object Bench {
       if (!baseline.isFile) None
       else try {
         val text = read(baseline)
-        val i = text.indexOf("\"queries\":{")
-        val m = if (i < 0) Map.empty[String, Double]
-                else pairsIn(text.substring(i + 11, text.indexOf("}", i)))
+        val m = """"queries"\s*:\s*\{""".r.findFirstMatchIn(text) match {
+          case Some(open) =>
+            pairsIn(text.substring(open.end, text.indexOf("}", open.end)))
+          case None => Map.empty[String, Double]
+        }
         if (m.isEmpty) None else Some((baseline.getName, "min", m))
       } catch { case _: Throwable => None }
     def driver: Option[(String, String, Map[String, Double])] =
@@ -346,7 +352,7 @@ object Bench {
     // emitted; a real regression appears in both.
     def baselineField(name: String): Option[Double] =
       if (!baselineFile.isFile) None else
-        try ("\"" + name + "\":([0-9.Ee+-]+)").r
+        try ("\"" + name + "\"\\s*:\\s*([0-9.Ee+-]+)").r
           .findFirstMatchIn(scala.io.Source.fromFile(baselineFile, "UTF-8").mkString)
           .map(_.group(1).toDouble)
         catch { case _: Throwable => None }

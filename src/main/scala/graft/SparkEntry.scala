@@ -43,6 +43,7 @@ object SparkEntry {
       quality.Gates.entries ++
       streaming.EventStream.entries ++
       sources.Sources.entries ++
+      sources.Tiles.entries ++
       ml.FarePipeline.entries
 
   def oracleSql: Map[String, String] =
@@ -69,5 +70,6 @@ object SparkEntry {
       quality.Gates.oracles ++
       streaming.EventStream.oracles ++
       sources.Sources.oracles ++
+      sources.Tiles.oracles ++
       ml.FarePipeline.oracles
 }

@@ -1,0 +1,453 @@
+package graft.sources.tiles
+
+import java.io.File
+import java.util.{OptionalLong, UUID}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import TileFormat.{ColStats, TileMeta}
+
+/** `graft-tiles` — a complete DataSource V2 connector over the manifest +
+  * tile layout of [[TileFormat]].
+  *
+  * This is the engine's "lakehouse table format in miniature", built to
+  * exercise every planner contract a scale-out connector needs (the same
+  * contracts Iceberg/Delta implement against this exact API):
+  *
+  *  - '''Planning-time file skipping''': `SupportsPushDownFilters` — the
+  *    supported filter subset is absorbed completely (empty residual),
+  *    prunes tiles through the manifest zone maps, and is re-applied
+  *    row-exactly inside the reader, so correctness never depends on the
+  *    pruning being tight.
+  *  - '''Column pruning''': `SupportsPushDownRequiredColumns` — readers
+  *    materialize only the projected columns (row-major payload, so
+  *    skipped columns are parse-skipped, not IO-skipped; a columnar tile
+  *    would upgrade that without touching the planner contract).
+  *  - '''Metadata-only aggregates''': `SupportsPushDownAggregates` with
+  *    complete pushdown for COUNT(*)/COUNT(col)/MIN/MAX on zone-mapped
+  *    columns — a 100-TB `SELECT count(*), max(ts)` is answered from the
+  *    manifest without opening one tile (exactly what parquet footers +
+  *    Iceberg stats give the built-in sources).
+  *  - '''Runtime (DPP-shaped) pruning''': `SupportsRuntimeFiltering` — a
+  *    selective dimension join hands the fact scan its join-key values at
+  *    execution start; tiles outside the key range drop before any task
+  *    reads them.
+  *  - '''Statistics''': `SupportsReportStatistics` reports the
+  *    POST-pruning rows/bytes, so AQE/join planning sees the pruned table,
+  *    not the raw one (the difference between a broadcast and a shuffle at
+  *    scale).
+  *  - '''Commit-protocol writes''': `SupportsWrite` + `SupportsTruncate` —
+  *    tasks write `.tmp-` tiles and return their zone maps in the
+  *    `WriterCommitMessage`; only the driver's `commit()` renames them in
+  *    and publishes the manifest atomically. A failed/speculative task
+  *    aborts its own file; readers never see a half-written table.
+  *
+  * Reference behavior twin: the reference's warehouse reads partition- and
+  * predicate-pruned parquet (SURVEY §2.1, `ex03` layout); this connector
+  * re-expresses that capability as a first-class Spark source instead of a
+  * convention over directory names.
+  */
+class GraftTilesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tiles"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-tiles requires .load(path)/.save(path)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TileFormat.readManifest(path(options)).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tiles: no ${TileFormat.ManifestName} under ${path(options)} — " +
+          "write the table first or pass an explicit schema"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val dir = properties.get("path")
+    require(dir != null && dir.nonEmpty, "graft-tiles requires a path property")
+    schema.fields.foreach { f =>
+      require(TileFormat.supported(f.dataType),
+        s"graft-tiles: unsupported column type ${f.dataType.sql} for `${f.name}`")
+    }
+    new GraftTileTable(dir, schema)
+  }
+}
+
+class GraftTileTable(dir: String, tableSchema: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft-tiles.`$dir`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTileScanBuilder(dir, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftTileWriteBuilder(dir, info.schema())
+}
+
+// ---------------------------------------------------------------- read path
+
+class GraftTileScanBuilder(dir: String, fullSchema: StructType)
+  extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private val tiles: Seq[TileMeta] =
+    TileFormat.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  // complete-pushdown aggregate result: (output schema, single final row)
+  private var aggResult: Option[(StructType, Array[Any])] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => TileFormat.compilePredicate(fullSchema, f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Name of a plain top-level column reference, if that's what `e` is. */
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def dataTypeOf(name: String): Option[DataType] =
+    fullSchema.fields.find(_.name == name).map(_.dataType)
+
+  /** Catalyst-typed min/max over every tile's zone map; None => NULL
+    * (empty table or all-null column) — matching SQL MIN/MAX. */
+  private def manifestMinMax(name: String, isMin: Boolean): Option[Any] = {
+    val dt = dataTypeOf(name).getOrElse(return None)
+    val ranges = tiles.flatMap(_.stats.get(name)).flatMap(s => if (isMin) s.min else s.max)
+    if (ranges.isEmpty) return None
+    dt match {
+      case DoubleType =>
+        val vs = ranges.map(_.toDouble)
+        Some(if (isMin) vs.min else vs.max)
+      case IntegerType | DateType =>
+        val vs = ranges.map(_.toLong)
+        Some((if (isMin) vs.min else vs.max).toInt)
+      case LongType | TimestampType | TimestampNTZType =>
+        val vs = ranges.map(_.toLong)
+        Some(if (isMin) vs.min else vs.max)
+      case _ => None
+    }
+  }
+
+  private def aggPushable(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && colName(c.column()).isDefined
+        case m: Min => colName(m.column()).exists(n => dataTypeOf(n).exists(TileFormat.statTracked))
+        case m: Max => colName(m.column()).exists(n => dataTypeOf(n).exists(TileFormat.statTracked))
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = aggPushable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!aggPushable(agg)) return false
+    val totalRows = tiles.map(_.rows).sum
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += totalRows
+      case c: Count =>
+        val n = colName(c.column()).get
+        fields += StructField(s"count_$n", LongType, nullable = false)
+        values += tiles.map(t => t.rows - t.stats.get(n).map(_.nulls).getOrElse(0L)).sum
+      case m: Min =>
+        val n = colName(m.column()).get
+        fields += StructField(s"min_$n", dataTypeOf(n).get)
+        values += manifestMinMax(n, isMin = true).orNull
+      case m: Max =>
+        val n = colName(m.column()).get
+        fields += StructField(s"max_$n", dataTypeOf(n).get)
+        values += manifestMinMax(n, isMin = false).orNull
+      case other =>
+        throw new IllegalStateException(s"unreachable aggregate $other") // guarded above
+    }
+    aggResult = Some((StructType(fields.toSeq), values.toArray))
+    true
+  }
+
+  override def build(): Scan =
+    new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult)
+}
+
+/** One committed tile = one input partition. */
+case class GraftTilePartition(file: String, rows: Long) extends InputPartition
+
+/** Single-partition carrier for a metadata-answered aggregate row. */
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
+                    pushed: Array[Filter], allTiles: Seq[TileMeta],
+                    agg: Option[(StructType, Array[Any])])
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // planning-time zone-map prune from the pushed (compile-supported) filters
+  private val afterPushdown: Seq[TileMeta] =
+    allTiles.filter(t => pushed.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
+
+  // runtime (DPP) prune narrows this further before planInputPartitions
+  @volatile private var kept: Seq[TileMeta] = afterPushdown
+
+  override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val aggDesc = agg.map(a => s" agg=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
+    s"graft-tiles dir=$dir tiles=${kept.size}/${allTiles.size} " +
+      s"pushed=[${pushed.mkString(", ")}]$aggDesc"
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // post-prune sizes: the optimizer should plan against what will be
+    // read, not what exists (broadcast decisions hinge on this)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(if (agg.isDefined) 64L else kept.map(_.bytes).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(if (agg.isDefined) 1L else kept.map(_.rows).sum)
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns the scan actually OUTPUTS: Spark resolves these against
+    // the (column-pruned) scan relation, so advertising a pruned-away
+    // column is an analysis error, not a missed optimization
+    if (agg.isDefined) Array.empty
+    else required.fields.filter(f => TileFormat.statTracked(f.dataType))
+      .map(f => Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    kept = kept.filter(t => filters.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some((_, row)) => Array(GraftAggPartition(row))
+    case None =>
+      kept.map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows))
+        .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTileReaderFactory(fullSchema.json, required.fieldNames, pushed)
+}
+
+class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String],
+                             pushed: Array[Filter])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GraftAggPartition(values) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val go = !emitted; emitted = true; go }
+        override def get(): InternalRow = new GenericInternalRow(values.clone())
+        override def close(): Unit = ()
+      }
+      case GraftTilePartition(file, _) =>
+        val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
+        val tags = fullSchema.fields.map(f => TileFormat.typeTag(f.dataType))
+        val outIdx = requiredNames.map(fullSchema.fieldIndex)
+        val preds = pushed.flatMap(f => TileFormat.compilePredicate(fullSchema, f))
+        require(preds.length == pushed.length,
+          s"graft-tiles: a pushed filter failed to compile executor-side: ${pushed.mkString(", ")}")
+        new PartitionReader[InternalRow] {
+          private val in = TileFormat.openReader(new File(file))
+          private val parsed = new Array[Any](fullSchema.length)
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (TileFormat.readRow(in, tags, parsed)) {
+              if (preds.forall(p => p(parsed).contains(true))) {
+                val out = new Array[Any](outIdx.length)
+                var i = 0
+                while (i < outIdx.length) { out(i) = parsed(outIdx(i)); i += 1 }
+                current = new GenericInternalRow(out)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = in.close()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"graft-tiles: unexpected partition $other")
+    }
+}
+
+// --------------------------------------------------------------- write path
+
+class GraftTileWriteBuilder(dir: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftTileBatchWrite(dir, schema, truncateFirst)
+    override def description(): String =
+      s"graft-tiles dir=$dir mode=${if (truncateFirst) "overwrite" else "append"}"
+  }
+}
+
+case class GraftTileCommitMessage(tmpName: String, finalName: String, rows: Long,
+                                  bytes: Long, stats: Map[String, ColStats])
+  extends WriterCommitMessage
+
+class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftTileWriterFactory(dir, schema.json)
+
+  /** Driver-side publish: rename task files in, then write the manifest
+    * atomically. Until the manifest moves, readers see the previous table
+    * version — the minimal snapshot-isolation contract of a commit log. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    val existing: Seq[TileMeta] =
+      if (truncateFirst) {
+        // drop the previous generation's tiles; the manifest rewrite below
+        // publishes the new one
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
+          .foreach(_.delete())
+        Seq.empty
+      } else TileFormat.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    val fresh = messages.toSeq.collect {
+      case m: GraftTileCommitMessage if m.rows > 0 =>
+        val ok = new File(d, m.tmpName).renameTo(new File(d, m.finalName))
+        require(ok, s"graft-tiles: commit rename failed for ${m.tmpName}")
+        TileMeta(m.finalName, m.rows, m.bytes, m.stats)
+    }
+    TileFormat.writeManifest(dir, schema, existing ++ fresh)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftTileCommitMessage => new File(new File(dir), m.tmpName).delete()
+      case _ => ()
+    }
+}
+
+class GraftTileWriterFactory(dir: String, schemaJson: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftTileWriter(dir, schema, partitionId, taskId)
+  }
+}
+
+class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val uuid = UUID.randomUUID().toString.take(8)
+  private val tmpName = f".tmp-$partitionId%05d-$taskId-$uuid.gtile"
+  private val finalName = f"tile-$partitionId%05d-$uuid.gtile"
+  private val file = { new File(dir).mkdirs(); new File(dir, tmpName) }
+  private val out = TileFormat.openWriter(file)
+
+  private val n = schema.length
+  private val tags = schema.fields.map(f => TileFormat.typeTag(f.dataType))
+  private val tracked = schema.fields.map(f => TileFormat.statTracked(f.dataType))
+  private var rows = 0L
+  private val nulls = new Array[Long](n)
+  private val minL = Array.fill(n)(Long.MaxValue)
+  private val maxL = Array.fill(n)(Long.MinValue)
+  private val minD = new Array[Double](n)
+  private val maxD = new Array[Double](n)
+  private val seenD = new Array[Boolean](n)
+
+  override def write(record: InternalRow): Unit = {
+    var i = 0
+    while (i < n) {
+      if (record.isNullAt(i)) {
+        out.writeByte(0)
+        nulls(i) += 1
+      } else {
+        out.writeByte(1)
+        (tags(i): @annotation.switch) match {
+          case TileFormat.TagInt =>
+            val v = record.getInt(i)
+            out.writeInt(v)
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+          case TileFormat.TagLong =>
+            val v = record.getLong(i)
+            out.writeLong(v)
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+          case TileFormat.TagDouble =>
+            val v = record.getDouble(i)
+            out.writeDouble(v)
+            // java.lang.Double.compare ordering (NaN largest) — matches
+            // Spark's MIN/MAX and the reader's comparison semantics
+            if (!seenD(i)) { minD(i) = v; maxD(i) = v; seenD(i) = true }
+            else {
+              if (java.lang.Double.compare(v, minD(i)) < 0) minD(i) = v
+              if (java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
+            }
+          case TileFormat.TagString =>
+            val b = record.getUTF8String(i).getBytes
+            out.writeInt(b.length); out.write(b)
+          case TileFormat.TagBool =>
+            out.writeBoolean(record.getBoolean(i))
+        }
+      }
+      i += 1
+    }
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (rows == 0L) { file.delete(); return GraftTileCommitMessage(tmpName, finalName, 0L, 0L, Map.empty) }
+    val stats = schema.fields.zipWithIndex.map { case (f, i) =>
+      val range: (Option[String], Option[String]) =
+        if (!tracked(i) || nulls(i) == rows) (None, None)
+        else tags(i) match {
+          case TileFormat.TagDouble => (Some(minD(i).toString), Some(maxD(i).toString))
+          case _ => (Some(minL(i).toString), Some(maxL(i).toString))
+        }
+      f.name -> ColStats(range._1, range._2, nulls(i))
+    }.toMap
+    GraftTileCommitMessage(tmpName, finalName, rows, file.length(), stats)
+  }
+
+  override def abort(): Unit = { out.close(); file.delete() }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,222 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.sources.tiles.{GraftTileScan, GraftTilesSource, TileFormat}
+
+import org.apache.spark.sql.connector.catalog.SupportsRead
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, IsNull, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+class TilesSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = new java.io.File(s"target/tmp/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.getAbsolutePath
+  }
+
+  private val Fmt = "graft-tiles"
+
+  /** Build the connector's ScanBuilder directly (unit-level planner access). */
+  private def scanBuilderFor(dir: String) = {
+    val provider = new GraftTilesSource
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val schema = provider.inferSchema(opts)
+    val table = provider.getTable(schema, Array.empty[Transform],
+      java.util.Map.of("path", dir))
+    (schema, table.asInstanceOf[SupportsRead].newScanBuilder(opts)
+      .asInstanceOf[graft.sources.tiles.GraftTileScanBuilder])
+  }
+
+  test("roundtrip is value-faithful for every supported type") {
+    val dir = tmp("tiles_spec_rt")
+    val src = Tables(spark, sf001).orders // long, string, double, timestamp
+      .withColumn("k_int", col("o_orderkey").cast(IntegerType))
+      .withColumn("k_date", to_date(col("o_orderdate")))
+      .withColumn("k_bool", col("o_orderkey") % 2 === 0)
+    src.write.format(Fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "read-back rows differ from the written frame")
+  }
+
+  test("append accumulates tiles; overwrite truncates the previous generation") {
+    val dir = tmp("tiles_spec_modes")
+    val r = Tables(spark, sf001).region
+    r.write.format(Fmt).mode("overwrite").save(dir)
+    r.write.format(Fmt).mode("append").save(dir)
+    assert(spark.read.format(Fmt).load(dir).count() === 2 * r.count())
+    r.write.format(Fmt).mode("overwrite").save(dir)
+    assert(spark.read.format(Fmt).load(dir).count() === r.count())
+    // overwrite must not leave the first generation's tiles on disk
+    val tilesOnDisk = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
+    val manifestTiles = TileFormat.readManifest(dir).get._2.size
+    assert(tilesOnDisk === manifestTiles, "orphan tiles after truncate")
+  }
+
+  test("pushed filters prune tiles at planning time and stay row-exact") {
+    val dir = tmp("tiles_spec_prune")
+    val orders = Tables(spark, sf001).orders
+    orders.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format(Fmt).mode("overwrite").save(dir)
+
+    // unit level: the planner keeps a strict subset of tiles
+    val (_, sb) = scanBuilderFor(dir)
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val residual = sb.pushFilters(Array(LessThan("o_orderkey", java.lang.Long.valueOf(maxKey / 4))))
+    assert(residual.isEmpty, "supported filter must be fully absorbed")
+    val scan = sb.build().asInstanceOf[GraftTileScan]
+    val planned = scan.planInputPartitions().length
+    assert(planned < 8 && planned >= 1, s"expected a zone-map prune, planned $planned/8")
+
+    // end to end: skipped tiles are never opened and the result is exact
+    TileFormat.tilesOpened.set(0L)
+    val got = spark.read.format(Fmt).load(dir)
+      .filter(col("o_orderkey") < maxKey / 4).count()
+    val want = orders.filter(col("o_orderkey") < maxKey / 4).count()
+    assert(got === want)
+    assert(TileFormat.tilesOpened.get() <= planned.toLong,
+      s"opened ${TileFormat.tilesOpened.get()} tiles, planner kept $planned")
+  }
+
+  test("filter semantics match Spark over nulls, strings, IN, and dates") {
+    val dir = tmp("tiles_spec_sem")
+    import spark.implicits._
+    val df = Seq[(java.lang.Integer, java.lang.Double, String)](
+      (1, 1.5, "a"), (2, null, "b"), (null, 3.0, null), (4, Double.NaN, "d"),
+      (5, -0.0, "e"), (6, 0.0, "a"))
+      .toDF("i", "d", "s")
+    df.write.format(Fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    val cases: Seq[org.apache.spark.sql.Column] = Seq(
+      col("i") > 2, col("i") <= 2, col("d").isNull, col("d").isNotNull,
+      col("s") === "a", col("s") < "c", col("i").isin(1, 4, 9),
+      col("d") > 1.0, col("d") === 0.0, col("d").isNaN === false)
+    for (c <- cases) {
+      val got = back.filter(c).select("i", "d", "s")
+      val want = df.filter(c).select("i", "d", "s")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"filter mismatch for $c")
+    }
+  }
+
+  test("count/min/max aggregates answer from the manifest with zero tiles opened") {
+    val dir = tmp("tiles_spec_agg")
+    val orders = Tables(spark, sf001).orders
+    orders.write.format(Fmt).mode("overwrite").save(dir)
+    TileFormat.tilesOpened.set(0L)
+    val q = spark.read.format(Fmt).load(dir)
+      .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("nc"),
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+        max("o_orderdate").as("mxd"))
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("agg=["), s"expected the scan to carry the pushed aggregate:\n${p.take(1200)}")
+    val row = q.head()
+    val want = orders.agg(count(lit(1)), count(col("o_custkey")),
+      min("o_totalprice"), max("o_totalprice"), max("o_orderdate")).head()
+    assert(row === want)
+    assert(TileFormat.tilesOpened.get() === 0L,
+      s"metadata aggregate opened ${TileFormat.tilesOpened.get()} tiles")
+  }
+
+  test("aggregate pushdown declines under a filter and stays correct") {
+    val dir = tmp("tiles_spec_aggf")
+    val orders = Tables(spark, sf001).orders
+    orders.write.format(Fmt).mode("overwrite").save(dir)
+    val q = spark.read.format(Fmt).load(dir)
+      .filter(col("o_orderstatus") === "O")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"))
+    val want = orders.filter(col("o_orderstatus") === "O")
+      .agg(count(lit(1)), min("o_totalprice")).head()
+    assert(q.head() === want)
+  }
+
+  test("runtime filtering prunes tiles through the scan's filter() contract") {
+    val dir = tmp("tiles_spec_rtf")
+    Tables(spark, sf001).orders
+      .repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey")
+      .write.format(Fmt).mode("overwrite").save(dir)
+    val (_, sb) = scanBuilderFor(dir)
+    val scan = sb.build().asInstanceOf[GraftTileScan]
+    val before = scan.planInputPartitions().length
+    assert(scan.filterAttributes().map(_.describe()).contains("o_custkey"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("o_custkey",
+      Array[Any](java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)))))
+    val after = scan.planInputPartitions().length
+    assert(after < before && after >= 1,
+      s"runtime In-filter kept $after/$before tiles")
+  }
+
+  test("end-to-end: a non-key dim filter runtime-prunes fact tiles (DPP shape)") {
+    val dir = tmp("tiles_spec_dpp")
+    Tables(spark, sf001).orders
+      .repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey")
+      .write.format(Fmt).mode("overwrite").save(dir)
+    val fact = spark.read.format(Fmt).load(dir)
+    // non-key filter: nothing transits the join statically, so any prune
+    // below total proves SupportsRuntimeFiltering carried the join keys
+    val dim = Tables(spark, sf001).customer
+      .filter(col("c_name") < "Customer#000000020")
+    val q = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
+    TileFormat.tilesOpened.set(0L)
+    val got = q.head()
+    val want = Tables(spark, sf001).orders
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    assert(got === want)
+    assert(TileFormat.tilesOpened.get() < 8,
+      s"runtime filter did not prune: opened ${TileFormat.tilesOpened.get()}/8 tiles")
+  }
+
+  test("all-null and null-bearing zone maps prune IsNull/comparisons correctly") {
+    val dir = tmp("tiles_spec_nulls")
+    import spark.implicits._
+    // tile A: i all null; tile B: i fully present (coalesce(1) per write)
+    Seq[(java.lang.Long, String)]((null, "x"), (null, "y")).toDF("i", "s")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    Seq[(java.lang.Long, String)]((5L, "z"), (6L, "w")).toDF("i", "s")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val (schema, _) = scanBuilderFor(dir)
+    val tiles = TileFormat.readManifest(dir).get._2
+    assert(tiles.size === 2)
+    val allNull = tiles.find(t => t.stats("i").min.isEmpty).get
+    val present = tiles.find(t => t.stats("i").min.isDefined).get
+    // a comparison can never match the all-null tile
+    assert(!TileFormat.tileMayMatch(schema, allNull,
+      GreaterThanOrEqual("i", java.lang.Long.valueOf(0L))))
+    assert(TileFormat.tileMayMatch(schema, present,
+      GreaterThanOrEqual("i", java.lang.Long.valueOf(0L))))
+    // IsNull keeps only the tile that has nulls
+    assert(TileFormat.tileMayMatch(schema, allNull, IsNull("i")))
+    assert(!TileFormat.tileMayMatch(schema, present, IsNull("i")))
+    // equality outside the range prunes
+    assert(!TileFormat.tileMayMatch(schema, present, EqualTo("i", java.lang.Long.valueOf(99L))))
+    // and the graded results agree with Spark over the union
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.filter(col("i").isNull).count() === 2)
+    assert(back.filter(col("i") >= 0).count() === 2)
+  }
+
+  test("reported statistics shrink after pushdown (the broadcast-decision input)") {
+    val dir = tmp("tiles_spec_stats")
+    Tables(spark, sf001).orders
+      .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format(Fmt).mode("overwrite").save(dir)
+    val (_, sbAll) = scanBuilderFor(dir)
+    val full = sbAll.build().asInstanceOf[GraftTileScan].estimateStatistics()
+    val (_, sbCut) = scanBuilderFor(dir)
+    sbCut.pushFilters(Array(LessThan("o_orderkey", java.lang.Long.valueOf(10L))))
+    val cut = sbCut.build().asInstanceOf[GraftTileScan].estimateStatistics()
+    assert(cut.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+    assert(cut.numRows().getAsLong < full.numRows().getAsLong)
+  }
+}
