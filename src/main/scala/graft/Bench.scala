@@ -77,6 +77,11 @@ object Bench {
     "stream_late_data_drop",
     "ann_index_persist", "layout_time_travel", "layout_vacuum_plan",
     "layout_commit_conflicts", "layout_log_checkpoint",
+    // r11 third-continuation entries: the DSv2 connector family (write
+    // through the commit protocol + pruned read each run; sub-2 s at
+    // sf0.1, metadata aggregate sub-0.5 s)
+    "s16_tiles_roundtrip", "s17_tiles_filter_prune",
+    "s18_tiles_agg_pushdown", "s19_tiles_runtime_prune",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
     // materializations — ~10 s of scheduler latency at sf0.1 that

@@ -109,7 +109,8 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
   extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private val tiles: Seq[TileMeta] =
     TileFormat.readManifest(dir).map(_._2).getOrElse(Seq.empty)
@@ -129,6 +130,15 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL by construction: each tile reader stops after
+    * emitting `l` post-filter rows, and Spark's global Limit still runs
+    * above the scan (isPartiallyPushed). At scale this turns `LIMIT 100`
+    * over a million tiles from a full scan into ≤100 rows per task. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Name of a plain top-level column reference, if that's what `e` is. */
   private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -201,7 +211,7 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
   }
 
   override def build(): Scan =
-    new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult)
+    new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult, limit)
 }
 
 /** One committed tile = one input partition. */
@@ -212,7 +222,8 @@ case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
                     pushed: Array[Filter], allTiles: Seq[TileMeta],
-                    agg: Option[(StructType, Array[Any])])
+                    agg: Option[(StructType, Array[Any])],
+                    limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // planning-time zone-map prune from the pushed (compile-supported) filters
@@ -228,8 +239,9 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
 
   override def description(): String = {
     val aggDesc = agg.map(a => s" agg=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
+    val limitDesc = limit.map(l => s" limit=$l").getOrElse("")
     s"graft-tiles dir=$dir tiles=${kept.size}/${allTiles.size} " +
-      s"pushed=[${pushed.mkString(", ")}]$aggDesc"
+      s"pushed=[${pushed.mkString(", ")}]$aggDesc$limitDesc"
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -261,11 +273,11 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTileReaderFactory(fullSchema.json, required.fieldNames, pushed)
+    new GraftTileReaderFactory(fullSchema.json, required.fieldNames, pushed, limit)
 }
 
 class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String],
-                             pushed: Array[Filter])
+                             pushed: Array[Filter], limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -283,17 +295,21 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
         val preds = pushed.flatMap(f => TileFormat.compilePredicate(fullSchema, f))
         require(preds.length == pushed.length,
           s"graft-tiles: a pushed filter failed to compile executor-side: ${pushed.mkString(", ")}")
+        val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
         new PartitionReader[InternalRow] {
           private val in = TileFormat.openReader(new File(file))
           private val parsed = new Array[Any](fullSchema.length)
           private var current: InternalRow = _
+          private var emitted = 0L
           override def next(): Boolean = {
+            if (emitted >= cap) return false // partial LIMIT pushdown cap
             while (TileFormat.readRow(in, tags, parsed)) {
               if (preds.forall(p => p(parsed).contains(true))) {
                 val out = new Array[Any](outIdx.length)
                 var i = 0
                 while (i < outIdx.length) { out(i) = parsed(outIdx(i)); i += 1 }
                 current = new GenericInternalRow(out)
+                emitted += 1L
                 return true
               }
             }

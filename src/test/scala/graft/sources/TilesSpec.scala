@@ -206,6 +206,22 @@ class TilesSpec extends SparkSpec {
     assert(back.filter(col("i") >= 0).count() === 2)
   }
 
+  test("LIMIT pushes a per-reader cap (partial) and stays exact with filters") {
+    val dir = tmp("tiles_spec_limit")
+    val orders = Tables(spark, sf001).orders
+    orders.repartitionByRange(4, col("o_orderkey")).write.format(Fmt)
+      .mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.limit(7).count() === 7)
+    val p = back.limit(7).queryExecution.executedPlan.toString()
+    assert(p.contains("limit=7"), s"expected the scan to carry the pushed limit:\n${p.take(800)}")
+    // with an absorbed filter: the cap counts POST-filter rows, so the
+    // global limit still sees enough survivors
+    val few = back.filter(col("o_orderstatus") === "F").limit(9)
+    assert(few.count() === 9)
+    assert(few.collect().forall(_.getAs[String]("o_orderstatus") == "F"))
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
