@@ -102,11 +102,50 @@ object Tiles {
       .orderBy("c_mktsegment")
   }
 
+  /** S20 — exactly-once STREAMING sink: the events feed drains through the
+    * connector's `StreamingWrite` (epoch-committed tiles, `last_epoch`
+    * watermark in the manifest) with `Trigger.AvailableNow`, then the
+    * query is started AGAIN on the same checkpoint — the restart must not
+    * double-append (the sink-side idempotence contract; a leak would shift
+    * every count below and fail the hash). Read back through the same
+    * connector and aggregate against the batch events oracle. */
+  private val streamSinkQ: Q = (s, dir) => {
+    val out = tmpDir("tiles_stream_sink")
+    val ckpt = tmpDir("tiles_stream_ckpt")
+    // the entry owns its lifecycle: wipe sink + checkpoint so every
+    // invocation grades a fresh stream -> sink -> restart -> read cycle
+    def wipe(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    wipe(out); wipe(ckpt)
+    val ev = graft.streaming.EventStream.eventsStream(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    def once(): Unit = {
+      val q = ev.writeStream.format(Fmt)
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    once(); once() // restart on one checkpoint: sink must stay single-count
+    s.read.format(Fmt).load(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val entries: Map[String, Q] = Map(
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
     "s18_tiles_agg_pushdown" -> aggPushdownQ,
     "s19_tiles_runtime_prune" -> runtimePruneQ,
+    "s20_tiles_stream_sink" -> streamSinkQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,5 +171,10 @@ object Tiles {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_name < 'Customer#000000100'
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "s20_tiles_stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

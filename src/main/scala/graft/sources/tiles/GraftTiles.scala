@@ -70,7 +70,7 @@ class GraftTilesSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TileFormat.readManifest(path(options)).map(_._1).getOrElse(
+    TileFormat.readManifest(path(options)).map(_.schema).getOrElse(
       throw new IllegalArgumentException(
         s"graft-tiles: no ${TileFormat.ManifestName} under ${path(options)} — " +
           "write the table first or pass an explicit schema"))
@@ -94,7 +94,7 @@ class GraftTileTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTileScanBuilder(dir, tableSchema)
@@ -113,7 +113,7 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
     with SupportsPushDownLimit {
 
   private val tiles: Seq[TileMeta] =
-    TileFormat.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    TileFormat.readManifest(dir).map(_.tiles).getOrElse(Seq.empty)
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -334,6 +334,8 @@ class GraftTileWriteBuilder(dir: String, schema: StructType)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftTileBatchWrite(dir, schema, truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftTileStreamingWrite(dir, schema)
     override def description(): String =
       s"graft-tiles dir=$dir mode=${if (truncateFirst) "overwrite" else "append"}"
   }
@@ -355,6 +357,7 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
     d.mkdirs()
+    val prior = TileFormat.readManifest(dir)
     val existing: Seq[TileMeta] =
       if (truncateFirst) {
         // drop the previous generation's tiles; the manifest rewrite below
@@ -363,14 +366,16 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
           .filter(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
           .foreach(_.delete())
         Seq.empty
-      } else TileFormat.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+      } else prior.map(_.tiles).getOrElse(Seq.empty)
+    // a truncate resets streaming history; a batch append preserves it
+    val epoch = if (truncateFirst) -1L else prior.map(_.lastEpoch).getOrElse(-1L)
     val fresh = messages.toSeq.collect {
       case m: GraftTileCommitMessage if m.rows > 0 =>
         val ok = new File(d, m.tmpName).renameTo(new File(d, m.finalName))
         require(ok, s"graft-tiles: commit rename failed for ${m.tmpName}")
         TileMeta(m.finalName, m.rows, m.bytes, m.stats)
     }
-    TileFormat.writeManifest(dir, schema, existing ++ fresh)
+    TileFormat.writeManifest(dir, schema, existing ++ fresh, epoch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -466,4 +471,60 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   override def abort(): Unit = { out.close(); file.delete() }
 
   override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------- streaming sink
+
+/** Exactly-once streaming sink over the same tile + manifest layout.
+  *
+  * Structured Streaming replays an epoch's `commit(epochId, messages)`
+  * after a driver restart whenever the sink cannot prove it already
+  * committed — the SINK owns idempotence (the contract every transactional
+  * lakehouse sink implements). Here the manifest records `last_epoch`: a
+  * commit at or below it deletes the replay's tmp tiles and returns
+  * without touching the table, so a restarted query cannot double-append.
+  * Epochs from one query are monotonically increasing, which is all the
+  * single-watermark check needs; a truncate (batch overwrite) resets the
+  * history along with the data.
+  */
+class GraftTileStreamingWrite(dir: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+  : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftTileStreamingWriterFactory(dir, schema.json)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    val prior = TileFormat.readManifest(dir)
+    if (prior.exists(_.lastEpoch >= epochId)) {
+      // epoch replay after restart: already committed — drop the tmps
+      abort(epochId, messages)
+      return
+    }
+    val existing = prior.map(_.tiles).getOrElse(Seq.empty)
+    val fresh = messages.toSeq.collect {
+      case m: GraftTileCommitMessage if m.rows > 0 =>
+        val ok = new File(d, m.tmpName).renameTo(new File(d, m.finalName))
+        require(ok, s"graft-tiles: epoch $epochId commit rename failed for ${m.tmpName}")
+        TileMeta(m.finalName, m.rows, m.bytes, m.stats)
+    }
+    TileFormat.writeManifest(dir, schema, existing ++ fresh, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftTileCommitMessage => new File(new File(dir), m.tmpName).delete()
+      case _ => ()
+    }
+}
+
+class GraftTileStreamingWriterFactory(dir: String, schemaJson: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftTileWriter(dir, schema, partitionId, taskId)
+  }
 }

@@ -54,6 +54,12 @@ object TileFormat {
   final case class TileMeta(file: String, rows: Long, bytes: Long,
                             stats: Map[String, ColStats])
 
+  /** Parsed manifest. `lastEpoch` is the highest streaming epoch already
+    * committed (-1 for batch-only tables): a replayed epoch commit after a
+    * driver restart must be a no-op — the exactly-once contract of the
+    * streaming sink. */
+  final case class ManifestData(schema: StructType, tiles: Seq[TileMeta], lastEpoch: Long)
+
   /** Column types that carry min/max zone maps (ordered fixed-width
     * domains). Strings/booleans still track null counts. */
   def statTracked(dt: DataType): Boolean = dt match {
@@ -141,10 +147,12 @@ object TileFormat {
 
   // -------------------------------------------------------------- manifest
 
-  def writeManifest(dir: String, schema: StructType, tiles: Seq[TileMeta]): Unit = {
+  def writeManifest(dir: String, schema: StructType, tiles: Seq[TileMeta],
+                    lastEpoch: Long = -1L): Unit = {
     val json: JValue =
       ("version" -> 1) ~
         ("schema" -> schema.json) ~
+        ("last_epoch" -> lastEpoch) ~
         ("tiles" -> tiles.map { t =>
           ("file" -> t.file) ~ ("rows" -> t.rows) ~ ("bytes" -> t.bytes) ~
             ("stats" -> JObject(t.stats.toList.sortBy(_._1).map { case (c, s) =>
@@ -158,7 +166,7 @@ object TileFormat {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def readManifest(dir: String): Option[(StructType, Seq[TileMeta])] = {
+  def readManifest(dir: String): Option[ManifestData] = {
     val p = Paths.get(dir, ManifestName)
     if (!Files.exists(p)) return None
     implicit val formats: Formats = DefaultFormats
@@ -178,7 +186,8 @@ object TileFormat {
       }
       case _ => Nil
     }
-    Some((schema, tiles))
+    val lastEpoch = (j \ "last_epoch").extractOpt[Long].getOrElse(-1L)
+    Some(ManifestData(schema, tiles, lastEpoch))
   }
 
   // ------------------------------------------------- literal normalization

@@ -57,7 +57,7 @@ class TilesSpec extends SparkSpec {
     // overwrite must not leave the first generation's tiles on disk
     val tilesOnDisk = new java.io.File(dir).listFiles()
       .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
-    val manifestTiles = TileFormat.readManifest(dir).get._2.size
+    val manifestTiles = TileFormat.readManifest(dir).get.tiles.size
     assert(tilesOnDisk === manifestTiles, "orphan tiles after truncate")
   }
 
@@ -186,7 +186,7 @@ class TilesSpec extends SparkSpec {
     Seq[(java.lang.Long, String)]((5L, "z"), (6L, "w")).toDF("i", "s")
       .coalesce(1).write.format(Fmt).mode("append").save(dir)
     val (schema, _) = scanBuilderFor(dir)
-    val tiles = TileFormat.readManifest(dir).get._2
+    val tiles = TileFormat.readManifest(dir).get.tiles
     assert(tiles.size === 2)
     val allNull = tiles.find(t => t.stats("i").min.isEmpty).get
     val present = tiles.find(t => t.stats("i").min.isDefined).get
@@ -220,6 +220,49 @@ class TilesSpec extends SparkSpec {
     val few = back.filter(col("o_orderstatus") === "F").limit(9)
     assert(few.count() === 9)
     assert(few.collect().forall(_.getAs[String]("o_orderstatus") == "F"))
+  }
+
+  test("streaming sink: epoch commits accumulate; an epoch replay is a no-op") {
+    val dir = tmp("tiles_spec_stream")
+    import spark.implicits._
+
+    // end to end over MemoryStream: two micro-batches, each an epoch commit
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = mem.toDF().toDF("k", "v").writeStream.format(Fmt)
+      .option("path", dir)
+      .option("checkpointLocation", tmp("tiles_spec_stream_ckpt"))
+      .outputMode("append").start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() === 3)
+    assert(back.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val m = TileFormat.readManifest(dir).get
+    assert(m.lastEpoch >= 1L, s"expected two committed epochs, lastEpoch=${m.lastEpoch}")
+
+    // unit level: replaying an already-committed epoch must not re-append
+    val sw = new graft.sources.tiles.GraftTileStreamingWrite(dir, back.schema)
+    val writer = new graft.sources.tiles.GraftTileWriter(dir, back.schema, 0, 99L)
+    writer.write(org.apache.spark.sql.catalyst.InternalRow(
+      9L, org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+    val msg = writer.commit()
+    sw.commit(m.lastEpoch, Array(msg)) // replay: at-or-below watermark
+    assert(spark.read.format(Fmt).load(dir).count() === 3,
+      "epoch replay appended rows — exactly-once contract broken")
+    // and the replay cleaned its tmp tile up
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".tmp-")),
+      "replayed epoch left a tmp tile behind")
+    // a genuinely new epoch commits
+    val writer2 = new graft.sources.tiles.GraftTileWriter(dir, back.schema, 0, 100L)
+    writer2.write(org.apache.spark.sql.catalyst.InternalRow(
+      9L, org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+    sw.commit(m.lastEpoch + 1, Array(writer2.commit()))
+    assert(spark.read.format(Fmt).load(dir).count() === 4)
   }
 
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
