@@ -412,7 +412,13 @@ object Bench {
       else None
     val forceRefresh = sys.env.get("SPARK_GRAFT_BASELINE_FORCE").contains("1")
     val driftOk = baselineDrift.forall(d => d > 0.90 && d < 1.10)
-    val refresh = tainted.isEmpty && errors.isEmpty && (forceRefresh || driftOk)
+    // A drift-passing run can still be on a measurably DEGRADED host (the
+    // 32-thread oscillation: probe_mt 1.2-1.3 while totals creep <10% per
+    // step — two such refreshes ratcheted the bar +15% in r11). The bar
+    // must never be reset from a host the MT probe itself calls slower
+    // than the bar's own calibration.
+    val mtOk = hostRatioMt.forall(_ <= 1.15)
+    val refresh = tainted.isEmpty && errors.isEmpty && (forceRefresh || (driftOk && mtOk))
     val refreshNote =
       s""","baseline_refreshed":$refresh,"baseline_drift":${baselineDrift.map(d => (math.round(d * 1000.0) / 1000.0).toString).getOrElse("null")}"""
 
@@ -425,7 +431,7 @@ object Bench {
     // construction.
     QuietShutdown(spark)
     if (!refresh && tainted.isEmpty && errors.isEmpty)
-      System.err.println(f"[bench] baseline refresh REFUSED: shared-set drift ${baselineDrift.getOrElse(Double.NaN)}%.3f outside [0.90,1.10] (set SPARK_GRAFT_BASELINE_FORCE=1 for a named recalibration)")
+      System.err.println(f"[bench] baseline refresh REFUSED: shared-set drift ${baselineDrift.getOrElse(Double.NaN)}%.3f outside [0.90,1.10] or host_speed_ratio_mt ${hostRatioMt.getOrElse(Double.NaN)}%.3f > 1.15 (set SPARK_GRAFT_BASELINE_FORCE=1 for a named recalibration)")
     // Persist this run's numbers + calibrations as the per-sf baseline for
     // the NEXT run's comparison (and as committed history the judge can
     // diff): full min + median maps survive here even when the driver's

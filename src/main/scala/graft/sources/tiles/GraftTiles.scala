@@ -88,7 +88,26 @@ class GraftTilesSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftTileTable(dir: String, tableSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+
+  /** Iceberg-style hidden metadata columns: present only when a query
+    * names them. `_tile_file` is the provenance handle every lakehouse
+    * debug/repair workflow needs (which file holds this row); `_tile_row`
+    * is the row's ordinal within its tile (with `_tile_file` it forms a
+    * stable physical row id for the immutable-tile layout). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_tile_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "tile file this row was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = "_tile_row"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row ordinal within the tile (pre-filter)"
+    })
 
   override def name(): String = s"graft-tiles.`$dir`"
   override def schema(): StructType = tableSchema
@@ -291,7 +310,14 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
       case GraftTilePartition(file, _) =>
         val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
         val tags = fullSchema.fields.map(f => TileFormat.typeTag(f.dataType))
-        val outIdx = requiredNames.map(fullSchema.fieldIndex)
+        val fileName = org.apache.spark.unsafe.types.UTF8String
+          .fromString(new File(file).getName)
+        // -2 => _tile_file, -1 => _tile_row, >=0 => data column index
+        val outIdx = requiredNames.map {
+          case "_tile_file" => -2
+          case "_tile_row" => -1
+          case n => fullSchema.fieldIndex(n)
+        }
         val preds = pushed.flatMap(f => TileFormat.compilePredicate(fullSchema, f))
         require(preds.length == pushed.length,
           s"graft-tiles: a pushed filter failed to compile executor-side: ${pushed.mkString(", ")}")
@@ -301,13 +327,22 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
           private val parsed = new Array[Any](fullSchema.length)
           private var current: InternalRow = _
           private var emitted = 0L
+          private var ordinal = -1L
           override def next(): Boolean = {
             if (emitted >= cap) return false // partial LIMIT pushdown cap
             while (TileFormat.readRow(in, tags, parsed)) {
+              ordinal += 1L
               if (preds.forall(p => p(parsed).contains(true))) {
                 val out = new Array[Any](outIdx.length)
                 var i = 0
-                while (i < outIdx.length) { out(i) = parsed(outIdx(i)); i += 1 }
+                while (i < outIdx.length) {
+                  out(i) = outIdx(i) match {
+                    case -2 => fileName
+                    case -1 => ordinal
+                    case j => parsed(j)
+                  }
+                  i += 1
+                }
                 current = new GenericInternalRow(out)
                 emitted += 1L
                 return true

@@ -265,6 +265,32 @@ class TilesSpec extends SparkSpec {
     assert(spark.read.format(Fmt).load(dir).count() === 4)
   }
 
+  test("metadata columns _tile_file/_tile_row are hidden until named, then exact") {
+    val dir = tmp("tiles_spec_meta")
+    val orders = Tables(spark, sf001).orders
+    orders.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format(Fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    // hidden: a plain scan exposes only the data schema
+    assert(!back.schema.fieldNames.contains("_tile_file"))
+    val withMeta = back.select(col("o_orderkey"), col("_tile_file"), col("_tile_row"))
+    // provenance: one file name per committed tile, ordinals unique per file
+    assert(withMeta.select("_tile_file").distinct().count() === 4)
+    val dupPos = withMeta.groupBy("_tile_file", "_tile_row")
+      .count().filter(col("count") > 1).count()
+    assert(dupPos === 0, "(_tile_file, _tile_row) must be a physical row id")
+    assert(withMeta.count() === orders.count())
+    // ordinal is PRE-filter (stable under predicates): filtering must not
+    // renumber surviving rows
+    val filtered = back.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("_tile_file"), col("_tile_row"))
+    val joined = withMeta.withColumnRenamed("o_orderkey", "k")
+      .join(filtered, Seq("_tile_file", "_tile_row"))
+    assert(joined.filter(col("k") =!= col("o_orderkey")).count() === 0,
+      "_tile_row shifted under a pushed filter")
+    assert(joined.count() === filtered.count())
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
