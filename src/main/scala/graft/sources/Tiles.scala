@@ -46,10 +46,12 @@ object Tiles {
     * tiles at every sf. */
   private val filterPruneQ: Q = (s, dir) => {
     val out = tmpDir("tiles_orders_bydate")
+    // the TABLE requests its own clustered layout (cluster_by →
+    // RequiresDistributionAndOrdering); no caller-side repartitionByRange
     Tables(s, dir).orders
-      .repartitionByRange(8, col("o_orderdate"))
-      .sortWithinPartitions("o_orderdate")
-      .write.format(Fmt).mode("overwrite").save(out)
+      .write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderdate").option("write_partitions", "8")
+      .save(out)
     val back = s.read.format(Fmt).load(out)
     // cast the literal to the column's own timestamp flavor (parquet
     // TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ) so the

@@ -119,7 +119,7 @@ class GraftTileTable(dir: String, tableSchema: StructType)
     new GraftTileScanBuilder(dir, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftTileWriteBuilder(dir, info.schema())
+    new GraftTileWriteBuilder(dir, info.schema(), info.options())
 }
 
 // ---------------------------------------------------------------- read path
@@ -360,19 +360,42 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
 
 // --------------------------------------------------------------- write path
 
-class GraftTileWriteBuilder(dir: String, schema: StructType)
+class GraftTileWriteBuilder(dir: String, schema: StructType,
+                            options: CaseInsensitiveStringMap =
+                              CaseInsensitiveStringMap.empty())
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new Write {
+  /** The TABLE owns its layout: `cluster_by` (comma-separated columns)
+    * makes the write request an ordered distribution + in-partition sort
+    * from Spark through `RequiresDistributionAndOrdering` — each task then
+    * receives a disjoint key range, so every tile's zone map is tight and
+    * the read-side prune works without the CALLER having to know to
+    * repartitionByRange first (Iceberg's write.distribution-mode
+    * contract). `write_partitions` optionally pins the task count. */
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val clusterBy: Array[String] =
+      Option(options.get("cluster_by"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    private def sorts: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      clusterBy.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      if (clusterBy.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else org.apache.spark.sql.connector.distributions.Distributions.ordered(sorts)
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = sorts
+    override def requiredNumPartitions(): Int =
+      if (clusterBy.isEmpty) 0
+      else Option(options.get("write_partitions")).map(_.toInt).getOrElse(0)
     override def toBatch: BatchWrite = new GraftTileBatchWrite(dir, schema, truncateFirst)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTileStreamingWrite(dir, schema)
     override def description(): String =
-      s"graft-tiles dir=$dir mode=${if (truncateFirst) "overwrite" else "append"}"
+      s"graft-tiles dir=$dir mode=${if (truncateFirst) "overwrite" else "append"}" +
+        (if (clusterBy.isEmpty) "" else s" cluster_by=[${clusterBy.mkString(", ")}]")
   }
 }
 

@@ -265,6 +265,30 @@ class TilesSpec extends SparkSpec {
     assert(spark.read.format(Fmt).load(dir).count() === 4)
   }
 
+  test("cluster_by makes the write request its own layout: disjoint tile ranges") {
+    val dir = tmp("tiles_spec_cluster")
+    // NO caller-side repartition: the Write's RequiresDistributionAndOrdering
+    // must produce range-disjoint tasks by itself
+    Tables(spark, sf001).orders.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderkey").option("write_partitions", "4")
+      .save(dir)
+    val tiles = TileFormat.readManifest(dir).get.tiles
+    assert(tiles.size === 4, s"expected 4 clustered tiles, got ${tiles.size}")
+    val ranges = tiles.map(_.stats("o_orderkey"))
+      .map(s => (s.min.get.toLong, s.max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"tile key ranges overlap: $ranges")
+      case _ => ()
+    }
+    // and the layout actually prunes: a narrow key slice opens few tiles
+    TileFormat.tilesOpened.set(0L)
+    spark.read.format(Fmt).load(dir)
+      .filter(col("o_orderkey") <= ranges.head._2).count()
+    assert(TileFormat.tilesOpened.get() === 1L,
+      s"clustered layout should prune to 1 tile, opened ${TileFormat.tilesOpened.get()}")
+  }
+
   test("metadata columns _tile_file/_tile_row are hidden until named, then exact") {
     val dir = tmp("tiles_spec_meta")
     val orders = Tables(spark, sf001).orders
