@@ -30,6 +30,7 @@ object SparkEntry {
       warehouse.Layout.entries ++
       warehouse.StarSchema.entries ++
       functions.TextOps.entries ++
+      functions.CatalogFunctions.entries ++
       operators.Dedup.entries ++
       operators.Curation.entries ++
       operators.Similarity.entries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       warehouse.Layout.oracles ++
       warehouse.StarSchema.oracles ++
       functions.TextOps.oracles ++
+      functions.CatalogFunctions.oracles ++
       operators.Dedup.oracles ++
       operators.Curation.oracles ++
       operators.Similarity.oracles ++

@@ -710,7 +710,7 @@ object Layout {
          |  FROM h$k)""".stripMargin
     }.mkString(",\n")
 
-  private def zTerms(xc: String, yc: String, bits: Int): String =
+  private[graft] def zTerms(xc: String, yc: String, bits: Int): String =
     (0 until bits).map { i =>
       s"((($xc >> $i) & 1) * ${1L << (2 * i)}) + " +
         s"((($yc >> $i) & 1) * ${1L << (2 * i + 1)})"
