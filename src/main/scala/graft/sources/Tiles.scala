@@ -142,12 +142,35 @@ object Tiles {
       .orderBy("event_type")
   }
 
+  /** S21 — the DDL face: CREATE TABLE / INSERT INTO ... SELECT / SELECT
+    * through the `TableCatalog` ([[graft.sources.tiles.GraftTileCatalog]]),
+    * pure SQL end to end; the read rides the same pushdown/prune scan and
+    * the INSERT rides the same commit protocol, so the oracle over the
+    * origin table grades the whole lifecycle. */
+  private val sqlDdlQ: Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", tmpDir("tile_warehouse"))
+    Tables(s, dir).orders.createOrReplaceTempView("orders_ddl_src")
+    s.sql("DROP TABLE IF EXISTS tiles_cat.db.orders_t")
+    s.sql("""CREATE TABLE tiles_cat.db.orders_t
+            |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    s.sql("""INSERT INTO tiles_cat.db.orders_t
+            |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_ddl_src""".stripMargin)
+    s.sql("""SELECT o_orderstatus, count(*) AS n,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |       min(o_orderkey) AS min_key
+            |FROM tiles_cat.db.orders_t
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
     "s18_tiles_agg_pushdown" -> aggPushdownQ,
     "s19_tiles_runtime_prune" -> runtimePruneQ,
     "s20_tiles_stream_sink" -> streamSinkQ,
+    "s21_tiles_sql_ddl" -> sqlDdlQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +201,10 @@ object Tiles {
         |       count(DISTINCT user_id) AS n_users,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "s21_tiles_sql_ddl" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.sources.tiles
+
+import java.io.File
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `TableCatalog` over the tile layout — the DDL face of the connector:
+  * with `spark.sql.catalog.tiles = GraftTileCatalog` (+ a `warehouse`
+  * option), plain SQL drives the whole lifecycle:
+  *
+  * {{{
+  *   CREATE TABLE tiles.db.t (k BIGINT, v STRING)
+  *   INSERT INTO tiles.db.t SELECT ...
+  *   SELECT ... FROM tiles.db.t        -- full pushdown/prune read path
+  *   ALTER TABLE ... (rejected)        -- immutable schema by design
+  *   DROP TABLE tiles.db.t
+  * }}}
+  *
+  * Identity mapping: `db.t` lives at `<warehouse>/db/t`, a table EXISTS
+  * iff its manifest file exists (the same atomic-publish object the write
+  * commit produces), and `loadTable` returns the ordinary
+  * [[GraftTileTable]] — DDL and the path-based `format("graft-tiles")`
+  * API are two doors into one layout. A `CREATE` publishes an empty
+  * manifest, so a created-but-never-written table reads as zero rows
+  * (and the metadata COUNT answers without opening anything).
+  */
+class GraftTileCatalog extends TableCatalog {
+
+  private var catName: String = "tiles"
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(new File("target/tmp/tile_warehouse").getAbsolutePath)
+  }
+
+  override def name(): String = catName
+
+  private def dirFor(ident: Identifier): File =
+    new File((warehouse +: ident.namespace() :+ ident.name()).mkString(File.separator))
+
+  private def manifestOf(ident: Identifier): File =
+    new File(dirFor(ident), TileFormat.ManifestName)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new File((warehouse +: namespace).mkString(File.separator))
+    if (!nsDir.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(nsDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => new File(d, TileFormat.ManifestName).isFile)
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = manifestOf(ident).isFile
+
+  override def loadTable(ident: Identifier): Table =
+    TileFormat.readManifest(dirFor(ident).getAbsolutePath) match {
+      case Some(m) => new GraftTileTable(dirFor(ident).getAbsolutePath, m.schema)
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft-tiles: PARTITIONED BY is not supported — clustering comes from " +
+          "the cluster_by write option (RequiresDistributionAndOrdering)")
+    schema.fields.foreach { f =>
+      require(TileFormat.supported(f.dataType),
+        s"graft-tiles: unsupported column type ${f.dataType.sql} for `${f.name}`")
+    }
+    val d = dirFor(ident)
+    d.mkdirs()
+    // CREATE is the publish of an empty manifest — the same atomic object
+    // a write commit replaces, so readers never see a schemaless table
+    TileFormat.writeManifest(d.getAbsolutePath, schema, Seq.empty)
+    new GraftTileTable(d.getAbsolutePath, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-tiles: ALTER TABLE is not supported (immutable tile schemas; " +
+        "evolve by CREATE + INSERT INTO ... SELECT)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dirFor(ident))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val target = dirFor(newIdent)
+    target.getParentFile.mkdirs()
+    require(dirFor(oldIdent).renameTo(target),
+      s"graft-tiles: rename $oldIdent -> $newIdent failed")
+  }
+}

@@ -108,17 +108,6 @@ object TileFormat {
     in
   }
 
-  /** Write one catalyst-typed value (caller already handled the null flag). */
-  def writeValue(out: DataOutputStream, tag: Int, v: Any): Unit = (tag: @annotation.switch) match {
-    case TagInt => out.writeInt(v.asInstanceOf[Int])
-    case TagLong => out.writeLong(v.asInstanceOf[Long])
-    case TagDouble => out.writeDouble(v.asInstanceOf[Double])
-    case TagString =>
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      out.writeInt(bytes.length); out.write(bytes)
-    case TagBool => out.writeBoolean(v.asInstanceOf[Boolean])
-  }
-
   /** Read the next row into `dest` (catalyst-typed values, null for null).
     * Returns false on clean EOF before the first column. */
   def readRow(in: DataInputStream, tags: Array[Int], dest: Array[Any]): Boolean = {

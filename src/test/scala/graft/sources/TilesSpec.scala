@@ -315,6 +315,37 @@ class TilesSpec extends SparkSpec {
     assert(joined.count() === filtered.count())
   }
 
+  test("TableCatalog lifecycle: create/exists/insert/rename/drop/list + guards") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = tmp("tiles_spec_warehouse")
+    spark.conf.set("spark.sql.catalog.tspec",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tspec.warehouse", wh)
+    spark.sql("CREATE TABLE tspec.ns.t1 (k BIGINT, v STRING)")
+    // a created-but-unwritten table is an EMPTY table, not an error —
+    // and its count answers from the (empty) manifest
+    assert(spark.sql("SELECT count(*) AS n FROM tspec.ns.t1").head().getLong(0) === 0L)
+    spark.sql("INSERT INTO tspec.ns.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO tspec.ns.t1 VALUES (3, 'c')")
+    assert(spark.sql("SELECT sum(k) FROM tspec.ns.t1").head().getLong(0) === 6L)
+    // catalog surface
+    val cat = spark.sessionState.catalogManager.catalog("tspec")
+      .asInstanceOf[graft.sources.tiles.GraftTileCatalog]
+    assert(cat.tableExists(Identifier.of(Array("ns"), "t1")))
+    assert(cat.listTables(Array("ns")).map(_.name()).toSeq === Seq("t1"))
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE tspec.ns.t1 (x BIGINT)")
+    }
+    intercept[UnsupportedOperationException] {
+      cat.alterTable(Identifier.of(Array("ns"), "t1"))
+    }
+    cat.renameTable(Identifier.of(Array("ns"), "t1"), Identifier.of(Array("ns"), "t2"))
+    assert(spark.sql("SELECT count(*) FROM tspec.ns.t2").head().getLong(0) === 3L)
+    assert(spark.sql("DROP TABLE tspec.ns.t2") != null)
+    assert(!cat.tableExists(Identifier.of(Array("ns"), "t2")))
+    assert(cat.listTables(Array("ns")).isEmpty)
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
