@@ -83,6 +83,7 @@ object Bench {
     "s16_tiles_roundtrip", "s17_tiles_filter_prune",
     "s18_tiles_agg_pushdown", "s19_tiles_runtime_prune",
     "s20_tiles_stream_sink", "f13_catalog_functions", "s21_tiles_sql_ddl",
+    "s22_tiles_delete_where",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
     // materializations — ~10 s of scheduler latency at sf0.1 that

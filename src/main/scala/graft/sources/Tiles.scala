@@ -39,11 +39,12 @@ object Tiles {
   }
 
   /** S17 — planning-time file skipping: tiles range-clustered on
-    * o_orderdate so the date predicate's zone-map prune drops most tiles
-    * before any task runs; the pushed filters are also re-applied
+    * o_orderdate so the date predicate's zone-map prune drops the leading
+    * tiles before any task runs; the pushed filters are also re-applied
     * row-exactly in the reader (absorbing them with an empty residual).
-    * The TPC-H date span is 1992..1998, so the 1997+ slice keeps ~2/8
-    * tiles at every sf. */
+    * The testdata date span is 1995..2001, so the 1997+ slice drops the
+    * first ~2/8 tiles at every sf (the prune is suite-pinned on a
+    * tighter slice; the entry grades correctness). */
   private val filterPruneQ: Q = (s, dir) => {
     val out = tmpDir("tiles_orders_bydate")
     // the TABLE requests its own clustered layout (cluster_by →
@@ -164,6 +165,34 @@ object Tiles {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** S22 — metadata-only DELETE (the retention pattern): the table is
+    * ingested the way a time-partitioned pipeline ingests — one append per
+    * period slice — so every tile's o_year zone map sits wholly on one
+    * side of the retention horizon BY CONSTRUCTION (range-clustering a
+    * tiny key domain can land both sides in one sampled task, measured;
+    * per-slice appends cannot). `DELETE WHERE o_year < 1998` is then a
+    * pure manifest edit: provably-all-match tiles drop, provably-no-match
+    * tiles stay, nothing is read or rewritten (zero tiles opened,
+    * suite-pinned). The oracle re-derives the survivors from the origin
+    * table, so a tile dropped or kept wrongly fails the hash. */
+  private val deleteWhereQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    val base = Tables(s, dir).orders.withColumn("o_year", year(col("o_orderdate")))
+    val tdir = s"$wh/db/orders_del"
+    base.filter(col("o_year") < 1998)
+      .write.format(Fmt).mode("overwrite").save(tdir)
+    base.filter(col("o_year") >= 1998)
+      .write.format(Fmt).mode("append").save(tdir)
+    s.sql("DELETE FROM tiles_cat.db.orders_del WHERE o_year < 1998")
+    s.sql("""SELECT o_year, count(*) AS n,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM tiles_cat.db.orders_del
+            |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
@@ -171,6 +200,7 @@ object Tiles {
     "s19_tiles_runtime_prune" -> runtimePruneQ,
     "s20_tiles_stream_sink" -> streamSinkQ,
     "s21_tiles_sql_ddl" -> sqlDdlQ,
+    "s22_tiles_delete_where" -> deleteWhereQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,5 +236,10 @@ object Tiles {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |       min(o_orderkey) AS min_key
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "s22_tiles_delete_where" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) >= 1998
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
   )
 }

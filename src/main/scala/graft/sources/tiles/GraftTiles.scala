@@ -88,7 +88,36 @@ class GraftTilesSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftTileTable(dir: String, tableSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+  extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsDelete {
+
+  /** Metadata-only DELETE — the 100-TB retention pattern: `DELETE WHERE
+    * ts < horizon` over a time-clustered table drops whole tiles from the
+    * manifest without reading one row. The contract is exactness, not
+    * effort: `canDeleteWhere` accepts only when EVERY tile is provably
+    * all-match (droppable, [[TileFormat.tileMustMatch]]) or provably
+    * no-match (keepable, [[TileFormat.tileMayMatch]] false); a predicate
+    * that splits a tile is rejected at analysis instead of silently
+    * rewritten (this format has no row-level delete — that is Delta/
+    * Iceberg's merge-on-read territory). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    TileFormat.readManifest(dir).forall(_.tiles.forall { t =>
+      filters.forall(f => TileFormat.tileMustMatch(tableSchema, t, f)) ||
+        filters.exists(f => !TileFormat.tileMayMatch(tableSchema, t, f))
+    })
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val m = TileFormat.readManifest(dir).getOrElse(return)
+    val (drop, keep) = m.tiles.partition(t =>
+      filters.forall(f => TileFormat.tileMustMatch(tableSchema, t, f)))
+    keep.foreach { t =>
+      require(filters.exists(f => !TileFormat.tileMayMatch(tableSchema, t, f)),
+        s"graft-tiles: DELETE predicate splits tile ${t.file}; " +
+          "only tile-aligned deletes are supported")
+    }
+    drop.foreach(t => new File(dir, t.file).delete())
+    TileFormat.writeManifest(dir, m.schema, keep, m.lastEpoch)
+  }
 
   /** Iceberg-style hidden metadata columns: present only when a query
     * names them. `_tile_file` is the provenance handle every lakehouse

@@ -355,7 +355,55 @@ object TileFormat {
         vs != null && vs.exists(v => v != null && cmpPrune(a, v)((mnc, mxc) => mnc <= 0 && mxc >= 0))
       case IsNull(a) => meta.stats.get(a).forall(_.nulls > 0)
       case IsNotNull(a) => meta.stats.get(a).forall(s => s.nulls < meta.rows)
+      case AlwaysFalse() => false
       case _ => true
+    }
+  }
+
+  /** Conservative must-match: true ONLY when the zone map PROVES every row
+    * of the tile satisfies the filter (the metadata-DELETE prover — a tile
+    * is droppable without being read iff this holds for the whole delete
+    * predicate). Unknown columns/shapes/types => false. */
+  def tileMustMatch(schema: StructType, meta: TileMeta, f: Filter): Boolean = {
+    val byName = schema.fields.map(x => x.name -> x.dataType).toMap
+
+    // all rows satisfy `col cmp lit` iff the col has NO nulls and the
+    // WHOLE [min, max] range satisfies it
+    def cmpProve(attr: String, v: Any)(holds: (Int, Int) => Boolean): Boolean = {
+      val dt = byName.getOrElse(attr, return false)
+      if (!statTracked(dt)) return false
+      val s = meta.stats.getOrElse(attr, return false)
+      if (s.nulls > 0) return false // a null row never satisfies a comparison
+      (parsedRange(dt, s), litInDomain(dt, v)) match {
+        case (Some(Left((mn, mx))), Some(Left(lv))) =>
+          holds(java.lang.Long.compare(mn, lv), java.lang.Long.compare(mx, lv))
+        case (Some(Right((mn, mx))), Some(Right(lv))) =>
+          holds(cmpDouble(mn, lv), cmpDouble(mx, lv))
+        case _ => false
+      }
+    }
+
+    if (meta.rows == 0) return true // vacuously: an empty tile is droppable
+    f match {
+      case And(l, r) => tileMustMatch(schema, meta, l) && tileMustMatch(schema, meta, r)
+      // under-approximation: a tile split row-wise between the two arms
+      // also fully matches the OR, but proving that needs row access
+      case Or(l, r) => tileMustMatch(schema, meta, l) || tileMustMatch(schema, meta, r)
+      // NOT(c) holds for every row iff c can hold for none
+      case Not(c) => !tileMayMatch(schema, meta, c)
+      case EqualTo(a, v) => cmpProve(a, v)((mnc, mxc) => mnc == 0 && mxc == 0)
+      case GreaterThan(a, v) => cmpProve(a, v)((mnc, _) => mnc > 0)
+      case GreaterThanOrEqual(a, v) => cmpProve(a, v)((mnc, _) => mnc >= 0)
+      case LessThan(a, v) => cmpProve(a, v)((_, mxc) => mxc < 0)
+      case LessThanOrEqual(a, v) => cmpProve(a, v)((_, mxc) => mxc <= 0)
+      case In(a, vs) =>
+        // provable only in the degenerate single-value-tile case
+        vs != null && vs.filter(_ != null)
+          .exists(v => cmpProve(a, v)((mnc, mxc) => mnc == 0 && mxc == 0))
+      case IsNull(a) => meta.stats.get(a).exists(_.nulls == meta.rows)
+      case IsNotNull(a) => meta.stats.get(a).exists(_.nulls == 0L)
+      case AlwaysTrue() => true
+      case _ => false
     }
   }
 }

@@ -346,6 +346,51 @@ class TilesSpec extends SparkSpec {
     assert(cat.listTables(Array("ns")).isEmpty)
   }
 
+  test("metadata DELETE drops whole tiles; a tile-splitting predicate is rejected") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = tmp("tiles_spec_del_wh")
+    spark.conf.set("spark.sql.catalog.tdel",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tdel.warehouse", wh)
+    val orders = Tables(spark, sf001).orders
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_year").option("write_partitions", "4")
+      .save(s"$wh/db/t")
+    val tilesBefore = TileFormat.readManifest(s"$wh/db/t").get.tiles
+    val before = tilesBefore.size
+    // pick a TILE-ALIGNED retention horizon from the manifest itself:
+    // the min year of the second tile (range clustering never splits a
+    // year, so this cutoff cleanly classifies every tile)
+    val cutoff = tilesBefore.map(_.stats("o_year").min.get.toLong).sorted.apply(1)
+    TileFormat.tilesOpened.set(0L)
+    spark.sql(s"DELETE FROM tdel.db.t WHERE o_year < $cutoff")
+    assert(TileFormat.tilesOpened.get() === 0L, "metadata DELETE read tiles")
+    val after = TileFormat.readManifest(s"$wh/db/t").get.tiles
+    assert(after.size < before && after.nonEmpty)
+    // survivors match the row-level answer exactly
+    assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) ===
+      orders.filter(col("o_year") >= cutoff).count())
+    // dropped tiles are gone from disk too
+    val onDisk = new java.io.File(s"$wh/db/t").listFiles()
+      .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
+    assert(onDisk === after.size)
+    // a predicate that splits a tile (mid-year cutoff on a key column
+    // the tiles are NOT aligned to) must be rejected, not approximated
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM tdel.db.t WHERE o_orderkey < 10")
+    }
+    assert(err.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) ===
+      orders.filter(col("o_year") >= cutoff).count(), "rejected DELETE mutated the table")
+    // DELETE without WHERE truncates through the same path
+    spark.sql("DELETE FROM tdel.db.t WHERE true")
+    assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) === 0L)
+    val cat = spark.sessionState.catalogManager.catalog("tdel")
+      .asInstanceOf[graft.sources.tiles.GraftTileCatalog]
+    assert(cat.tableExists(Identifier.of(Array("db"), "t")), "truncate dropped the table")
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
