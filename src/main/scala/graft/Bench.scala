@@ -84,6 +84,9 @@ object Bench {
     "s18_tiles_agg_pushdown", "s19_tiles_runtime_prune",
     "s20_tiles_stream_sink", "f13_catalog_functions", "s21_tiles_sql_ddl",
     "s22_tiles_delete_where",
+    // round-12 entries: DV (merge-on-read) DELETE and string zone-map prune
+    // over the columnar v2 tile payload
+    "s23_tiles_delete_rows", "s24_tiles_string_prune",
     // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
     // rounds are candidate-sized work behind per-round localCheckpoint
     // materializations — ~10 s of scheduler latency at sf0.1 that

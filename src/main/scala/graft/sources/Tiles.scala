@@ -193,6 +193,45 @@ object Tiles {
             |GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
 
+  /** S23 — row-level DELETE via deletion vectors (merge-on-read): the
+    * table is key-clustered, so BOTH price predicates split every tile —
+    * the connector rewrites them to per-tile DVs (no tile dropped or
+    * rewritten; readers mask ordinals). Two DELETEs exercise the DV merge;
+    * the read-back aggregate grades the masked table against the origin
+    * rows the deletes should have left. */
+  private val deleteRowsQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    Tables(s, dir).orders.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderkey").option("write_partitions", "8")
+      .save(s"$wh/db/orders_dv")
+    s.sql("DELETE FROM tiles_cat.db.orders_dv WHERE o_totalprice < 50000.0")
+    s.sql("DELETE FROM tiles_cat.db.orders_dv WHERE o_totalprice > 200000.0")
+    s.sql("""SELECT o_orderpriority, count(*) AS n,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |       min(o_orderkey) AS min_key
+            |FROM tiles_cat.db.orders_dv
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** S24 — STRING zone-map pruning (r12): the most common warehouse filter
+    * shape is an equality on a low-cardinality string column; clustering
+    * by that column makes each tile's [min,max] string bounds tight, so
+    * the equality prunes most tiles at planning time (suite-pinned; this
+    * entry grades the row-exact result). */
+  private val stringPruneQ: Q = (s, dir) => {
+    val out = tmpDir("tiles_orders_byprio")
+    Tables(s, dir).orders.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderpriority,o_orderkey")
+      .option("write_partitions", "8").save(out)
+    s.read.format(Fmt).load(out)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
   val entries: Map[String, Q] = Map(
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
@@ -201,6 +240,8 @@ object Tiles {
     "s20_tiles_stream_sink" -> streamSinkQ,
     "s21_tiles_sql_ddl" -> sqlDdlQ,
     "s22_tiles_delete_where" -> deleteWhereQ,
+    "s23_tiles_delete_rows" -> deleteRowsQ,
+    "s24_tiles_string_prune" -> stringPruneQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +282,17 @@ object Tiles {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) >= 1998
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "s23_tiles_delete_rows" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 200000.0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "s24_tiles_string_prune" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
   )
 }

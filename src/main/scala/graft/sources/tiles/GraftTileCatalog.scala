@@ -71,10 +71,7 @@ class GraftTileCatalog extends TableCatalog {
       throw new UnsupportedOperationException(
         "graft-tiles: PARTITIONED BY is not supported — clustering comes from " +
           "the cluster_by write option (RequiresDistributionAndOrdering)")
-    schema.fields.foreach { f =>
-      require(TileFormat.supported(f.dataType),
-        s"graft-tiles: unsupported column type ${f.dataType.sql} for `${f.name}`")
-    }
+    GraftTilesSource.validateSchema(schema) // type support + reserved names
     val d = dirFor(ident)
     d.mkdirs()
     // CREATE is the publish of an empty manifest — the same atomic object

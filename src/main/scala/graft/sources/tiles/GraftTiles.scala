@@ -1,9 +1,7 @@
 package graft.sources.tiles
 
-import java.io.File
+import java.io.{ByteArrayOutputStream, DataOutputStream, File}
 import java.util.{OptionalLong, UUID}
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -15,6 +13,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import TileFormat.{ColStats, TileMeta}
 
@@ -27,31 +26,42 @@ import TileFormat.{ColStats, TileMeta}
   *
   *  - '''Planning-time file skipping''': `SupportsPushDownFilters` — the
   *    supported filter subset is absorbed completely (empty residual),
-  *    prunes tiles through the manifest zone maps, and is re-applied
-  *    row-exactly inside the reader, so correctness never depends on the
-  *    pruning being tight.
-  *  - '''Column pruning''': `SupportsPushDownRequiredColumns` — readers
-  *    materialize only the projected columns (row-major payload, so
-  *    skipped columns are parse-skipped, not IO-skipped; a columnar tile
-  *    would upgrade that without touching the planner contract).
+  *    prunes tiles through the manifest zone maps (numeric AND string
+  *    bounds since r12), and is re-applied row-exactly inside the reader,
+  *    so correctness never depends on the pruning being tight.
+  *  - '''Column pruning''': `SupportsPushDownRequiredColumns` — the v2
+  *    columnar tile stores per-column chunks, so readers load ONLY the
+  *    chunks of (projected ∪ filtered) columns: a true IO skip, parquet's
+  *    column-chunk behavior (r12; the v1 row-major payload could only
+  *    parse-skip).
   *  - '''Metadata-only aggregates''': `SupportsPushDownAggregates` with
   *    complete pushdown for COUNT(*)/COUNT(col)/MIN/MAX on zone-mapped
   *    columns — a 100-TB `SELECT count(*), max(ts)` is answered from the
   *    manifest without opening one tile (exactly what parquet footers +
-  *    Iceberg stats give the built-in sources).
+  *    Iceberg stats give the built-in sources). Declined when any tile
+  *    carries a deletion vector (bounds may hang on deleted rows).
   *  - '''Runtime (DPP-shaped) pruning''': `SupportsRuntimeFiltering` — a
   *    selective dimension join hands the fact scan its join-key values at
   *    execution start; tiles outside the key range drop before any task
   *    reads them.
   *  - '''Statistics''': `SupportsReportStatistics` reports the
-  *    POST-pruning rows/bytes, so AQE/join planning sees the pruned table,
-  *    not the raw one (the difference between a broadcast and a shuffle at
-  *    scale).
+  *    POST-pruning live rows/bytes, so AQE/join planning sees the pruned
+  *    table, not the raw one (the difference between a broadcast and a
+  *    shuffle at scale).
   *  - '''Commit-protocol writes''': `SupportsWrite` + `SupportsTruncate` —
   *    tasks write `.tmp-` tiles and return their zone maps in the
   *    `WriterCommitMessage`; only the driver's `commit()` renames them in
   *    and publishes the manifest atomically. A failed/speculative task
   *    aborts its own file; readers never see a half-written table.
+  *    Publish order is MANIFEST-FIRST everywhere (r12, ADVICE r11): a
+  *    truncate never deletes the previous generation's files (they become
+  *    orphans for [[TileFormat.vacuumOrphans]]), and DELETE removes
+  *    dropped tiles only AFTER the new manifest is live — a reader holding
+  *    either manifest version always resolves.
+  *  - '''Row-level DELETE (merge-on-read)''': `DELETE WHERE` predicates
+  *    that split a tile are rewritten to per-tile deletion vectors instead
+  *    of being rejected (r12); provably all-match tiles still drop as pure
+  *    manifest edits and provably no-match tiles are never opened.
   *
   * Reference behavior twin: the reference's warehouse reads partition- and
   * predicate-pruned parquet (SURVEY §2.1, `ex03` layout); this connector
@@ -79,51 +89,93 @@ class GraftTilesSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val dir = properties.get("path")
     require(dir != null && dir.nonEmpty, "graft-tiles requires a path property")
-    schema.fields.foreach { f =>
-      require(TileFormat.supported(f.dataType),
-        s"graft-tiles: unsupported column type ${f.dataType.sql} for `${f.name}`")
+    GraftTilesSource.validateSchema(schema)
+    // a caller-supplied schema (supportsExternalMetadata) must agree with
+    // the published manifest, else the positional tile chunks would be
+    // misparsed into garbage (ADVICE r11) — tile schemas are immutable;
+    // evolve by writing a new path or DROP + CREATE
+    TileFormat.readManifest(dir).foreach { m =>
+      val have = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(have == want,
+        s"graft-tiles: schema ${schema.simpleString} does not match the " +
+          s"table's manifest schema ${m.schema.simpleString} under $dir")
     }
     new GraftTileTable(dir, schema)
   }
+}
+
+object GraftTilesSource {
+  /** Shared analysis-time schema guards (path API + catalog DDL). */
+  def validateSchema(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      require(TileFormat.supported(f.dataType),
+        s"graft-tiles: unsupported column type ${f.dataType.sql} for `${f.name}`")
+      require(!TileFormat.ReservedColumns(f.name),
+        s"graft-tiles: `${f.name}` is a reserved metadata column name")
+    }
 }
 
 class GraftTileTable(dir: String, tableSchema: StructType)
   extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsDelete {
 
-  /** Metadata-only DELETE — the 100-TB retention pattern: `DELETE WHERE
-    * ts < horizon` over a time-clustered table drops whole tiles from the
-    * manifest without reading one row. The contract is exactness, not
-    * effort: `canDeleteWhere` accepts only when EVERY tile is provably
-    * all-match (droppable, [[TileFormat.tileMustMatch]]) or provably
-    * no-match (keepable, [[TileFormat.tileMayMatch]] false); a predicate
-    * that splits a tile is rejected at analysis instead of silently
-    * rewritten (this format has no row-level delete — that is Delta/
-    * Iceberg's merge-on-read territory). */
+  /** DELETE support contract (r12): any predicate the row-exact compiler
+    * handles is accepted — provably all-match tiles drop as pure manifest
+    * edits (the metadata fast path, zero tiles opened), provably no-match
+    * tiles are untouched, and tiles the predicate SPLITS are rewritten to
+    * deletion vectors (merge-on-read, the Delta/Iceberg DV rung). Only a
+    * filter shape outside [[TileFormat.compilePredicate]] is rejected at
+    * analysis. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    TileFormat.readManifest(dir).forall(_.tiles.forall { t =>
-      filters.forall(f => TileFormat.tileMustMatch(tableSchema, t, f)) ||
-        filters.exists(f => !TileFormat.tileMayMatch(tableSchema, t, f))
-    })
+    filters.forall(f => TileFormat.compilePredicate(tableSchema, f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val m = TileFormat.readManifest(dir).getOrElse(return)
-    val (drop, keep) = m.tiles.partition(t =>
-      filters.forall(f => TileFormat.tileMustMatch(tableSchema, t, f)))
-    keep.foreach { t =>
-      require(filters.exists(f => !TileFormat.tileMayMatch(tableSchema, t, f)),
-        s"graft-tiles: DELETE predicate splits tile ${t.file}; " +
-          "only tile-aligned deletes are supported")
+    val preds = filters.map(f => TileFormat.compilePredicate(m.schema, f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-tiles: unsupported DELETE predicate $f")))
+    val tags = m.schema.fields.map(f => TileFormat.typeTag(f.dataType))
+    val neededIdx = filters.flatMap(_.references).distinct
+      .map(m.schema.fieldIndex).sorted
+    val updated: Seq[TileMeta] = m.tiles.flatMap { t =>
+      if (filters.forall(f => TileFormat.tileMustMatch(m.schema, t, f)))
+        None // provably all-match: the whole tile goes, no read
+      else if (filters.exists(f => !TileFormat.tileMayMatch(m.schema, t, f)))
+        Some(t) // provably no-match: untouched
+      else {
+        // the predicate splits this tile: scan ONLY its predicate columns
+        // and extend the deletion vector with ordinals where the
+        // conjunction is TRUE (NULL/FALSE rows are kept — SQL DELETE)
+        val cur = TileFormat.openCursor(new File(dir, t.file), neededIdx, tags)
+        val dest = new Array[Any](tags.length)
+        val already = t.dv.toSet
+        val dv = scala.collection.mutable.ArrayBuffer.empty[Long] ++= t.dv
+        var ord = 0L
+        while (cur.next(dest)) {
+          if (!already(ord) && preds.forall(p => p(dest).contains(true))) dv += ord
+          ord += 1L
+        }
+        cur.close()
+        if (dv.length == t.rows) None // every row deleted: drop the tile
+        else Some(t.copy(dv = dv.sorted.toSeq))
+      }
     }
-    drop.foreach(t => new File(dir, t.file).delete())
-    TileFormat.writeManifest(dir, m.schema, keep, m.lastEpoch)
+    // manifest-first publish (ADVICE r11): until the move lands, readers
+    // resolve the old manifest against still-present files; after it, the
+    // dropped tiles are orphans and can be deleted (or vacuumed after a
+    // crash between these two steps)
+    TileFormat.writeManifest(dir, m.schema, updated, m.lastEpoch, m.queryId)
+    val live = updated.map(_.file).toSet
+    m.tiles.filterNot(t => live(t.file)).foreach(t => new File(dir, t.file).delete())
   }
 
   /** Iceberg-style hidden metadata columns: present only when a query
     * names them. `_tile_file` is the provenance handle every lakehouse
     * debug/repair workflow needs (which file holds this row); `_tile_row`
     * is the row's ordinal within its tile (with `_tile_file` it forms a
-    * stable physical row id for the immutable-tile layout). */
+    * stable physical row id for the immutable-tile layout — DV deletes
+    * mask ordinals without renumbering survivors). */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = "_tile_file"
@@ -148,7 +200,7 @@ class GraftTileTable(dir: String, tableSchema: StructType)
     new GraftTileScanBuilder(dir, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftTileWriteBuilder(dir, info.schema(), info.options())
+    new GraftTileWriteBuilder(dir, info.schema(), info.options(), info.queryId())
 }
 
 // ---------------------------------------------------------------- read path
@@ -199,7 +251,9 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
     fullSchema.fields.find(_.name == name).map(_.dataType)
 
   /** Catalyst-typed min/max over every tile's zone map; None => NULL
-    * (empty table or all-null column) — matching SQL MIN/MAX. */
+    * (empty table or all-null column) — matching SQL MIN/MAX. Only called
+    * once [[boundsComplete]] has proven every non-empty tile contributes
+    * exact bounds or is all-null. */
   private def manifestMinMax(name: String, isMin: Boolean): Option[Any] = {
     val dt = dataTypeOf(name).getOrElse(return None)
     val ranges = tiles.flatMap(_.stats.get(name)).flatMap(s => if (isMin) s.min else s.max)
@@ -214,17 +268,37 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
       case LongType | TimestampType | TimestampNTZType =>
         val vs = ranges.map(_.toLong)
         Some(if (isMin) vs.min else vs.max)
+      case StringType =>
+        // UTF-8 binary order — the order the bounds were tracked in
+        val vs = ranges.map(UTF8String.fromString)
+        Some(vs.reduce((a, b) =>
+          if ((a.compareTo(b) <= 0) == isMin) a else b))
       case _ => None
     }
   }
+
+  /** Deletion vectors poison metadata aggregates: COUNT(col) can't know how
+    * many deleted rows were null, and a MIN/MAX bound may hang on a deleted
+    * row. COUNT(*) alone stays answerable from live counts. */
+  private def dvFree: Boolean = tiles.forall(_.dv.isEmpty)
+
+  /** MIN/MAX from the manifest needs every non-empty tile to carry exact
+    * bounds or be all-null — string bounds past the stat cap are absent
+    * with live values present, which must DECLINE the pushdown, not skew it. */
+  private def boundsComplete(name: String): Boolean =
+    tiles.forall(t => t.rows == 0 || t.stats.get(name).exists(s =>
+      s.nulls == t.rows || (s.min.isDefined && s.max.isDefined)))
 
   private def aggPushable(agg: Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
-        case c: Count => !c.isDistinct && colName(c.column()).isDefined
-        case m: Min => colName(m.column()).exists(n => dataTypeOf(n).exists(TileFormat.statTracked))
-        case m: Max => colName(m.column()).exists(n => dataTypeOf(n).exists(TileFormat.statTracked))
+        case c: Count =>
+          !c.isDistinct && dvFree && colName(c.column()).exists(n => dataTypeOf(n).isDefined)
+        case m: Min => dvFree && colName(m.column()).exists(n =>
+          dataTypeOf(n).exists(TileFormat.statTracked) && boundsComplete(n))
+        case m: Max => dvFree && colName(m.column()).exists(n =>
+          dataTypeOf(n).exists(TileFormat.statTracked) && boundsComplete(n))
         case _ => false
       }
 
@@ -232,13 +306,13 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!aggPushable(agg)) return false
-    val totalRows = tiles.map(_.rows).sum
+    val liveRows = tiles.map(_.liveRows).sum
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val values = scala.collection.mutable.ArrayBuffer.empty[Any]
     agg.aggregateExpressions().foreach {
       case _: CountStar =>
         fields += StructField("count_star", LongType, nullable = false)
-        values += totalRows
+        values += liveRows
       case c: Count =>
         val n = colName(c.column()).get
         fields += StructField(s"count_$n", LongType, nullable = false)
@@ -262,8 +336,9 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
     new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult, limit)
 }
 
-/** One committed tile = one input partition. */
-case class GraftTilePartition(file: String, rows: Long) extends InputPartition
+/** One committed tile = one input partition; `dv` is the tile's sorted
+  * deletion vector (ordinals the reader masks). */
+case class GraftTilePartition(file: String, rows: Long, dv: Seq[Long]) extends InputPartition
 
 /** Single-partition carrier for a metadata-answered aggregate row. */
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
@@ -293,21 +368,25 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // post-prune sizes: the optimizer should plan against what will be
-    // read, not what exists (broadcast decisions hinge on this)
+    // post-prune LIVE sizes: the optimizer should plan against what will
+    // be read, not what exists (broadcast decisions hinge on this)
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(if (agg.isDefined) 64L else kept.map(_.bytes).sum)
     override def numRows(): OptionalLong =
-      OptionalLong.of(if (agg.isDefined) 1L else kept.map(_.rows).sum)
+      OptionalLong.of(if (agg.isDefined) 1L else kept.map(_.liveRows).sum)
   }
 
   override def filterAttributes(): Array[NamedReference] =
-    // only columns the scan actually OUTPUTS: Spark resolves these against
-    // the (column-pruned) scan relation, so advertising a pruned-away
-    // column is an analysis error, not a missed optimization
+    // only DATA columns the scan actually OUTPUTS: Spark resolves these
+    // against the (column-pruned) scan relation, so advertising a
+    // pruned-away or metadata column is an analysis error
     if (agg.isDefined) Array.empty
-    else required.fields.filter(f => TileFormat.statTracked(f.dataType))
-      .map(f => Expressions.column(f.name))
+    else {
+      val data = fullSchema.fieldNames.toSet
+      required.fields
+        .filter(f => data(f.name) && TileFormat.statTracked(f.dataType))
+        .map(f => Expressions.column(f.name))
+    }
 
   override def filter(filters: Array[Filter]): Unit = {
     kept = kept.filter(t => filters.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
@@ -316,16 +395,22 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((_, row)) => Array(GraftAggPartition(row))
     case None =>
-      kept.map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows))
+      kept.map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv))
         .toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTileReaderFactory(fullSchema.json, required.fieldNames, pushed, limit)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // (projected ∪ filtered) data columns — the only chunks a reader loads
+    val dataCols = required.fieldNames.filterNot(TileFormat.ReservedColumns)
+    val neededIdx = (dataCols ++ pushed.flatMap(_.references)).distinct
+      .map(fullSchema.fieldIndex).sorted
+    new GraftTileReaderFactory(fullSchema.json, required.fieldNames, neededIdx, pushed, limit)
+  }
 }
 
 class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String],
-                             pushed: Array[Filter], limit: Option[Int] = None)
+                             neededIdx: Array[Int], pushed: Array[Filter],
+                             limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -336,11 +421,10 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
         override def get(): InternalRow = new GenericInternalRow(values.clone())
         override def close(): Unit = ()
       }
-      case GraftTilePartition(file, _) =>
+      case GraftTilePartition(file, _, dvSeq) =>
         val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
         val tags = fullSchema.fields.map(f => TileFormat.typeTag(f.dataType))
-        val fileName = org.apache.spark.unsafe.types.UTF8String
-          .fromString(new File(file).getName)
+        val fileName = UTF8String.fromString(new File(file).getName)
         // -2 => _tile_file, -1 => _tile_row, >=0 => data column index
         val outIdx = requiredNames.map {
           case "_tile_file" => -2
@@ -351,17 +435,21 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
         require(preds.length == pushed.length,
           s"graft-tiles: a pushed filter failed to compile executor-side: ${pushed.mkString(", ")}")
         val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
+        val dv = dvSeq.toArray // sorted; walked with a single pointer below
         new PartitionReader[InternalRow] {
-          private val in = TileFormat.openReader(new File(file))
+          private val cursor = TileFormat.openCursor(new File(file), neededIdx, tags)
           private val parsed = new Array[Any](fullSchema.length)
           private var current: InternalRow = _
           private var emitted = 0L
           private var ordinal = -1L
+          private var dvPos = 0
           override def next(): Boolean = {
             if (emitted >= cap) return false // partial LIMIT pushdown cap
-            while (TileFormat.readRow(in, tags, parsed)) {
+            while (cursor.next(parsed)) {
               ordinal += 1L
-              if (preds.forall(p => p(parsed).contains(true))) {
+              if (dvPos < dv.length && dv(dvPos) == ordinal) {
+                dvPos += 1 // deletion-vector mask: row is deleted
+              } else if (preds.forall(p => p(parsed).contains(true))) {
                 val out = new Array[Any](outIdx.length)
                 var i = 0
                 while (i < outIdx.length) {
@@ -380,7 +468,7 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
             false
           }
           override def get(): InternalRow = current
-          override def close(): Unit = in.close()
+          override def close(): Unit = cursor.close()
         }
       case other =>
         throw new IllegalArgumentException(s"graft-tiles: unexpected partition $other")
@@ -391,7 +479,8 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
 
 class GraftTileWriteBuilder(dir: String, schema: StructType,
                             options: CaseInsensitiveStringMap =
-                              CaseInsensitiveStringMap.empty())
+                              CaseInsensitiveStringMap.empty(),
+                            queryId: String = "")
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -421,7 +510,7 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
       else Option(options.get("write_partitions")).map(_.toInt).getOrElse(0)
     override def toBatch: BatchWrite = new GraftTileBatchWrite(dir, schema, truncateFirst)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftTileStreamingWrite(dir, schema)
+      new GraftTileStreamingWrite(dir, schema, queryId)
     override def description(): String =
       s"graft-tiles dir=$dir mode=${if (truncateFirst) "overwrite" else "append"}" +
         (if (clusterBy.isEmpty) "" else s" cluster_by=[${clusterBy.mkString(", ")}]")
@@ -439,30 +528,35 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
     new GraftTileWriterFactory(dir, schema.json)
 
   /** Driver-side publish: rename task files in, then write the manifest
-    * atomically. Until the manifest moves, readers see the previous table
-    * version — the minimal snapshot-isolation contract of a commit log. */
+    * atomically — and NOTHING else. Readers see the previous table version
+    * until the manifest moves, and a truncate leaves the previous
+    * generation's tiles on disk as orphans (a reader holding the old
+    * manifest still resolves every file it references — snapshot
+    * isolation); [[TileFormat.vacuumOrphans]] is the reclaim step. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
     d.mkdirs()
     val prior = TileFormat.readManifest(dir)
-    val existing: Seq[TileMeta] =
-      if (truncateFirst) {
-        // drop the previous generation's tiles; the manifest rewrite below
-        // publishes the new one
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
-          .foreach(_.delete())
-        Seq.empty
-      } else prior.map(_.tiles).getOrElse(Seq.empty)
-    // a truncate resets streaming history; a batch append preserves it
-    val epoch = if (truncateFirst) -1L else prior.map(_.lastEpoch).getOrElse(-1L)
     val fresh = messages.toSeq.collect {
       case m: GraftTileCommitMessage if m.rows > 0 =>
         val ok = new File(d, m.tmpName).renameTo(new File(d, m.finalName))
         require(ok, s"graft-tiles: commit rename failed for ${m.tmpName}")
         TileMeta(m.finalName, m.rows, m.bytes, m.stats)
     }
-    TileFormat.writeManifest(dir, schema, existing ++ fresh, epoch)
+    if (truncateFirst) {
+      // truncate resets data, streaming history, and query identity; old
+      // generation files intentionally NOT deleted here (manifest-first)
+      TileFormat.writeManifest(dir, schema, fresh, -1L, None)
+    } else {
+      val existing = prior.map(_.tiles).getOrElse(Seq.empty)
+      // a batch append preserves the streaming watermark, its owner, and
+      // the PRIOR schema object (same names/types by the getTable check;
+      // keeping the original nullability flags stops an all-non-null
+      // append from narrowing a nullable column's declared type)
+      TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
+        existing ++ fresh,
+        prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -479,6 +573,11 @@ class GraftTileWriterFactory(dir: String, schemaJson: String) extends DataWriter
   }
 }
 
+/** Task-side tile writer: buffers one column chunk per column (a parquet
+  * row group's shape), tracks zone-map stats inline, and assembles the
+  * columnar tile at commit. String bounds are tracked in UTF-8 binary
+  * order and dropped past [[TileFormat.StringStatMaxBytes]] so stored
+  * bounds are always exact. */
 class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
@@ -486,11 +585,11 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private val tmpName = f".tmp-$partitionId%05d-$taskId-$uuid.gtile"
   private val finalName = f"tile-$partitionId%05d-$uuid.gtile"
   private val file = { new File(dir).mkdirs(); new File(dir, tmpName) }
-  private val out = TileFormat.openWriter(file)
 
   private val n = schema.length
   private val tags = schema.fields.map(f => TileFormat.typeTag(f.dataType))
-  private val tracked = schema.fields.map(f => TileFormat.statTracked(f.dataType))
+  private val bufs = Array.fill(n)(new ByteArrayOutputStream(8192))
+  private val outs = bufs.map(b => new DataOutputStream(b))
   private var rows = 0L
   private val nulls = new Array[Long](n)
   private val minL = Array.fill(n)(Long.MaxValue)
@@ -498,10 +597,13 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private val minD = new Array[Double](n)
   private val maxD = new Array[Double](n)
   private val seenD = new Array[Boolean](n)
+  private val minS = new Array[UTF8String](n)
+  private val maxS = new Array[UTF8String](n)
 
   override def write(record: InternalRow): Unit = {
     var i = 0
     while (i < n) {
+      val out = outs(i)
       if (record.isNullAt(i)) {
         out.writeByte(0)
         nulls(i) += 1
@@ -529,8 +631,13 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
               if (java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
             }
           case TileFormat.TagString =>
-            val b = record.getUTF8String(i).getBytes
+            val u = record.getUTF8String(i)
+            val b = u.getBytes
             out.writeInt(b.length); out.write(b)
+            // clone before retaining: the UTF8String may alias the row's
+            // reused backing buffer
+            if (minS(i) == null || u.compareTo(minS(i)) < 0) minS(i) = u.clone()
+            if (maxS(i) == null || u.compareTo(maxS(i)) > 0) maxS(i) = u.clone()
           case TileFormat.TagBool =>
             out.writeBoolean(record.getBoolean(i))
         }
@@ -541,21 +648,27 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    if (rows == 0L) { file.delete(); return GraftTileCommitMessage(tmpName, finalName, 0L, 0L, Map.empty) }
+    if (rows == 0L)
+      return GraftTileCommitMessage(tmpName, finalName, 0L, 0L, Map.empty)
     val stats = schema.fields.zipWithIndex.map { case (f, i) =>
       val range: (Option[String], Option[String]) =
-        if (!tracked(i) || nulls(i) == rows) (None, None)
+        if (!TileFormat.statTracked(f.dataType) || nulls(i) == rows) (None, None)
         else tags(i) match {
           case TileFormat.TagDouble => (Some(minD(i).toString), Some(maxD(i).toString))
+          case TileFormat.TagString =>
+            // exact-or-absent: a bound past the cap drops BOTH bounds
+            if (minS(i).numBytes > TileFormat.StringStatMaxBytes ||
+              maxS(i).numBytes > TileFormat.StringStatMaxBytes) (None, None)
+            else (Some(minS(i).toString), Some(maxS(i).toString))
           case _ => (Some(minL(i).toString), Some(maxL(i).toString))
         }
       f.name -> ColStats(range._1, range._2, nulls(i))
     }.toMap
+    TileFormat.assembleTile(file, rows, bufs.map(_.toByteArray))
     GraftTileCommitMessage(tmpName, finalName, rows, file.length(), stats)
   }
 
-  override def abort(): Unit = { out.close(); file.delete() }
+  override def abort(): Unit = { file.delete(); () }
 
   override def close(): Unit = ()
 }
@@ -567,14 +680,18 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   * Structured Streaming replays an epoch's `commit(epochId, messages)`
   * after a driver restart whenever the sink cannot prove it already
   * committed — the SINK owns idempotence (the contract every transactional
-  * lakehouse sink implements). Here the manifest records `last_epoch`: a
-  * commit at or below it deletes the replay's tmp tiles and returns
-  * without touching the table, so a restarted query cannot double-append.
-  * Epochs from one query are monotonically increasing, which is all the
-  * single-watermark check needs; a truncate (batch overwrite) resets the
-  * history along with the data.
+  * lakehouse sink implements). The manifest records `(query_id,
+  * last_epoch)`: a commit is a replay ONLY when the same query run is at
+  * or below its own watermark, in which case the replay's tmp tiles are
+  * deleted and the table is untouched. Keying by query id (ADVICE r11)
+  * means a SECOND streaming query (fresh checkpoint, epochs restarting at
+  * 0) writing to an existing table is new work and appends — its commits
+  * are serialized by the driver-side commit path, and it takes over the
+  * watermark identity. Epochs from one query are monotonically increasing,
+  * which is all the per-query watermark needs; a truncate (batch
+  * overwrite) resets history and identity along with the data.
   */
-class GraftTileStreamingWrite(dir: String, schema: StructType)
+class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -585,8 +702,8 @@ class GraftTileStreamingWrite(dir: String, schema: StructType)
     val d = new File(dir)
     d.mkdirs()
     val prior = TileFormat.readManifest(dir)
-    if (prior.exists(_.lastEpoch >= epochId)) {
-      // epoch replay after restart: already committed — drop the tmps
+    if (prior.exists(m => m.queryId.contains(queryId) && m.lastEpoch >= epochId)) {
+      // epoch replay of THIS query after restart: already committed
       abort(epochId, messages)
       return
     }
@@ -597,7 +714,8 @@ class GraftTileStreamingWrite(dir: String, schema: StructType)
         require(ok, s"graft-tiles: epoch $epochId commit rename failed for ${m.tmpName}")
         TileMeta(m.finalName, m.rows, m.bytes, m.stats)
     }
-    TileFormat.writeManifest(dir, schema, existing ++ fresh, epochId)
+    TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
+      existing ++ fresh, epochId, Some(queryId))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

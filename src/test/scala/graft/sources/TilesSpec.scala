@@ -46,19 +46,37 @@ class TilesSpec extends SparkSpec {
       "read-back rows differ from the written frame")
   }
 
-  test("append accumulates tiles; overwrite truncates the previous generation") {
+  test("append accumulates tiles; overwrite publishes manifest-first (snapshot isolation)") {
     val dir = tmp("tiles_spec_modes")
     val r = Tables(spark, sf001).region
     r.write.format(Fmt).mode("overwrite").save(dir)
     r.write.format(Fmt).mode("append").save(dir)
     assert(spark.read.format(Fmt).load(dir).count() === 2 * r.count())
+    // hold the PRE-truncate manifest (a concurrent reader's snapshot) …
+    val oldManifest = TileFormat.readManifest(dir).get
     r.write.format(Fmt).mode("overwrite").save(dir)
     assert(spark.read.format(Fmt).load(dir).count() === r.count())
-    // overwrite must not leave the first generation's tiles on disk
+    // … its tiles must still be readable AFTER the overwrite commits: the
+    // truncate publishes the new manifest and leaves the previous
+    // generation's files as orphans (VERDICT r11 wrong-item 4)
+    val tags = oldManifest.schema.fields.map(f => TileFormat.typeTag(f.dataType))
+    oldManifest.tiles.foreach { t =>
+      val cur = TileFormat.openCursor(new java.io.File(dir, t.file),
+        oldManifest.schema.indices.toArray, tags)
+      val dest = new Array[Any](tags.length)
+      var n = 0L
+      while (cur.next(dest)) n += 1
+      cur.close()
+      assert(n === t.rows, s"pre-truncate tile ${t.file} unreadable after overwrite")
+    }
+    // the explicit reclaim step removes exactly the orphans
+    val removed = TileFormat.vacuumOrphans(dir)
+    assert(removed.toSet === oldManifest.tiles.map(_.file).toSet)
     val tilesOnDisk = new java.io.File(dir).listFiles()
       .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
     val manifestTiles = TileFormat.readManifest(dir).get.tiles.size
-    assert(tilesOnDisk === manifestTiles, "orphan tiles after truncate")
+    assert(tilesOnDisk === manifestTiles, "orphan tiles after vacuum")
+    assert(spark.read.format(Fmt).load(dir).count() === r.count(), "vacuum touched live tiles")
   }
 
   test("pushed filters prune tiles at planning time and stay row-exact") {
@@ -244,25 +262,39 @@ class TilesSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     val m = TileFormat.readManifest(dir).get
     assert(m.lastEpoch >= 1L, s"expected two committed epochs, lastEpoch=${m.lastEpoch}")
+    assert(m.queryId.isDefined, "streaming commit must record its query identity")
 
-    // unit level: replaying an already-committed epoch must not re-append
-    val sw = new graft.sources.tiles.GraftTileStreamingWrite(dir, back.schema)
-    val writer = new graft.sources.tiles.GraftTileWriter(dir, back.schema, 0, 99L)
-    writer.write(org.apache.spark.sql.catalyst.InternalRow(
-      9L, org.apache.spark.unsafe.types.UTF8String.fromString("z")))
-    val msg = writer.commit()
-    sw.commit(m.lastEpoch, Array(msg)) // replay: at-or-below watermark
-    assert(spark.read.format(Fmt).load(dir).count() === 3,
+    def oneRowMsg(taskId: Long) = {
+      val w = new graft.sources.tiles.GraftTileWriter(dir, back.schema, 0, taskId)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        9L, org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+      w.commit()
+    }
+
+    // a SECOND query (new checkpoint ⇒ epochs restart at 0) is NEW WORK:
+    // the watermark is keyed by query id (ADVICE r11), so epoch 0 from a
+    // different query must append, not be swallowed as a replay
+    val sw2 = new graft.sources.tiles.GraftTileStreamingWrite(dir, back.schema, "unit-q2")
+    sw2.commit(0L, Array(oneRowMsg(99L)))
+    assert(spark.read.format(Fmt).load(dir).count() === 4,
+      "a second query's epoch-0 commit was discarded as a replay")
+    assert(TileFormat.readManifest(dir).get.queryId === Some("unit-q2"))
+
+    // replaying the SAME query's committed epoch must be a no-op
+    sw2.commit(0L, Array(oneRowMsg(100L)))
+    assert(spark.read.format(Fmt).load(dir).count() === 4,
       "epoch replay appended rows — exactly-once contract broken")
     // and the replay cleaned its tmp tile up
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".tmp-")),
       "replayed epoch left a tmp tile behind")
-    // a genuinely new epoch commits
-    val writer2 = new graft.sources.tiles.GraftTileWriter(dir, back.schema, 0, 100L)
-    writer2.write(org.apache.spark.sql.catalyst.InternalRow(
-      9L, org.apache.spark.unsafe.types.UTF8String.fromString("z")))
-    sw.commit(m.lastEpoch + 1, Array(writer2.commit()))
-    assert(spark.read.format(Fmt).load(dir).count() === 4)
+    // a genuinely new epoch of the same query commits
+    sw2.commit(1L, Array(oneRowMsg(101L)))
+    assert(spark.read.format(Fmt).load(dir).count() === 5)
+    // and a batch APPEND preserves the watermark identity for the query
+    Seq((7L, "b")).toDF("k", "v").write.format(Fmt).mode("append").save(dir)
+    val m2 = TileFormat.readManifest(dir).get
+    assert(m2.queryId === Some("unit-q2") && m2.lastEpoch === 1L,
+      "batch append must not disturb the streaming watermark")
   }
 
   test("cluster_by makes the write request its own layout: disjoint tile ranges") {
@@ -346,7 +378,7 @@ class TilesSpec extends SparkSpec {
     assert(cat.listTables(Array("ns")).isEmpty)
   }
 
-  test("metadata DELETE drops whole tiles; a tile-splitting predicate is rejected") {
+  test("metadata DELETE drops whole tiles; a tile-splitting predicate rewrites to DVs") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val wh = tmp("tiles_spec_del_wh")
     spark.conf.set("spark.sql.catalog.tdel",
@@ -371,24 +403,215 @@ class TilesSpec extends SparkSpec {
     // survivors match the row-level answer exactly
     assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) ===
       orders.filter(col("o_year") >= cutoff).count())
-    // dropped tiles are gone from disk too
+    // dropped tiles are gone from disk too (deleted AFTER the manifest
+    // publish — the crash window leaves orphans, never dangling references)
     val onDisk = new java.io.File(s"$wh/db/t").listFiles()
       .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
     assert(onDisk === after.size)
-    // a predicate that splits a tile (mid-year cutoff on a key column
-    // the tiles are NOT aligned to) must be rejected, not approximated
-    val err = intercept[Exception] {
-      spark.sql("DELETE FROM tdel.db.t WHERE o_orderkey < 10")
-    }
-    assert(err.getMessage != null)
-    assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) ===
-      orders.filter(col("o_year") >= cutoff).count(), "rejected DELETE mutated the table")
+    // a predicate that splits tiles (key column the tiles are NOT aligned
+    // to) rewrites to DELETION VECTORS: no tile dropped or rewritten, the
+    // deleted ordinals masked at read (merge-on-read)
+    spark.sql("DELETE FROM tdel.db.t WHERE o_orderkey < 10")
+    val expectDv = orders.filter(col("o_year") >= cutoff && col("o_orderkey") >= 10).count()
+    assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) === expectDv)
+    val withDv = TileFormat.readManifest(s"$wh/db/t").get.tiles
+    assert(withDv.map(_.file).toSet === after.map(_.file).toSet,
+      "row-level DELETE must not drop or rewrite tile files")
+    assert(withDv.exists(_.dv.nonEmpty), "expected a deletion vector on a split tile")
+    assert(withDv.map(_.dv.size).sum ===
+      orders.filter(col("o_year") >= cutoff && col("o_orderkey") < 10).count())
     // DELETE without WHERE truncates through the same path
     spark.sql("DELETE FROM tdel.db.t WHERE true")
     assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) === 0L)
     val cat = spark.sessionState.catalogManager.catalog("tdel")
       .asInstanceOf[graft.sources.tiles.GraftTileCatalog]
     assert(cat.tableExists(Identifier.of(Array("db"), "t")), "truncate dropped the table")
+  }
+
+  test("columnar payload: a narrow projection reads fewer bytes (IO-skip, not parse-skip)") {
+    val dir = tmp("tiles_spec_col")
+    Tables(spark, sf001).orders.write.format(Fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    TileFormat.bytesRead.set(0L)
+    val fullSum = back.agg(sum(length(col("o_orderpriority"))),
+      sum("o_orderkey"), sum("o_totalprice"), count(col("o_orderstatus"))).head()
+    val fullBytes = TileFormat.bytesRead.get()
+    TileFormat.bytesRead.set(0L)
+    assert(back.select("o_orderkey").agg(sum("o_orderkey")).head().getLong(0) ===
+      Tables(spark, sf001).orders.agg(sum("o_orderkey")).head().getLong(0))
+    val narrowBytes = TileFormat.bytesRead.get()
+    assert(fullSum != null && fullBytes > 0 && narrowBytes > 0)
+    // 1 of 6 columns projected: the reader must load ~1/6 of the bytes,
+    // not parse past the other five (strings dominate, so be generous)
+    assert(narrowBytes * 3 < fullBytes,
+      s"narrow projection read $narrowBytes of $fullBytes bytes — not an IO skip")
+  }
+
+  test("string zone maps prune tiles; long bounds drop to exact-or-absent") {
+    val dir = tmp("tiles_spec_str")
+    Tables(spark, sf001).orders.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderpriority,o_orderkey")
+      .option("write_partitions", "8").save(dir)
+    // unit: the equality literal lands inside some tiles' [min,max] only
+    val (schema, sb) = scanBuilderFor(dir)
+    val residual = sb.pushFilters(Array(EqualTo("o_orderpriority", "1-URGENT")))
+    assert(residual.isEmpty, "string equality must be absorbed")
+    val planned = sb.build().asInstanceOf[GraftTileScan].planInputPartitions().length
+    assert(planned < 8 && planned >= 1,
+      s"string zone map should prune priority-clustered tiles, planned $planned/8")
+    // end to end: exact result, skipped tiles never opened
+    TileFormat.tilesOpened.set(0L)
+    val got = spark.read.format(Fmt).load(dir)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(got === Tables(spark, sf001).orders
+      .filter(col("o_orderpriority") === "1-URGENT").count())
+    assert(TileFormat.tilesOpened.get() <= planned.toLong)
+    // range predicates prune through the same bounds
+    val tiles = TileFormat.readManifest(dir).get.tiles
+    assert(tiles.exists(t => !TileFormat.tileMayMatch(schema, t,
+      org.apache.spark.sql.sources.GreaterThan("o_orderpriority", "4"))))
+    // a bound past the stat cap drops BOTH bounds (exact-or-absent): the
+    // MIN/MAX pushdown must then decline rather than answer from a lie
+    import spark.implicits._
+    val longDir = tmp("tiles_spec_longstr")
+    Seq(("a" * 100, 1L), ("zz", 2L)).toDF("s", "k")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(longDir)
+    val lt = TileFormat.readManifest(longDir).get.tiles.head
+    assert(lt.stats("s").min.isEmpty && lt.stats("s").max.isEmpty,
+      "over-cap string bounds must be dropped, not truncated")
+    TileFormat.tilesOpened.set(0L)
+    val mm = spark.read.format(Fmt).load(longDir).agg(min("s"), max("s")).head()
+    assert(mm.getString(0) === "a" * 100 && mm.getString(1) === "zz")
+    assert(TileFormat.tilesOpened.get() > 0L,
+      "min/max over capped string bounds must read the tile, not the manifest")
+    // …while short string bounds DO answer min/max from the manifest
+    TileFormat.tilesOpened.set(0L)
+    val pr = spark.read.format(Fmt).load(dir)
+      .agg(min("o_orderpriority"), max("o_orderpriority")).head()
+    assert(pr.getString(0) === "1-URGENT" && pr.getString(1) === "5-LOW")
+    assert(TileFormat.tilesOpened.get() === 0L,
+      "short string min/max should be metadata-only")
+  }
+
+  test("deletion vectors: split deletes mask rows, keep _tile_row stable, poison min/max pushdown") {
+    val dir = tmp("tiles_spec_dv")
+    val orders = Tables(spark, sf001).orders
+    orders.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderkey").option("write_partitions", "4").save(dir)
+    val table = new graft.sources.tiles.GraftTileTable(dir,
+      TileFormat.readManifest(dir).get.schema)
+    // pre-delete physical ids of the survivors
+    val beforeIds = spark.read.format(Fmt).load(dir)
+      .filter(col("o_totalprice") >= 50000)
+      .select(col("o_orderkey").as("k"), col("_tile_file"), col("_tile_row"))
+    val beforeMap = beforeIds.collect().map(r => (r.getString(1), r.getLong(2)) -> r.getLong(0)).toMap
+    // the price predicate splits every key-clustered tile
+    assert(table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan(
+        "o_totalprice", java.lang.Double.valueOf(50000.0)))))
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan(
+        "o_totalprice", java.lang.Double.valueOf(50000.0))))
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() === orders.filter(col("o_totalprice") >= 50000).count())
+    assert(back.agg(min("o_totalprice")).head().getDouble(0) >= 50000.0,
+      "a deleted row leaked back through the reader")
+    // min/max must NOT be answered from the manifest now: the stored
+    // bounds hang on deleted rows (pushdown declines under any DV)
+    val gotMin = back.agg(min("o_totalprice")).head().getDouble(0)
+    val wantMin = orders.filter(col("o_totalprice") >= 50000)
+      .agg(min("o_totalprice")).head().getDouble(0)
+    assert(gotMin === wantMin)
+    // count(*) stays metadata-only from live counts
+    TileFormat.tilesOpened.set(0L)
+    assert(back.agg(count(lit(1))).head().getLong(0) ===
+      orders.filter(col("o_totalprice") >= 50000).count())
+    assert(TileFormat.tilesOpened.get() === 0L, "COUNT(*) should use live counts")
+    // _tile_row is a stable physical id: survivors keep their ordinals
+    val afterIds = back.select(col("o_orderkey").as("k"), col("_tile_file"), col("_tile_row"))
+    afterIds.collect().foreach { r =>
+      assert(beforeMap((r.getString(1), r.getLong(2))) === r.getLong(0),
+        "_tile_row renumbered by a DV delete")
+    }
+    // a SECOND delete merges into the existing vectors
+    val dvBefore = TileFormat.readManifest(dir).get.tiles.map(_.dv.size).sum
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThan(
+        "o_totalprice", java.lang.Double.valueOf(200000.0))))
+    val survivors = orders.filter(col("o_totalprice") >= 50000 && col("o_totalprice") <= 200000)
+    assert(spark.read.format(Fmt).load(dir).count() === survivors.count())
+    val m = TileFormat.readManifest(dir).get
+    assert(m.tiles.map(_.dv.size).sum > dvBefore, "second delete did not extend the DVs")
+    m.tiles.foreach(t => assert(t.dv === t.dv.sorted && t.dv.distinct.size === t.dv.size,
+      "deletion vector must stay sorted and duplicate-free"))
+  }
+
+  test("DELETE WHERE col <> lit keeps NULL rows (3-valued logic, ADVICE r11)") {
+    val dir = tmp("tiles_spec_3vl")
+    import spark.implicits._
+    // one tile, col range excludes 5, WITH nulls: the old Not-proof would
+    // have dropped the whole tile — deleting the null rows SQL keeps
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "x"), (3L, "c"), (null, "y"))
+      .toDF("c", "pad")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    val (schema, _) = scanBuilderFor(dir)
+    val tile = TileFormat.readManifest(dir).get.tiles.head
+    val notEq = org.apache.spark.sql.sources.Not(
+      org.apache.spark.sql.sources.EqualTo("c", java.lang.Long.valueOf(5L)))
+    assert(!TileFormat.tileMustMatch(schema, tile, notEq),
+      "Not(...) proven all-match over a null-bearing tile — 3VL violation")
+    val table = new graft.sources.tiles.GraftTileTable(dir, schema)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](notEq))
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() === 2, "NULL rows must survive DELETE WHERE c <> 5")
+    assert(back.filter(col("c").isNull).count() === 2)
+    // on a null-FREE tile the metadata proof still fires (no regression)
+    val dir2 = tmp("tiles_spec_3vl_clean")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c", "pad")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir2)
+    val (schema2, _) = scanBuilderFor(dir2)
+    val t2 = TileFormat.readManifest(dir2).get.tiles.head
+    assert(TileFormat.tileMustMatch(schema2, t2, notEq),
+      "null-free range proof for Not(...) should still hold")
+  }
+
+  test("schema guards: manifest mismatch and reserved names fail at analysis") {
+    val dir = tmp("tiles_spec_guard")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").write.format(Fmt).mode("overwrite").save(dir)
+    // appending a reordered/differently-typed frame would misparse the
+    // positional chunks — must fail loudly, not corrupt
+    val e1 = intercept[Exception] {
+      Seq(("a", 1L)).toDF("v", "k").write.format(Fmt).mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("manifest schema"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq((1L, 2L)).toDF("k", "v").write.format(Fmt).mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("manifest schema"), e2.getMessage)
+    // same names and types still appends fine
+    Seq((2L, "b")).toDF("k", "v").write.format(Fmt).mode("append").save(dir)
+    assert(spark.read.format(Fmt).load(dir).count() === 2)
+    // a reader with a wrong explicit schema is rejected too
+    val e3 = intercept[Exception] {
+      spark.read.format(Fmt)
+        .schema(StructType(Seq(StructField("k", StringType), StructField("v", StringType))))
+        .load(dir).collect()
+    }
+    assert(e3.getMessage.contains("manifest schema"), e3.getMessage)
+    // reserved metadata column names can never become data columns
+    val e4 = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "_tile_file").write.format(Fmt).mode("overwrite")
+        .save(tmp("tiles_spec_guard2"))
+    }
+    assert(e4.getMessage.contains("reserved"), e4.getMessage)
+    spark.conf.set("spark.sql.catalog.tguard",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tguard.warehouse", tmp("tiles_spec_guard_wh"))
+    val e5 = intercept[Exception] {
+      spark.sql("CREATE TABLE tguard.ns.bad (k BIGINT, _tile_row BIGINT)")
+    }
+    assert(e5.getMessage.contains("reserved"), e5.getMessage)
   }
 
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
