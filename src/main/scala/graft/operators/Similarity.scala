@@ -503,30 +503,34 @@ object Similarity {
     * their similarity to what is already selected, so the picked set
     * covers the neighborhood instead of re-sampling its densest clump).
     *
-    * Execution shape: candidate generation is [[cosineTopK]]
-    * (corpus-sized work happens once); the candidate×candidate cosine
-    * frame is |q|·kCand² rows; each of the `kSel` greedy rounds is a
-    * penalty aggregation + an argmax via the [[graft.functions.TopKAgg]]
-    * heap (k=1) — all distributed, no driver loop over data. The greedy
-    * recurrence is data-dependent, so the DuckDB oracle is GENERATED with
-    * one unrolled (m_k, s_k, sel_k) CTE triple per round
-    * ([[mmrOracleSql]] — the logreg/BPE generated-oracle pattern).
-    * Determinism: all similarities are rounded to 4dp before scoring in
-    * BOTH engines, λ = 0.75 so λ and 1−λ are exact binary doubles, ties
-    * break toward the smaller id. */
+    * Execution shape (r12): candidate generation is [[cosineTopK]]
+    * (corpus-sized work happens once, snapshotted — |q|·kCand rows); the
+    * candidate×candidate cosine frame is |q|·kCand² rows; then — because
+    * MMR selection is PER-QUERY-LOCAL once candidates exist, and the
+    * per-query state is contract-bounded at kCand² pairs — the whole
+    * kSel-round greedy runs inside ONE per-query aggregation (collect
+    * the candidate and pair lists, select locally, explode). The r10/r11
+    * form ran each greedy round as a distributed join+argmax behind a
+    * localCheckpoint: correct, but 2·kSel scheduler-bound jobs (~10 s at
+    * sf0.1, the reason it was bench-excluded); the collapsed form is one
+    * job, and at 100 TB it is the BETTER shape too — per-query work
+    * parallelizes across queries instead of serializing on global
+    * rounds. The greedy recurrence is data-dependent, so the DuckDB
+    * oracle is GENERATED with one unrolled (m_k, s_k, sel_k) CTE triple
+    * per round ([[mmrOracleSql]] — the logreg/BPE generated-oracle
+    * pattern). Determinism: pairwise sims rounded to 4dp before scoring
+    * in BOTH engines, λ = 0.75 so λ and 1−λ are exact binary doubles,
+    * ties break toward the smaller id (the [[graft.functions.TopKAgg]]
+    * tie rule the r10 form used). */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, kCand: Int, kSel: Int,
                 lam: Double): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftDot.register(spark)
-    graft.functions.TopKAgg.register(spark)
-    // persist both frames every greedy round re-reads, and localCheckpoint
-    // the selected set per round — without the snapshot the self-referencing
-    // lineage re-executes the candidate stage 2^kSel times (the
-    // snapshot-before-release lesson of the graph family, PERF.md r10)
+    // snapshot: cands feeds both the pair frame and the final aggregation
     val cands = cosineTopK(corpus, queries, idCol, vecCol, kCand)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .persist()
+      .localCheckpoint()
     val vecs = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", expr("nullif(sqrt(graft_dot(v, v)), 0d)"))
     val cv = cands.join(broadcast(vecs), col("neighbor_id") === col("cid"))
@@ -538,38 +542,61 @@ object Similarity {
     val cc = a.join(b, col("query_id") === col("qb") && col("id_a") =!= col("id_b"))
       .select(col("query_id"), col("id_a"), col("id_b"),
         round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4).as("cc"))
-      .persist()
-    try {
-      def pick(scored: DataFrame, scoreCol: String, order: Int): DataFrame =
-        scored.groupBy("query_id")
-          .agg(expr(s"graft_topk($scoreCol, neighbor_id, 1)").as("t"))
-          .select(col("query_id"),
-            col("t").getItem(0).getField("tag").as("sel_id"),
-            lit(order).as("pick_order"),
-            round(col("t").getItem(0).getField("score"), 4).as("mmr_score"))
-      var selected = pick(
-        cands.select(col("query_id"), col("neighbor_id"),
-          (lit(lam) * col("sim")).as("m")), "m", 1).localCheckpoint()
-      for (step <- 2 to kSel) {
-        val sel = selected.select(col("query_id").as("qs"), col("sel_id"))
-        val pen = cc.join(sel,
-            col("query_id") === col("qs") && col("id_b") === col("sel_id"))
-          .groupBy(col("query_id").as("qp"), col("id_a"))
-          .agg(max(col("cc")).as("pen"))
-        val remaining = cands.join(
-          sel.select(col("qs").as("query_id"), col("sel_id").as("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        val scored = remaining.join(pen,
-            remaining("query_id") === col("qp") &&
-              remaining("neighbor_id") === col("id_a"))
-          .select(remaining("query_id"), col("neighbor_id"),
-            (lit(lam) * col("sim") - lit(1 - lam) * col("pen")).as("m"))
-        selected = selected.unionByName(pick(scored, "m", step))
-          .localCheckpoint()
+    // per-query greedy: parallel collect_lists over the SAME rows of one
+    // aggregate stay index-aligned (partial+final append in row order)
+    val candAgg = cands.groupBy("query_id").agg(
+      collect_list(col("neighbor_id")).as("c_ids"),
+      collect_list(col("sim")).as("c_sims"))
+    val ccAgg = cc.groupBy("query_id").agg(
+      collect_list(col("id_a")).as("p_a"),
+      collect_list(col("id_b")).as("p_b"),
+      collect_list(col("cc")).as("p_cc"))
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val greedy = udf((ids: Seq[Long], sims: Seq[Double],
+                      pa: Seq[Long], pb: Seq[Long], pcc: Seq[Double]) => {
+      val pair = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      var i = 0
+      while (i < pa.length) { pair((pa(i), pb(i))) = pcc(i); i += 1 }
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      var step = 1
+      while (step <= kSel && chosen.length < ids.length) {
+        var bestId = 0L
+        var bestM = 0.0
+        var found = false
+        var j = 0
+        while (j < ids.length) {
+          val id = ids(j)
+          if (!chosen.contains(id)) {
+            // step 1: pure relevance; later steps: relevance minus the
+            // max similarity to anything already chosen (a candidate
+            // with no pair row mirrors the r10 inner-join: skipped)
+            var pen = Double.NegativeInfinity
+            chosen.foreach(s => pair.get((id, s)).foreach(c => if (c > pen) pen = c))
+            val ok = step == 1 || pen != Double.NegativeInfinity
+            if (ok) {
+              val m = if (step == 1) lam * sims(j) else lam * sims(j) - (1 - lam) * pen
+              // NaN-skip mirrors the TopKAgg heap rule the r10 form used
+              if (!m.isNaN &&
+                (!found || m > bestM || (m == bestM && id < bestId))) {
+                found = true; bestM = m; bestId = id
+              }
+            }
+          }
+          j += 1
+        }
+        if (found) { chosen += bestId; out += ((step, bestId, round4(bestM))) }
+        step += 1
       }
-      // the final localCheckpoint snapshot is independent of the caches
-      selected.orderBy("query_id", "pick_order")
-    } finally { cc.unpersist(); cands.unpersist() }
+      out.toSeq
+    })
+    candAgg.join(ccAgg, Seq("query_id"))
+      .select(col("query_id"), explode(greedy(col("c_ids"), col("c_sims"),
+        col("p_a"), col("p_b"), col("p_cc"))).as("g"))
+      .select(col("query_id"), col("g._2").as("sel_id"),
+        col("g._1").as("pick_order"), col("g._3").as("mmr_score"))
+      .orderBy("query_id", "pick_order")
   }
 
   def hybridRerank(docs: DataFrame, emb: DataFrame, docIdCol: String,

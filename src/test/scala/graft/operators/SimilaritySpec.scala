@@ -608,4 +608,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.nonEmpty && pf.get.contains("bucket"),
       s"expected a bucket PartitionFilters prune on the index scan:\n${p.take(1500)}")
   }
+
+  test("serving path carries only query-keyed top-k Exchanges (census audit, r12)") {
+    // the SERVING path is what a production probe re-runs per batch; the
+    // build/grading harness runs once. Pin that the reloaded-index probe
+    // plans with at most the ANN family's adjudicated shape: query-keyed
+    // heap-aggregation Exchanges (partial+final graft_topk), candidate
+    // joins all broadcast — no corpus reshuffle per query batch.
+    val e = Tables(spark, sf001).embeddings
+    val q = e.filter($"vec_id" < 5)
+    val root = new java.io.File("target/tmp/ivf_persist_spec").getAbsolutePath
+    Similarity.ivfIndexPersist(e, "vec_id", "embedding", root)
+    val (index, centers) = Similarity.ivfIndexLoad(spark, root)
+    val plan = Similarity.cosineTopKIvfIncremental(
+        index, centers, q, "vec_id", "embedding", 10)
+      .queryExecution.executedPlan.toString()
+    // shuffle Exchanges only; BroadcastExchange is the cheap path we WANT
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.size <= 2,
+      s"reloaded-index serving path plans ${shuffles.size} shuffle Exchanges:\n${plan.take(2000)}")
+    shuffles.foreach { l =>
+      assert(l.contains("hashpartitioning(query_id") || l.contains("SinglePartition"),
+        s"serving-path Exchange is not query-keyed: $l")
+    }
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "serving-path joins must broadcast, not reshuffle the index")
+  }
 }
