@@ -164,8 +164,10 @@ class GraftTileTable(dir: String, tableSchema: StructType)
     // manifest-first publish (ADVICE r11): until the move lands, readers
     // resolve the old manifest against still-present files; after it, the
     // dropped tiles are orphans and can be deleted (or vacuumed after a
-    // crash between these two steps)
-    TileFormat.writeManifest(dir, m.schema, updated, m.lastEpoch, m.queryId)
+    // crash between these two steps). DELETE is a rewrite: bump the
+    // generation so streaming-reader offsets can't silently misread.
+    TileFormat.writeManifest(dir, m.schema, updated, m.lastEpoch, m.queryId,
+      m.generation + 1L)
     val live = updated.map(_.file).toSet
     m.tiles.filterNot(t => live(t.file)).foreach(t => new File(dir, t.file).delete())
   }
@@ -194,7 +196,8 @@ class GraftTileTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTileScanBuilder(dir, tableSchema)
@@ -406,6 +409,113 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
       .map(fullSchema.fieldIndex).sorted
     new GraftTileReaderFactory(fullSchema.json, required.fieldNames, neededIdx, pushed, limit)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTileMicroBatchStream(dir, fullSchema, required, pushed)
+}
+
+/** Streaming-read offset: (generation, tiles delivered). The manifest's
+  * tile list only grows at the tail within a generation, so `tiles` is an
+  * exactly-once high-water mark; a generation mismatch means the table
+  * was truncated/deleted-from/compacted under the reader and its offsets
+  * no longer name the same data. */
+case class GraftTileOffset(generation: Long, tiles: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"generation":$generation,"tiles":$tiles}"""
+}
+
+object GraftTileOffset {
+  private val Pat = """\{"generation":(-?\d+),"tiles":(\d+)\}""".r
+  def fromJson(s: String): GraftTileOffset = s.trim match {
+    case Pat(g, t) => GraftTileOffset(g.toLong, t.toLong)
+    case other => throw new IllegalArgumentException(
+      s"graft-tiles: unparseable stream offset '$other'")
+  }
+}
+
+/** Micro-batch streaming SOURCE over the tile manifest — the change-feed
+  * face of the connector (the read half of a Delta/Iceberg streaming
+  * table): each committed tile is an immutable log segment, the manifest
+  * is the log index, and a batch is the half-open tile range
+  * (start.tiles, end.tiles]. Exactly-once follows from offsets being
+  * positions in an append-only list; Structured Streaming checkpoints
+  * them and replays the same range after a restart, which replans the
+  * SAME tiles. Pushed filters stay row-exact inside the reader (and may
+  * zone-prune tiles WITHIN the batch range — pruning never moves the
+  * offset, so admission and delivery stay decoupled).
+  *
+  * Deletion semantics: a DV added AFTER a tile was delivered is not
+  * retracted (standard append-log CDC semantics); DVs present at
+  * delivery time are masked. Any rewrite (truncate/DELETE/compaction)
+  * bumps the manifest generation and a restarted reader fails loudly
+  * instead of silently misreading shifted positions. */
+class GraftTileMicroBatchStream(dir: String, fullSchema: StructType,
+                                required: StructType, pushed: Array[Filter])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def manifest: Option[TileFormat.ManifestData] = TileFormat.readManifest(dir)
+
+  // Trigger.AvailableNow: pin the end of the drain at prepare time so the
+  // run processes exactly the data that existed when it started
+  @volatile private var availableNowEnd: Option[GraftTileOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(snapshotOffset)
+
+  private def snapshotOffset: GraftTileOffset =
+    manifest.map(m => GraftTileOffset(m.generation, m.tiles.length.toLong))
+      .getOrElse(GraftTileOffset(0L, 0L))
+
+  override def initialOffset(): Offset =
+    manifest.map(m => GraftTileOffset(m.generation, 0L))
+      .getOrElse(GraftTileOffset(0L, 0L))
+
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(snapshotOffset)
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the engine
+  // calls this form; the default ReadLimit is allAvailable, and a pinned
+  // AvailableNow end wins regardless (process exactly the prepared data)
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    availableNowEnd.getOrElse(snapshotOffset)
+
+  override def deserializeOffset(json: String): Offset = GraftTileOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = () // manifest is the only state
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftTileOffset]
+    val e = end.asInstanceOf[GraftTileOffset]
+    val m = manifest.getOrElse(throw new IllegalStateException(
+      s"graft-tiles: manifest vanished under streaming reader at $dir"))
+    // generation guard FIRST: after a rewrite the restored offset can sit
+    // past the new (shorter) tile list, which must fail, not no-op
+    require(m.generation == e.generation && (s.tiles == 0L || m.generation == s.generation),
+      s"graft-tiles: table at $dir was rewritten (generation ${m.generation}, " +
+        s"offsets carry ${s.generation}/${e.generation}) — tile positions no " +
+        "longer name the same data; restart the stream from a fresh checkpoint")
+    if (e.tiles <= s.tiles) return Array.empty
+    require(e.tiles <= m.tiles.length,
+      s"graft-tiles: offset ${e.tiles} beyond manifest (${m.tiles.length} tiles) at $dir")
+    m.tiles.slice(s.tiles.toInt, e.tiles.toInt)
+      .filter(t => pushed.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
+      .map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataCols = required.fieldNames.filterNot(TileFormat.ReservedColumns)
+    val neededIdx = (dataCols ++ pushed.flatMap(_.references)).distinct
+      .map(fullSchema.fieldIndex).sorted
+    new GraftTileReaderFactory(fullSchema.json, required.fieldNames, neededIdx, pushed)
+  }
 }
 
 class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String],
@@ -545,17 +655,21 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
     }
     if (truncateFirst) {
       // truncate resets data, streaming history, and query identity; old
-      // generation files intentionally NOT deleted here (manifest-first)
-      TileFormat.writeManifest(dir, schema, fresh, -1L, None)
+      // generation files intentionally NOT deleted here (manifest-first);
+      // the generation bump invalidates any streaming reader's offsets
+      TileFormat.writeManifest(dir, schema, fresh, -1L, None,
+        prior.map(_.generation + 1L).getOrElse(0L))
     } else {
       val existing = prior.map(_.tiles).getOrElse(Seq.empty)
-      // a batch append preserves the streaming watermark, its owner, and
-      // the PRIOR schema object (same names/types by the getTable check;
-      // keeping the original nullability flags stops an all-non-null
-      // append from narrowing a nullable column's declared type)
+      // a batch append preserves the streaming watermark, its owner, the
+      // generation (appends only grow the tile tail — reader offsets stay
+      // valid), and the PRIOR schema object (same names/types by the
+      // getTable check; keeping the original nullability flags stops an
+      // all-non-null append from narrowing a nullable column's type)
       TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
         existing ++ fresh,
-        prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId))
+        prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId),
+        prior.map(_.generation).getOrElse(0L))
     }
   }
 
@@ -715,7 +829,8 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String)
         TileMeta(m.finalName, m.rows, m.bytes, m.stats)
     }
     TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
-      existing ++ fresh, epochId, Some(queryId))
+      existing ++ fresh, epochId, Some(queryId),
+      prior.map(_.generation).getOrElse(0L))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -98,9 +98,17 @@ object TileFormat {
     * batch-only tables): a replayed epoch commit after a driver restart
     * must be a no-op — the exactly-once contract of the streaming sink.
     * The watermark is KEYED by query id (ADVICE r11): a second query
-    * (fresh checkpoint) starting at epoch 0 is new work, not a replay. */
+    * (fresh checkpoint) starting at epoch 0 is new work, not a replay.
+    *
+    * `generation` is the REWRITE counter (r12): appends and streaming
+    * epoch commits preserve it; truncate, DELETE, and compaction bump it.
+    * While it is stable, the tile list only ever GROWS at the tail, so a
+    * streaming READER can use (generation, tileCount) as an exactly-once
+    * offset; a generation change tells a restarted reader its offsets no
+    * longer name the same data (fail loudly, not misread). */
   final case class ManifestData(schema: StructType, tiles: Seq[TileMeta],
-                                lastEpoch: Long, queryId: Option[String] = None)
+                                lastEpoch: Long, queryId: Option[String] = None,
+                                generation: Long = 0L)
 
   /** Column types that carry min/max zone maps. Strings are tracked too
     * (UTF-8 binary order — Spark's own string comparison), with long
@@ -220,12 +228,14 @@ object TileFormat {
   // -------------------------------------------------------------- manifest
 
   def writeManifest(dir: String, schema: StructType, tiles: Seq[TileMeta],
-                    lastEpoch: Long = -1L, queryId: Option[String] = None): Unit = {
+                    lastEpoch: Long = -1L, queryId: Option[String] = None,
+                    generation: Long = 0L): Unit = {
     val json: JValue =
       ("version" -> 2) ~
         ("schema" -> schema.json) ~
         ("last_epoch" -> lastEpoch) ~
         ("query_id" -> queryId) ~
+        ("generation" -> generation) ~
         ("tiles" -> tiles.map { t =>
           val base = ("file" -> t.file) ~ ("rows" -> t.rows) ~ ("bytes" -> t.bytes) ~
             ("stats" -> JObject(t.stats.toList.sortBy(_._1).map { case (c, s) =>
@@ -266,7 +276,8 @@ object TileFormat {
     }
     val lastEpoch = (j \ "last_epoch").extractOpt[Long].getOrElse(-1L)
     val queryId = (j \ "query_id").extractOpt[String]
-    Some(ManifestData(schema, tiles, lastEpoch, queryId))
+    val generation = (j \ "generation").extractOpt[Long].getOrElse(0L)
+    Some(ManifestData(schema, tiles, lastEpoch, queryId, generation))
   }
 
   /** Reclaim tile files not referenced by the CURRENT manifest — the

@@ -614,6 +614,87 @@ class TilesSpec extends SparkSpec {
     assert(e5.getMessage.contains("reserved"), e5.getMessage)
   }
 
+  test("compaction rewrites small+DV'd tiles, purges DVs, restores metadata pushdown") {
+    val dir = tmp("tiles_spec_cmp")
+    val orders = Tables(spark, sf001).orders
+    orders.repartition(8).write.format(Fmt).mode("overwrite").save(dir)
+    val table = new graft.sources.tiles.GraftTileTable(dir,
+      TileFormat.readManifest(dir).get.schema)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan(
+        "o_totalprice", java.lang.Double.valueOf(10000.0))))
+    val before = TileFormat.readManifest(dir).get
+    assert(before.tiles.exists(_.dv.nonEmpty), "fixture should carry DVs")
+    val live = spark.read.format(Fmt).load(dir).collect().toSet
+
+    val r = graft.sources.tiles.GraftTileMaintenance.compact(dir)
+    assert(r.tilesOut < r.tilesIn && r.binsRewritten >= 1 && r.dvsPurged > 0, r.toString)
+    val after = TileFormat.readManifest(dir).get
+    assert(after.tiles.size < before.tiles.size)
+    assert(after.tiles.forall(_.dv.isEmpty), "compaction must purge deletion vectors")
+    assert(after.generation === before.generation + 1, "compaction must bump the generation")
+    // data identical to the pre-compaction live set
+    assert(spark.read.format(Fmt).load(dir).collect().toSet === live)
+    // with DVs gone, MIN/MAX answers from the manifest again — and the
+    // rewritten zone maps are TIGHT (post-delete min, not the stale one)
+    TileFormat.tilesOpened.set(0L)
+    val mn = spark.read.format(Fmt).load(dir).agg(min("o_totalprice")).head().getDouble(0)
+    assert(TileFormat.tilesOpened.get() === 0L,
+      "post-compaction MIN should be metadata-only (DVs purged)")
+    assert(mn >= 10000.0 && mn ===
+      orders.filter(col("o_totalprice") >= 10000.0)
+        .agg(min("o_totalprice")).head().getDouble(0))
+    // replaced originals are orphans until vacuumed; live files stay
+    val removed = TileFormat.vacuumOrphans(dir)
+    assert(removed.nonEmpty)
+    assert(spark.read.format(Fmt).load(dir).collect().toSet === live)
+  }
+
+  test("streaming source: appended tiles arrive exactly once; rewrites fail loudly") {
+    val dir = tmp("tiles_spec_src")
+    val ckpt = tmp("tiles_spec_src_ckpt")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    val sink = tmp("tiles_spec_src_sink")
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sunk(): Set[(Long, String)] =
+      spark.read.parquet(sink).as[(Long, String)].collect().toSet
+    drain()
+    assert(sunk() === Set((1L, "a"), (2L, "b")))
+    // appended tiles arrive on the next drain of the SAME checkpoint —
+    // and ONLY they do (exactly-once over the tile log: no re-delivery
+    // of tiles 0..1, no miss of 2..3)
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).write.format(Fmt).mode("append").save(dir)
+    Seq((4L, "d")).toDF("k", "v").coalesce(1).write.format(Fmt).mode("append").save(dir)
+    drain()
+    assert(sunk() === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "restarted drain must deliver exactly the new tiles")
+    // a rewrite (truncate bumps the generation) must fail the offsets
+    // loudly, never silently misread shifted tile positions
+    Seq((9L, "z")).toDF("k", "v").coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    Seq((10L, "y")).toDF("k", "v").coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("rewritten") ||
+      Option(err.getCause).exists(_.getMessage.contains("rewritten")),
+      s"expected the generation guard, got: ${err.getMessage}")
+    // offset JSON roundtrip
+    val off = graft.sources.tiles.GraftTileOffset(3L, 7L)
+    assert(graft.sources.tiles.GraftTileOffset.fromJson(off.json()) === off)
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
