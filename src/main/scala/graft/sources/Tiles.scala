@@ -293,6 +293,69 @@ object Tiles {
       .orderBy("o_year")
   }
 
+  /** S27 — REPLACE WHERE (the idempotent backfill swap): the table is
+    * ingested per-year (so the slice is tile-aligned and the swap is a
+    * pure manifest edit) with the 1998+ slice deliberately CORRUPTED
+    * (prices negated); `writeTo(...).overwrite(o_year >= 1998)` then
+    * atomically swaps in the recomputed correct slice — delete-by-
+    * predicate and insert in ONE manifest publish, so no reader ever
+    * sees the slice missing. The oracle over the origin table passes
+    * only if the corrupted rows are ALL gone and the replacement is
+    * complete: the exactness grade of the swap. */
+  private val replaceWhereQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    val tdir = s"$wh/db/orders_rw"
+    wipe(tdir)
+    val base = Tables(s, dir).orders.withColumn("o_year", year(col("o_orderdate")))
+    base.filter(col("o_year") < 1998)
+      .write.format(Fmt).mode("overwrite").save(tdir)
+    base.filter(col("o_year") >= 1998)
+      .withColumn("o_totalprice", -col("o_totalprice")) // the "bad" backfill
+      .write.format(Fmt).mode("append").save(tdir)
+    base.filter(col("o_year") >= 1998)
+      .writeTo("tiles_cat.db.orders_rw")
+      .overwrite(col("o_year") >= 1998) // the corrected slice, swapped atomically
+    s.sql("""SELECT o_year, count(*) AS n,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |       min(o_orderkey) AS min_key
+            |FROM tiles_cat.db.orders_rw
+            |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** S28 — schema evolution (ADD COLUMN, the Iceberg add-column
+    * contract): the table is ingested under the ORIGINAL schema, gains a
+    * nullable column via SQL ALTER (metadata-only: no tile rewritten),
+    * and later slices append WITH the column. Old tiles read it as null;
+    * the grouped aggregate mixes pre- and post-evolution tiles, so the
+    * oracle passes only if the null semantics and the evolved values are
+    * both exact across the boundary. */
+  private val addColumnQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    val tdir = s"$wh/db/orders_evo"
+    wipe(tdir)
+    val base = Tables(s, dir).orders
+    base.filter(year(col("o_orderdate")) < 1998)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.format(Fmt).mode("overwrite").save(tdir)
+    s.sql("ALTER TABLE tiles_cat.db.orders_evo ADD COLUMN o_year INT")
+    base.filter(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .write.format(Fmt).mode("append").save(tdir)
+    s.sql("""SELECT o_orderpriority, count(*) AS n,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |       count(o_year) AS n_year,
+            |       CAST(sum(o_year) AS BIGINT) AS sum_year
+            |FROM tiles_cat.db.orders_evo
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
@@ -305,6 +368,8 @@ object Tiles {
     "s24_tiles_string_prune" -> stringPruneQ,
     "s25_tiles_compact" -> compactQ,
     "s26_tiles_stream_source" -> streamSourceQ,
+    "s27_tiles_replace_where" -> replaceWhereQ,
+    "s28_tiles_add_column" -> addColumnQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +432,17 @@ object Tiles {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "s27_tiles_replace_where" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "s28_tiles_add_column" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(CASE WHEN year(o_orderdate) >= 1998 THEN 1 END) AS n_year,
+        |       CAST(sum(CASE WHEN year(o_orderdate) >= 1998
+        |                     THEN year(o_orderdate) END) AS BIGINT) AS sum_year
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
   )
 }

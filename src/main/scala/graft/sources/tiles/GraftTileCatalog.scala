@@ -80,10 +80,43 @@ class GraftTileCatalog extends TableCatalog {
     new GraftTileTable(d.getAbsolutePath, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-tiles: ALTER TABLE is not supported (immutable tile schemas; " +
-        "evolve by CREATE + INSERT INTO ... SELECT)")
+  /** Schema evolution (r12): ADD COLUMN only — the one evolution the
+    * immutable-tile layout supports without rewrites. The manifest schema
+    * gains the column; existing tiles have fewer chunks and read the new
+    * column as null ([[TileFormat.TileCursor]]'s add-column contract);
+    * compaction upgrades old tiles to the full schema. Everything else
+    * (drop/rename/retype/reposition) would change chunk POSITIONS and is
+    * rejected — that is rewrite territory. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident).getAbsolutePath
+    val m = TileFormat.readManifest(dir).getOrElse(throw new NoSuchTableException(ident))
+    val newFields = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft-tiles: ADD COLUMN supports top-level columns only")
+        require(add.isNullable,
+          "graft-tiles: an added column must be nullable (existing tiles read it as null)")
+        require(add.position() == null,
+          "graft-tiles: ADD COLUMN ... FIRST/AFTER is not supported (chunk order is physical)")
+        val name = add.fieldNames()(0)
+        require(TileFormat.supported(add.dataType()),
+          s"graft-tiles: unsupported column type ${add.dataType().sql} for `$name`")
+        require(!TileFormat.ReservedColumns(name),
+          s"graft-tiles: `$name` is a reserved metadata column name")
+        require(!m.schema.fieldNames.contains(name),
+          s"graft-tiles: column `$name` already exists")
+        org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-tiles: unsupported ALTER TABLE change $other (only ADD COLUMN; " +
+            "drop/rename/retype would move physical chunk positions)")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(m.schema.fields ++ newFields)
+    // metadata-only publish: tiles, watermark, and generation unchanged
+    // (tile positions did not move, so streaming offsets stay valid)
+    TileFormat.writeManifest(dir, evolved, m.tiles, m.lastEpoch, m.queryId, m.generation)
+    new GraftTileTable(dir, evolved)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -132,35 +132,7 @@ class GraftTileTable(dir: String, tableSchema: StructType)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val m = TileFormat.readManifest(dir).getOrElse(return)
-    val preds = filters.map(f => TileFormat.compilePredicate(m.schema, f).getOrElse(
-      throw new UnsupportedOperationException(
-        s"graft-tiles: unsupported DELETE predicate $f")))
-    val tags = m.schema.fields.map(f => TileFormat.typeTag(f.dataType))
-    val neededIdx = filters.flatMap(_.references).distinct
-      .map(m.schema.fieldIndex).sorted
-    val updated: Seq[TileMeta] = m.tiles.flatMap { t =>
-      if (filters.forall(f => TileFormat.tileMustMatch(m.schema, t, f)))
-        None // provably all-match: the whole tile goes, no read
-      else if (filters.exists(f => !TileFormat.tileMayMatch(m.schema, t, f)))
-        Some(t) // provably no-match: untouched
-      else {
-        // the predicate splits this tile: scan ONLY its predicate columns
-        // and extend the deletion vector with ordinals where the
-        // conjunction is TRUE (NULL/FALSE rows are kept — SQL DELETE)
-        val cur = TileFormat.openCursor(new File(dir, t.file), neededIdx, tags)
-        val dest = new Array[Any](tags.length)
-        val already = t.dv.toSet
-        val dv = scala.collection.mutable.ArrayBuffer.empty[Long] ++= t.dv
-        var ord = 0L
-        while (cur.next(dest)) {
-          if (!already(ord) && preds.forall(p => p(dest).contains(true))) dv += ord
-          ord += 1L
-        }
-        cur.close()
-        if (dv.length == t.rows) None // every row deleted: drop the tile
-        else Some(t.copy(dv = dv.sorted.toSeq))
-      }
-    }
+    val updated = GraftTileTable.survivorsUnderDelete(dir, m, filters)
     // manifest-first publish (ADVICE r11): until the move lands, readers
     // resolve the old manifest against still-present files; after it, the
     // dropped tiles are orphans and can be deleted (or vacuumed after a
@@ -196,14 +168,53 @@ class GraftTileTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTileScanBuilder(dir, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftTileWriteBuilder(dir, info.schema(), info.options(), info.queryId())
+}
+
+object GraftTileTable {
+  /** Shared DELETE/REPLACE classifier: under the conjunction `filters`,
+    * return the surviving tile metas — provably all-match tiles drop,
+    * provably no-match tiles pass through untouched, and split tiles get
+    * their deletion vectors extended with the ordinals where the
+    * conjunction is TRUE (NULL/FALSE rows are kept — SQL semantics). Pure
+    * computation: the caller owns the manifest publish and file unlinks. */
+  private[tiles] def survivorsUnderDelete(dir: String, m: TileFormat.ManifestData,
+                                          filters: Array[Filter]): Seq[TileMeta] = {
+    val preds = filters.map(f => TileFormat.compilePredicate(m.schema, f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-tiles: unsupported DELETE/REPLACE predicate $f")))
+    val tags = m.schema.fields.map(f => TileFormat.typeTag(f.dataType))
+    val neededIdx = filters.flatMap(_.references).distinct
+      .map(m.schema.fieldIndex).sorted
+    m.tiles.flatMap { t =>
+      if (filters.forall(f => TileFormat.tileMustMatch(m.schema, t, f)))
+        None // provably all-match: the whole tile goes, no read
+      else if (filters.exists(f => !TileFormat.tileMayMatch(m.schema, t, f)))
+        Some(t) // provably no-match: untouched
+      else {
+        // the predicate splits this tile: scan ONLY its predicate columns
+        val cur = TileFormat.openCursor(new File(dir, t.file), neededIdx, tags)
+        val dest = new Array[Any](tags.length)
+        val already = t.dv.toSet
+        val dv = scala.collection.mutable.ArrayBuffer.empty[Long] ++= t.dv
+        var ord = 0L
+        while (cur.next(dest)) {
+          if (!already(ord) && preds.forall(p => p(dest).contains(true))) dv += ord
+          ord += 1L
+        }
+        cur.close()
+        if (dv.length == t.rows) None // every row deleted: drop the tile
+        else Some(t.copy(dv = dv.sorted.toSeq))
+      }
+    }
+  }
 }
 
 // ---------------------------------------------------------------- read path
@@ -287,9 +298,12 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
 
   /** MIN/MAX from the manifest needs every non-empty tile to carry exact
     * bounds or be all-null — string bounds past the stat cap are absent
-    * with live values present, which must DECLINE the pushdown, not skew it. */
+    * with live values present, which must DECLINE the pushdown, not skew
+    * it. A tile with NO stats entry predates the column (schema
+    * evolution) and is all-null for it: contributes nothing, stays
+    * pushable (`forall` over the Option). */
   private def boundsComplete(name: String): Boolean =
-    tiles.forall(t => t.rows == 0 || t.stats.get(name).exists(s =>
+    tiles.forall(t => t.rows == 0 || t.stats.get(name).forall(s =>
       s.nulls == t.rows || (s.min.isDefined && s.max.isDefined)))
 
   private def aggPushable(agg: Aggregation): Boolean =
@@ -319,7 +333,9 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
       case c: Count =>
         val n = colName(c.column()).get
         fields += StructField(s"count_$n", LongType, nullable = false)
-        values += tiles.map(t => t.rows - t.stats.get(n).map(_.nulls).getOrElse(0L)).sum
+        // a tile with NO stats entry predates the column (schema
+        // evolution): every row reads null there, so it contributes 0
+        values += tiles.map(t => t.stats.get(n).map(s => t.rows - s.nulls).getOrElse(0L)).sum
       case m: Min =>
         val n = colName(m.column()).get
         fields += StructField(s"min_$n", dataTypeOf(n).get)
@@ -591,11 +607,36 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
                             options: CaseInsensitiveStringMap =
                               CaseInsensitiveStringMap.empty(),
                             queryId: String = "")
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsOverwrite {
 
   private var truncateFirst = false
+  // REPLACE WHERE (Delta's replaceWhere / the backfill-swap pattern):
+  // delete-by-predicate and insert in ONE atomic manifest publish
+  private var replaceWhere: Option[Array[Filter]] = None
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case f => TileFormat.compilePredicate(schema, f).isDefined
+    }
+
+  /** SaveMode.Overwrite arrives here as `[AlwaysTrue]` (SupportsOverwrite
+    * subsumes SupportsTruncate) and keeps the full-truncate semantics —
+    * streaming history and query identity reset with the data. A real
+    * predicate is the REPLACE WHERE path: the commit classifies existing
+    * tiles under the predicate (drop / keep / deletion-vector split) and
+    * publishes survivors + the new tiles in one atomic manifest move —
+    * the idempotent slice-rebuild a 100-TB incremental pipeline swaps a
+    * recomputed day/month in with. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val isTruncate = filters.isEmpty ||
+      (filters.length == 1 && filters(0) == org.apache.spark.sql.sources.AlwaysTrue())
+    if (isTruncate) truncateFirst = true
+    else replaceWhere = Some(filters)
+    this
+  }
 
   /** The TABLE owns its layout: `cluster_by` (comma-separated columns)
     * makes the write request an ordered distribution + in-partition sort
@@ -618,12 +659,17 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
     override def requiredNumPartitions(): Int =
       if (clusterBy.isEmpty) 0
       else Option(options.get("write_partitions")).map(_.toInt).getOrElse(0)
-    override def toBatch: BatchWrite = new GraftTileBatchWrite(dir, schema, truncateFirst)
+    override def toBatch: BatchWrite =
+      new GraftTileBatchWrite(dir, schema, truncateFirst, replaceWhere)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTileStreamingWrite(dir, schema, queryId)
-    override def description(): String =
-      s"graft-tiles dir=$dir mode=${if (truncateFirst) "overwrite" else "append"}" +
+    override def description(): String = {
+      val mode =
+        if (truncateFirst) "overwrite"
+        else replaceWhere.map(f => s"replace_where=[${f.mkString(", ")}]").getOrElse("append")
+      s"graft-tiles dir=$dir mode=$mode" +
         (if (clusterBy.isEmpty) "" else s" cluster_by=[${clusterBy.mkString(", ")}]")
+    }
   }
 }
 
@@ -631,7 +677,8 @@ case class GraftTileCommitMessage(tmpName: String, finalName: String, rows: Long
                                   bytes: Long, stats: Map[String, ColStats])
   extends WriterCommitMessage
 
-class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolean)
+class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolean,
+                          replaceWhere: Option[Array[Filter]] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -642,7 +689,11 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
     * until the manifest moves, and a truncate leaves the previous
     * generation's tiles on disk as orphans (a reader holding the old
     * manifest still resolves every file it references — snapshot
-    * isolation); [[TileFormat.vacuumOrphans]] is the reclaim step. */
+    * isolation); [[TileFormat.vacuumOrphans]] is the reclaim step.
+    * REPLACE WHERE classifies the previous tiles under its predicate
+    * (drop / keep / DV-split, same prover as DELETE) and publishes
+    * survivors + new tiles in the SAME atomic move — no reader ever sees
+    * the slice deleted-but-not-yet-replaced. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
     d.mkdirs()
@@ -659,6 +710,22 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
       // the generation bump invalidates any streaming reader's offsets
       TileFormat.writeManifest(dir, schema, fresh, -1L, None,
         prior.map(_.generation + 1L).getOrElse(0L))
+    } else if (replaceWhere.isDefined) {
+      val survivors = prior match {
+        case Some(m) => GraftTileTable.survivorsUnderDelete(dir, m, replaceWhere.get)
+        case None => Seq.empty
+      }
+      // one atomic publish: the replaced slice and its replacement swap
+      // together; the watermark survives (a partial rewrite is not a
+      // history reset) but the generation bumps (tile positions moved)
+      TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
+        survivors ++ fresh,
+        prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId),
+        prior.map(_.generation + 1L).getOrElse(0L))
+      // replaced tiles are orphans now the new manifest is live
+      val live = survivors.map(_.file).toSet
+      prior.foreach(_.tiles.filterNot(t => live(t.file))
+        .foreach(t => new File(d, t.file).delete()))
     } else {
       val existing = prior.map(_.tiles).getOrElse(Seq.empty)
       // a batch append preserves the streaming watermark, its owner, the

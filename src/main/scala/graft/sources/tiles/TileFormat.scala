@@ -164,7 +164,12 @@ object TileFormat {
   /** Column-pruned tile reader: loads ONLY the chunks named by `needed`
     * (full-schema column indices, ascending) — the IO-skip that makes a
     * 2-column projection over a 20-column table read 10% of the bytes.
-    * `next` fills just those positions of `dest`. */
+    * `next` fills just those positions of `dest`.
+    *
+    * Schema evolution: a needed index AT OR PAST the tile's own column
+    * count names a column ADDED after this tile was written — it reads as
+    * null for every row (the Iceberg add-column contract; no tile
+    * rewrite). Compaction upgrades old tiles to the full schema. */
   final class TileCursor(file: File, needed: Array[Int], tags: Array[Int])
     extends AutoCloseable {
 
@@ -180,14 +185,16 @@ object TileFormat {
         val lens = new Array[Long](ncols)
         var i = 0
         while (i < ncols) { offs(i) = raf.readLong(); lens(i) = raf.readLong(); i += 1 }
-        val ins = needed.map { c =>
-          require(c < ncols, s"graft-tiles: column index $c out of range ($ncols cols) in $file")
-          require(lens(c) <= Int.MaxValue, s"graft-tiles: >2GB chunk in $file")
-          val b = new Array[Byte](lens(c).toInt)
-          raf.seek(offs(c))
-          raf.readFully(b)
-          bytesRead.addAndGet(b.length.toLong)
-          new DataInputStream(new ByteArrayInputStream(b))
+        val ins: Array[DataInputStream] = needed.map { c =>
+          if (c >= ncols) null // column newer than this tile: all-null
+          else {
+            require(lens(c) <= Int.MaxValue, s"graft-tiles: >2GB chunk in $file")
+            val b = new Array[Byte](lens(c).toInt)
+            raf.seek(offs(c))
+            raf.readFully(b)
+            bytesRead.addAndGet(b.length.toLong)
+            new DataInputStream(new ByteArrayInputStream(b))
+          }
         }
         (r, ins)
       } finally raf.close()
@@ -201,7 +208,7 @@ object TileFormat {
       while (k < needed.length) {
         val in = chunkIns(k)
         dest(needed(k)) =
-          if (in.readByte() != 1) null
+          if (in == null || in.readByte() != 1) null
           else (tags(needed(k)): @annotation.switch) match {
             case TagInt => in.readInt()
             case TagLong => in.readLong()

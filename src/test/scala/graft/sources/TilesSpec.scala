@@ -368,8 +368,10 @@ class TilesSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
       spark.sql("CREATE TABLE tspec.ns.t1 (x BIGINT)")
     }
-    intercept[UnsupportedOperationException] {
-      cat.alterTable(Identifier.of(Array("ns"), "t1"))
+    intercept[UnsupportedOperationException] { // rewrite-shaped change: rejected
+      cat.alterTable(Identifier.of(Array("ns"), "t1"),
+        org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+          Array("v"), false))
     }
     cat.renameTable(Identifier.of(Array("ns"), "t1"), Identifier.of(Array("ns"), "t2"))
     assert(spark.sql("SELECT count(*) FROM tspec.ns.t2").head().getLong(0) === 3L)
@@ -693,6 +695,95 @@ class TilesSpec extends SparkSpec {
     // offset JSON roundtrip
     val off = graft.sources.tiles.GraftTileOffset(3L, 7L)
     assert(graft.sources.tiles.GraftTileOffset.fromJson(off.json()) === off)
+  }
+
+  test("REPLACE WHERE: atomic slice swap — aligned is metadata-only, split goes to DVs") {
+    val dir = tmp("tiles_spec_rw")
+    import spark.implicits._
+    // two year-aligned generations, as a per-slice ingest would land them
+    val y97 = Seq((1997, 1L, 10.0), (1997, 2L, 20.0)).toDF("y", "k", "v")
+    val y98bad = Seq((1998, 3L, -1.0), (1998, 4L, -2.0)).toDF("y", "k", "v")
+    y97.coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    y98bad.coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val before = TileFormat.readManifest(dir).get
+    assert(before.tiles.size === 2)
+    val good = Seq((1998, 3L, 30.0), (1998, 4L, 40.0)).toDF("y", "k", "v")
+    val wb = new graft.sources.tiles.GraftTileWriteBuilder(dir, good.schema)
+    assert(wb.canOverwrite(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("y", Integer.valueOf(1998)))))
+    spark.conf.set("spark.sql.catalog.trw",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.trw.warehouse", tmp("tiles_spec_rw_wh"))
+    val wdir = tmp("tiles_spec_rw_wh") + "/db/t"
+    y97.coalesce(1).write.format(Fmt).mode("overwrite").save(wdir)
+    y98bad.coalesce(1).write.format(Fmt).mode("append").save(wdir)
+    val pre = TileFormat.readManifest(wdir).get
+    TileFormat.tilesOpened.set(0L)
+    good.coalesce(1).writeTo("trw.db.t").overwrite($"y" >= 1998)
+    assert(TileFormat.tilesOpened.get() === 0L,
+      "a tile-aligned REPLACE WHERE must be a pure manifest edit")
+    val post = TileFormat.readManifest(wdir).get
+    assert(post.generation === pre.generation + 1, "replace must bump the generation")
+    val got = spark.read.format(Fmt).load(wdir).as[(Int, Long, Double)].collect().toSet
+    assert(got === Set((1997, 1L, 10.0), (1997, 2L, 20.0), (1998, 3L, 30.0), (1998, 4L, 40.0)))
+    // replaced originals unlinked AFTER publish; survivors intact
+    assert(new java.io.File(wdir).listFiles()
+      .count(f => f.getName.startsWith("tile-")) === post.tiles.size)
+    // SPLITTING replace: predicate cuts across a tile -> kept rows stay
+    // via a deletion vector, replacement appends, one publish
+    good.coalesce(1).writeTo("trw.db.t").overwrite($"k" >= 2 && $"k" <= 3)
+    val got2 = spark.read.format(Fmt).load(wdir).as[(Int, Long, Double)].collect().toSet
+    // rows with k in [2,3] replaced by `good`'s k-in-[2,3] subset (k=3)
+    assert(got2 === Set((1997, 1L, 10.0), (1998, 3L, 30.0), (1998, 4L, 40.0)),
+      s"splitting REPLACE WHERE wrong: $got2")
+    assert(TileFormat.readManifest(wdir).get.tiles.exists(_.dv.nonEmpty),
+      "expected a DV on the split survivor tile")
+  }
+
+  test("schema evolution: ADD COLUMN reads null on old tiles, stats stay exact, compaction upgrades") {
+    import spark.implicits._
+    val wh = tmp("tiles_spec_evo_wh")
+    spark.conf.set("spark.sql.catalog.tevo",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tevo.warehouse", wh)
+    val dir = s"$wh/db/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    spark.sql("ALTER TABLE tevo.db.t ADD COLUMN score DOUBLE")
+    // old tiles read the new column as null through every path
+    val afterAlter = spark.sql("SELECT k, v, score FROM tevo.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+    assert(afterAlter.toSeq === Seq((1L, "a", true), (2L, "b", true)))
+    // appends carry the evolved schema
+    Seq((3L, "c", 0.5), (4L, "d", 1.5)).toDF("k", "v", "score")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    assert(spark.sql("SELECT count(score) FROM tevo.db.t").head().getLong(0) === 2L)
+    // metadata aggregates stay EXACT across the evolution boundary: the
+    // old tile has no stats entry (all-null there), the new tile has
+    // bounds — COUNT/MIN/MAX answer from the manifest, zero tiles opened
+    TileFormat.tilesOpened.set(0L)
+    val row = spark.read.format(Fmt).load(dir)
+      .agg(count(col("score")), min("score"), max("score")).head()
+    assert((row.getLong(0), row.getDouble(1), row.getDouble(2)) === ((2L, 0.5, 1.5)))
+    assert(TileFormat.tilesOpened.get() === 0L,
+      "evolved-column COUNT/MIN/MAX should stay metadata-only")
+    // filters on the evolved column are exact over old tiles
+    assert(spark.sql("SELECT count(*) FROM tevo.db.t WHERE score IS NULL")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT k FROM tevo.db.t WHERE score > 1.0").collect()
+      .map(_.getLong(0)).toSeq === Seq(4L))
+    // compaction upgrades old tiles to the full schema
+    graft.sources.tiles.GraftTileMaintenance.compact(dir)
+    val m = TileFormat.readManifest(dir).get
+    assert(m.tiles.forall(_.stats.contains("score")),
+      "compaction should rewrite old tiles under the evolved schema")
+    assert(spark.sql("SELECT count(*) FROM tevo.db.t WHERE score IS NULL")
+      .head().getLong(0) === 2L, "nulls must survive the upgrade rewrite")
+    // guards: duplicate, reserved, non-nullable, reposition all rejected
+    intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN k BIGINT") }
+    intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN _tile_row BIGINT") }
+    intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN nn DOUBLE NOT NULL") }
+    intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN z DOUBLE FIRST") }
   }
 
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
