@@ -423,7 +423,17 @@ object Bench {
     // must never be reset from a host the MT probe itself calls slower
     // than the bar's own calibration.
     val mtOk = hostRatioMt.forall(_ <= 1.15)
-    val refresh = tainted.isEmpty && errors.isEmpty && (forceRefresh || (driftOk && mtOk))
+    // r12 hole (VERDICT wrong-item 3): a run can pass BOTH guards above —
+    // aggregate drift inside (0.90,1.10) and a healthy MT probe — while
+    // still carrying individual host-adjusted regressions ≥1.25×. The r12
+    // driver run did exactly that (drift 1.072, probes 0.99/0.979, 10
+    // entries flagged up to 1.64×) and the auto-refresh adopted them into
+    // the bar — a ratchet the other two guards cannot see, because they
+    // watch the total and the host, not the per-entry residual. A refresh
+    // is only safe when the comparison the refresh would erase is clean.
+    val hostAdjOk = moversAdj.isEmpty
+    val refresh = tainted.isEmpty && errors.isEmpty &&
+      (forceRefresh || (driftOk && mtOk && hostAdjOk))
     val refreshNote =
       s""","baseline_refreshed":$refresh,"baseline_drift":${baselineDrift.map(d => (math.round(d * 1000.0) / 1000.0).toString).getOrElse("null")}"""
 
@@ -436,7 +446,7 @@ object Bench {
     // construction.
     QuietShutdown(spark)
     if (!refresh && tainted.isEmpty && errors.isEmpty)
-      System.err.println(f"[bench] baseline refresh REFUSED: shared-set drift ${baselineDrift.getOrElse(Double.NaN)}%.3f outside [0.90,1.10] or host_speed_ratio_mt ${hostRatioMt.getOrElse(Double.NaN)}%.3f > 1.15 (set SPARK_GRAFT_BASELINE_FORCE=1 for a named recalibration)")
+      System.err.println(f"[bench] baseline refresh REFUSED: shared-set drift ${baselineDrift.getOrElse(Double.NaN)}%.3f outside [0.90,1.10], host_speed_ratio_mt ${hostRatioMt.getOrElse(Double.NaN)}%.3f > 1.15, or ${moversAdj.size} host-adjusted regressions ≥1.25x live (set SPARK_GRAFT_BASELINE_FORCE=1 for a named recalibration)")
     // Persist this run's numbers + calibrations as the per-sf baseline for
     // the NEXT run's comparison (and as committed history the judge can
     // diff): full min + median maps survive here even when the driver's

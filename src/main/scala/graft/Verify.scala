@@ -63,6 +63,11 @@ object Verify {
       val n = back.count()
       if (n > 200000L) (n, "rows_only") // dumps are aggregates; cap the collect
       else {
+        // Cells are joined with \u0001 (invisible in most viewers — ADVICE
+        // r12 misread it as ""): a real separator, so ("ab","c") and
+        // ("a","bc") hash differently. \u0001 never appears in render's
+        // own output (null is \u2400); keeping it keeps the committed
+        // 334-hash baseline valid.
         val lines = back.select(cols.map(org.apache.spark.sql.functions.col): _*)
           .collect().map(_.toSeq.map(render).mkString("")).sorted
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -121,8 +126,28 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summaryJson)
     if (nameFilter.isEmpty) {
       val sfTag = new java.io.File(sfDir).getName
-      Files.createDirectories(Paths.get("verify_baselines"))
-      Files.writeString(Paths.get(s"verify_baselines/$sfTag.json"), summaryJson)
+      // ADVICE r12: don't trust the CWD — if the JVM is launched from
+      // anywhere but the repo root, a bare relative path silently strands
+      // the committed twin elsewhere (the exact single-point-of-failure
+      // this record exists to remove). Resolve against an explicit root
+      // (env/prop), else a repo marker (build.sbt beside a src/ dir) found
+      // from CWD, else fall back to CWD; always log the absolute path.
+      val repoRoot: java.nio.file.Path =
+        sys.env.get("SPARK_GRAFT_REPO_ROOT")
+          .orElse(sys.props.get("graft.repo.root")) match {
+          case Some(r) => Paths.get(r)
+          case None =>
+            Iterator.iterate(Paths.get("").toAbsolutePath)(_.getParent)
+              .takeWhile(_ != null).take(6)
+              .find(p => Files.exists(p.resolve("build.sbt")) &&
+                Files.isDirectory(p.resolve("src")))
+              .getOrElse(Paths.get("").toAbsolutePath)
+        }
+      val balDir = repoRoot.resolve("verify_baselines")
+      Files.createDirectories(balDir)
+      val balFile = balDir.resolve(s"$sfTag.json")
+      Files.writeString(balFile, summaryJson)
+      System.err.println(s"[verify] baseline twin written: ${balFile.toAbsolutePath}")
     }
     QuietShutdown(spark)
   }

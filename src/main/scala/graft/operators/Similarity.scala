@@ -527,6 +527,16 @@ object Similarity {
                 lam: Double): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftDot.register(spark)
+    // Contract (ADVICE r12): ids must be integral — the greedy kernel
+    // keys its pair map on Long (the same domain TopKAgg's Long tag
+    // covered in the r10 distributed form). Narrower integrals are
+    // widened below; anything else fails HERE with a named reason
+    // instead of as an opaque UDF analysis error.
+    corpus.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mmrRerank requires an integral id column; '$idCol' is $other")
+    }
     // snapshot: cands feeds both the pair frame and the final aggregation
     val cands = cosineTopK(corpus, queries, idCol, vecCol, kCand)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
@@ -545,11 +555,11 @@ object Similarity {
     // per-query greedy: parallel collect_lists over the SAME rows of one
     // aggregate stay index-aligned (partial+final append in row order)
     val candAgg = cands.groupBy("query_id").agg(
-      collect_list(col("neighbor_id")).as("c_ids"),
+      collect_list(col("neighbor_id").cast(LongType)).as("c_ids"),
       collect_list(col("sim")).as("c_sims"))
     val ccAgg = cc.groupBy("query_id").agg(
-      collect_list(col("id_a")).as("p_a"),
-      collect_list(col("id_b")).as("p_b"),
+      collect_list(col("id_a").cast(LongType)).as("p_a"),
+      collect_list(col("id_b").cast(LongType)).as("p_b"),
       collect_list(col("cc")).as("p_cc"))
     def round4(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
@@ -591,9 +601,16 @@ object Similarity {
       }
       out.toSeq
     })
-    candAgg.join(ccAgg, Seq("query_id"))
+    // LEFT join (ADVICE r12 medium): a query whose candidate set has <2
+    // entries produces no candidate×candidate pair rows, so an inner join
+    // on ccAgg dropped it entirely — the r10 distributed form still
+    // emitted its pick_order=1 pure-relevance row. Missing pair lists
+    // coalesce to empty arrays; step-1 selection needs none.
+    candAgg.join(ccAgg, Seq("query_id"), "left")
       .select(col("query_id"), explode(greedy(col("c_ids"), col("c_sims"),
-        col("p_a"), col("p_b"), col("p_cc"))).as("g"))
+        coalesce(col("p_a"), array().cast("array<bigint>")),
+        coalesce(col("p_b"), array().cast("array<bigint>")),
+        coalesce(col("p_cc"), array().cast("array<double>")))).as("g"))
       .select(col("query_id"), col("g._2").as("sel_id"),
         col("g._1").as("pick_order"), col("g._3").as("mmr_score"))
       .orderBy("query_id", "pick_order")

@@ -16,7 +16,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   CREATE TABLE tiles.db.t (k BIGINT, v STRING)
   *   INSERT INTO tiles.db.t SELECT ...
   *   SELECT ... FROM tiles.db.t        -- full pushdown/prune read path
-  *   ALTER TABLE ... (rejected)        -- immutable schema by design
+  *   ALTER TABLE tiles.db.t ADD COLUMNS (w DOUBLE)  -- nullable-only evolution
+  *                                     -- (all other ALTERs rejected)
   *   DROP TABLE tiles.db.t
   * }}}
   *
@@ -76,7 +77,8 @@ class GraftTileCatalog extends TableCatalog {
     d.mkdirs()
     // CREATE is the publish of an empty manifest — the same atomic object
     // a write commit replaces, so readers never see a schemaless table
-    TileFormat.writeManifest(d.getAbsolutePath, schema, Seq.empty)
+    TileFormat.writeManifest(d.getAbsolutePath, schema, Seq.empty,
+      expect = TileFormat.ExpectAbsent)
     new GraftTileTable(d.getAbsolutePath, schema)
   }
 
@@ -114,7 +116,8 @@ class GraftTileCatalog extends TableCatalog {
     val evolved = org.apache.spark.sql.types.StructType(m.schema.fields ++ newFields)
     // metadata-only publish: tiles, watermark, and generation unchanged
     // (tile positions did not move, so streaming offsets stay valid)
-    TileFormat.writeManifest(dir, evolved, m.tiles, m.lastEpoch, m.queryId, m.generation)
+    TileFormat.writeManifest(dir, evolved, m.tiles, m.lastEpoch, m.queryId, m.generation,
+      expect = TileFormat.ExpectCommitSeq(m.commitSeq))
     new GraftTileTable(dir, evolved)
   }
 

@@ -68,9 +68,11 @@ object GraftTileMaintenance {
     val allIdx = m.schema.indices.toArray
     var rows = 0L
     var dvs = 0
-    val compacted: Seq[TileMeta] = rewrite.toSeq.zipWithIndex.map { case (bin, i) =>
+    val compacted: Seq[TileMeta] = rewrite.toSeq.zipWithIndex.flatMap { case (bin, i) =>
+      // bins are already sized by this function's targetBytes, so the
+      // writer's own roll-over is disabled: exactly one tile per bin
       val writer = new GraftTileWriter(dir, m.schema, partitionId = 90000 + i,
-        taskId = -1L)
+        taskId = -1L, targetBytes = Long.MaxValue, targetRows = Long.MaxValue)
       bin.foreach { t =>
         if (t.dv.nonEmpty) dvs += 1
         val dv = t.dv.toArray
@@ -86,17 +88,19 @@ object GraftTileMaintenance {
         cur.close()
       }
       val msg = writer.commit().asInstanceOf[GraftTileCommitMessage]
-      require(msg.rows > 0, s"graft-tiles: compaction bin $i produced an empty tile")
-      val ok = new File(dir, msg.tmpName).renameTo(new File(dir, msg.finalName))
-      require(ok, s"graft-tiles: compaction rename failed for ${msg.tmpName}")
-      TileMeta(msg.finalName, msg.rows, msg.bytes, msg.stats)
+      require(msg.parts.nonEmpty, s"graft-tiles: compaction bin $i produced an empty tile")
+      msg.parts.map { part =>
+        val ok = new File(dir, part.tmpName).renameTo(new File(dir, part.finalName))
+        require(ok, s"graft-tiles: compaction rename failed for ${part.tmpName}")
+        TileMeta(part.finalName, part.rows, part.bytes, part.stats)
+      }
     }
     // manifest-first swap; replaced originals become vacuumable orphans;
     // compaction is a rewrite, so the generation bump invalidates any
     // streaming reader's (generation, tileCount) offsets loudly
     TileFormat.writeManifest(dir, m.schema,
       keep ++ passthrough.flatten ++ compacted, m.lastEpoch, m.queryId,
-      m.generation + 1L)
+      m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq))
     CompactionReport(rewrite.size, rewrite.map(_.size).sum, compacted.size, rows, dvs)
   }
 

@@ -566,6 +566,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) === 12L, s"second pick must be the DIVERSE candidate: $out")
   }
 
+  test("MMR rerank: a pair-less query (kCand=1) still emits its pick_order=1 row") {
+    // ADVICE r12 (medium): the r12 inner join on the pair aggregate
+    // dropped any query whose candidate set had <2 entries — no
+    // candidate-pair rows, no ccAgg row, query vanished. The left-join
+    // form must emit the pure-relevance step-1 pick, like the r10 form.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (10L, Seq(0.9f, 0.436f)), (11L, Seq(0.9f, 0.4359f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", kCand = 1, kSel = 2, lam = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length === 1, s"expected exactly the step-1 row, got ${out.toSeq}")
+    assert(out(0) === ((0L, 11L, 1)), s"wrong pick: ${out.toSeq}") // 11 is the top-1 (slightly shorter vector => higher cosine)
+    // and a non-integral id column is rejected with a NAMED contract error
+    val bad = Seq(("a", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(bad, bad, "vec_id", "embedding", 1, 1, 0.75)
+    }
+    assert(ex.getMessage.contains("integral id"))
+  }
+
   test("IVF index persistence: a reloaded index serves bit-identical results") {
     // the restart leg of the retrieval story: build -> write (bucket-
     // partitioned parquet + centroid table) -> reload cold -> probe. The

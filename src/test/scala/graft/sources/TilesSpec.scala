@@ -397,6 +397,8 @@ class TilesSpec extends SparkSpec {
     // the min year of the second tile (range clustering never splits a
     // year, so this cutoff cleanly classifies every tile)
     val cutoff = tilesBefore.map(_.stats("o_year").min.get.toLong).sorted.apply(1)
+    // hold the PRE-DELETE manifest — a concurrent reader's snapshot
+    val preDelete = TileFormat.readManifest(s"$wh/db/t").get
     TileFormat.tilesOpened.set(0L)
     spark.sql(s"DELETE FROM tdel.db.t WHERE o_year < $cutoff")
     assert(TileFormat.tilesOpened.get() === 0L, "metadata DELETE read tiles")
@@ -405,8 +407,23 @@ class TilesSpec extends SparkSpec {
     // survivors match the row-level answer exactly
     assert(spark.sql("SELECT count(*) FROM tdel.db.t").head().getLong(0) ===
       orders.filter(col("o_year") >= cutoff).count())
-    // dropped tiles are gone from disk too (deleted AFTER the manifest
-    // publish — the crash window leaves orphans, never dangling references)
+    // snapshot isolation (r13, VERDICT r12 wrong-item 5): EVERY tile the
+    // pre-DELETE manifest references is still readable after the DELETE
+    // commits — dropped tiles become orphans, not dangling references
+    val delTags = preDelete.schema.fields.map(f => TileFormat.typeTag(f.dataType))
+    preDelete.tiles.foreach { t =>
+      val cur = TileFormat.openCursor(new java.io.File(s"$wh/db/t", t.file),
+        preDelete.schema.indices.toArray, delTags)
+      val dest = new Array[Any](delTags.length)
+      var nRead = 0L
+      while (cur.next(dest)) nRead += 1
+      cur.close()
+      assert(nRead === t.rows, s"pre-DELETE tile ${t.file} unreadable after DELETE")
+    }
+    // the explicit reclaim removes exactly the dropped tiles
+    val delOrphans = TileFormat.vacuumOrphans(s"$wh/db/t")
+    assert(delOrphans.toSet ===
+      preDelete.tiles.map(_.file).toSet -- after.map(_.file).toSet)
     val onDisk = new java.io.File(s"$wh/db/t").listFiles()
       .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
     assert(onDisk === after.size)
@@ -726,7 +743,20 @@ class TilesSpec extends SparkSpec {
     assert(post.generation === pre.generation + 1, "replace must bump the generation")
     val got = spark.read.format(Fmt).load(wdir).as[(Int, Long, Double)].collect().toSet
     assert(got === Set((1997, 1L, 10.0), (1997, 2L, 20.0), (1998, 3L, 30.0), (1998, 4L, 40.0)))
-    // replaced originals unlinked AFTER publish; survivors intact
+    // snapshot isolation (r13): the replaced original is an ORPHAN, not
+    // unlinked — a reader holding the pre-replace manifest still resolves
+    // every file it references; vacuum is the explicit reclaim
+    val rwTags = pre.schema.fields.map(f => TileFormat.typeTag(f.dataType))
+    pre.tiles.foreach { t =>
+      val cur = TileFormat.openCursor(new java.io.File(wdir, t.file),
+        pre.schema.indices.toArray, rwTags)
+      val dest = new Array[Any](rwTags.length)
+      var nRead = 0L
+      while (cur.next(dest)) nRead += 1
+      cur.close()
+      assert(nRead === t.rows, s"pre-replace tile ${t.file} unreadable after REPLACE WHERE")
+    }
+    TileFormat.vacuumOrphans(wdir)
     assert(new java.io.File(wdir).listFiles()
       .count(f => f.getName.startsWith("tile-")) === post.tiles.size)
     // SPLITTING replace: predicate cuts across a tile -> kept rows stay
@@ -784,6 +814,106 @@ class TilesSpec extends SparkSpec {
     intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN _tile_row BIGINT") }
     intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN nn DOUBLE NOT NULL") }
     intercept[Exception] { spark.sql("ALTER TABLE tevo.db.t ADD COLUMN z DOUBLE FIRST") }
+  }
+
+  test("writer roll-over: one big task seals many bounded tiles with tight per-tile stats") {
+    // VERDICT r12 missing-item 1: the writer must NOT buffer its whole
+    // partition — at a byte/row bound it seals the tile and starts a new
+    // one, so task heap is bounded and zone maps are tile-tight.
+    val dir = tmp("tiles_spec_roll")
+    val orders = Tables(spark, sf001).orders // ~15k rows in ONE task below
+    orders.orderBy("o_orderkey").coalesce(1).write.format(Fmt)
+      .mode("overwrite").option("target_tile_rows", "400").save(dir)
+    val m = TileFormat.readManifest(dir).get
+    assert(m.tiles.size > 1, s"expected roll-over, got ${m.tiles.size} tile(s)")
+    assert(m.tiles.forall(_.rows <= 400L),
+      s"a tile exceeds the row bound: ${m.tiles.map(_.rows)}")
+    assert(m.tiles.map(_.rows).sum === orders.count())
+    // per-tile stats cover exactly their own rows: the sorted single task
+    // gives DISJOINT o_orderkey ranges across consecutive tiles
+    val bounds = m.tiles.map(t => (t.stats("o_orderkey").min.get.toLong,
+      t.stats("o_orderkey").max.get.toLong))
+    bounds.foreach { case (lo, hi) => assert(lo <= hi) }
+    bounds.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"tile key ranges overlap: $bounds")
+      case _ => ()
+    }
+    // roundtrip intact, and the tight bounds actually prune
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() === orders.count())
+    val probe = bounds.head._2 // a key inside the FIRST tile only
+    TileFormat.tilesOpened.set(0L)
+    assert(back.filter(col("o_orderkey") === probe).count() === 1L)
+    assert(TileFormat.tilesOpened.get() === 1L,
+      "rolled tiles should prune to exactly one for a point lookup")
+    // the byte bound rolls too (tiny bound => every tile under it + slack)
+    val dir2 = tmp("tiles_spec_roll_b")
+    orders.coalesce(1).write.format(Fmt).mode("overwrite")
+      .option("target_tile_bytes", (16L << 10).toString).save(dir2)
+    val m2 = TileFormat.readManifest(dir2).get
+    assert(m2.tiles.size > 1, "byte-bound roll-over did not trigger")
+    assert(m2.tiles.map(_.rows).sum === orders.count())
+  }
+
+  test("optimistic concurrency: a stale publish throws and leaves the table unchanged") {
+    import spark.implicits._
+    val dir = tmp("tiles_spec_cas")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir)
+    val stale = TileFormat.readManifest(dir).get // committer A's read
+    // committer B lands first (an append bumps commit_seq but NOT generation
+    // — the exact case a generation-keyed CAS would miss)
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).write.format(Fmt)
+      .mode("append").save(dir)
+    val afterB = TileFormat.readManifest(dir).get
+    assert(afterB.generation === stale.generation,
+      "append must not bump generation (fixture precondition)")
+    assert(afterB.commitSeq === stale.commitSeq + 1)
+    // committer A now publishes against its STALE read: must fail loudly
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TileFormat.writeManifest(dir, stale.schema, stale.tiles, stale.lastEpoch,
+        stale.queryId, stale.generation,
+        expect = TileFormat.ExpectCommitSeq(stale.commitSeq))
+    }
+    assert(ex.getMessage.contains("commit_seq"))
+    // table unchanged by the failed publish
+    val after = TileFormat.readManifest(dir).get
+    assert(after.commitSeq === afterB.commitSeq &&
+      after.tiles.map(_.file) === afterB.tiles.map(_.file))
+    assert(spark.read.format(Fmt).load(dir).count() === 3L)
+    // no staged manifest litter from the refused publish
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(TileFormat.ManifestName + ".tmp")))
+    // a CREATE expecting absence fails once the table exists
+    intercept[java.util.ConcurrentModificationException] {
+      TileFormat.writeManifest(dir, stale.schema, Seq.empty,
+        expect = TileFormat.ExpectAbsent)
+    }
+    // end to end: two real concurrent appends both land (the loser path
+    // would be a thrown commit, never a silent lost update) — run several
+    // racing batch writes and require the union to be complete
+    val racers = (0 until 4).map { i =>
+      new Thread {
+        var failed: Option[Throwable] = None
+        override def run(): Unit =
+          try Seq((10L + i, s"r$i")).toDF("k", "v").coalesce(1)
+            .write.format(Fmt).mode("append").save(dir)
+          catch { case t: Throwable => failed = Some(t) }
+      }
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    val landed = spark.read.format(Fmt).load(dir).as[(Long, String)]
+      .collect().toSet
+    racers.zipWithIndex.foreach { case (r, i) =>
+      if (r.failed.isEmpty)
+        assert(landed.contains((10L + i, s"r$i")),
+          s"racer $i reported success but its row is missing (lost update)")
+      else assert(r.failed.get.getMessage.contains("commit_seq") ||
+        Option(r.failed.get.getCause).exists(_.getMessage.contains("commit_seq")),
+        s"racer $i failed for an unexpected reason: ${r.failed.get}")
+    }
+    assert(racers.exists(_.failed.isEmpty), "every racer failed")
   }
 
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
