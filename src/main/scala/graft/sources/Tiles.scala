@@ -356,7 +356,36 @@ object Tiles {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** S29 — MERGE INTO (keyed upsert, merge-on-read): the table is
+    * ingested key-clustered across 4 tiles; the merge source UPDATES every
+    * 97th key (price bumped) and INSERTS fresh keys above the existing
+    * range — updates span multiple tiles, so the merge DVs several tiles
+    * and appends new ones in ONE manifest swap. The oracle recomputes the
+    * upsert relationally over the origin table: it passes only if every
+    * updated row shows the new value exactly once, every inserted row
+    * appears, and every untouched row survives — across tile boundaries. */
+  private val mergeUpsertQ: Q = (s, dir) => {
+    val out = tmpDir("tiles_orders_merge")
+    wipe(out)
+    val base = Tables(s, dir).orders.select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("v"))
+    base.write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "k").option("write_partitions", "4").save(out)
+    val src = base.filter(col("k") % 97 === 0)
+      .withColumn("v", col("v") + 1000.0d)
+      .unionAll(base.filter(col("k") % 101 === 0)
+        .select((col("k") + 100000000L).as("k"), lit("N").as("status"), col("v")))
+    graft.sources.tiles.GraftTileMaintenance.mergeUpsert(s, out, src, Seq("k"))
+    s.read.format(Fmt).load(out)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("status")
+  }
+
   val entries: Map[String, Q] = Map(
+    "s29_tiles_merge_upsert" -> mergeUpsertQ,
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
     "s18_tiles_agg_pushdown" -> aggPushdownQ,
@@ -373,6 +402,22 @@ object Tiles {
   )
 
   val oracles: Map[String, String] = Map(
+    "s29_tiles_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS v
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, status, v + 1000.0 AS v FROM base WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT k + 100000000 AS k, 'N' AS status, v FROM base WHERE k % 101 = 0),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM src))
+        |SELECT status, count(*) AS n,
+        |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(k) AS min_key, max(k) AS max_key
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
     "s16_tiles_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -117,7 +117,7 @@ class GraftTileCatalog extends TableCatalog {
     // metadata-only publish: tiles, watermark, and generation unchanged
     // (tile positions did not move, so streaming offsets stay valid)
     TileFormat.writeManifest(dir, evolved, m.tiles, m.lastEpoch, m.queryId, m.generation,
-      expect = TileFormat.ExpectCommitSeq(m.commitSeq))
+      expect = TileFormat.ExpectCommitSeq(m.commitSeq), partitionBy = m.partitionBy)
     new GraftTileTable(dir, evolved)
   }
 

@@ -72,7 +72,8 @@ object GraftTileMaintenance {
       // bins are already sized by this function's targetBytes, so the
       // writer's own roll-over is disabled: exactly one tile per bin
       val writer = new GraftTileWriter(dir, m.schema, partitionId = 90000 + i,
-        taskId = -1L, targetBytes = Long.MaxValue, targetRows = Long.MaxValue)
+        taskId = -1L, targetBytes = Long.MaxValue, targetRows = Long.MaxValue,
+        partitionByIdx = m.partitionBy.map(m.schema.fieldIndex))
       bin.foreach { t =>
         if (t.dv.nonEmpty) dvs += 1
         val dv = t.dv.toArray
@@ -100,7 +101,8 @@ object GraftTileMaintenance {
     // streaming reader's (generation, tileCount) offsets loudly
     TileFormat.writeManifest(dir, m.schema,
       keep ++ passthrough.flatten ++ compacted, m.lastEpoch, m.queryId,
-      m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq))
+      m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq),
+      partitionBy = m.partitionBy)
     CompactionReport(rewrite.size, rewrite.map(_.size).sum, compacted.size, rows, dvs)
   }
 
@@ -108,4 +110,112 @@ object GraftTileMaintenance {
     * under 1 MiB are small, bins aim at 8 MiB. */
   def compact(dir: String): CompactionReport =
     compact(dir, smallBytes = 1L << 20, targetBytes = 8L << 20)
+
+  /** Result of one [[mergeUpsert]] pass, for observability and pins. */
+  final case class MergeReport(matchedRows: Long, insertedRows: Long,
+                               tilesWithNewDvs: Int, tilesDropped: Int,
+                               newTiles: Int)
+
+  /** Keyed upsert — the MERGE INTO rung of the DML ladder (Delta MERGE /
+    * Iceberg `MERGE INTO` with merge-on-read): every source row is
+    * UPSERTED into the table on `keyCols` — target rows sharing a source
+    * key are deleted via deletion vectors (ALL of them, the SCD1 replace
+    * semantics of `fact_scd1_merge`), and the full source is appended as
+    * new tiles — published in ONE atomic manifest swap, so a reader sees
+    * either the pre-merge or the post-merge table, never the middle.
+    *
+    * Scale shape: the match is ONE distributed join — the target scan
+    * projects only (key, `_tile_file`, `_tile_row`), so at 100 TB it reads
+    * just the key chunks (columnar IO-skip) — against the broadcast
+    * source keys; the source itself is staged as tiles by a distributed
+    * write with the roll-over writer (bounded task heap). Only the
+    * matched-row HANDLES (tile file + ordinal) are collected: that is the
+    * deletion-vector metadata every DV-based MERGE carries through its
+    * commit, proportional to updated rows, never to table size. Source
+    * keys must be unique (the multiple-source-rows-matched error Delta
+    * throws); a tile whose merged DV covers every row drops from the
+    * manifest entirely (the metadata-DELETE fast path).
+    *
+    * Merge is a rewrite: the generation bumps (streaming offsets fail
+    * loudly) and the publish is CAS-guarded on the manifest read at
+    * entry. */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  source: org.apache.spark.sql.DataFrame,
+                  keyCols: Seq[String]): MergeReport = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val m = TileFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft-tiles: mergeUpsert target $dir has no manifest"))
+    val want = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(source.schema.fields.length == want.size &&
+      source.schema.fields.forall(f => want.get(f.name).contains(f.dataType)),
+      s"graft-tiles: merge source schema ${source.schema.simpleString} does not " +
+        s"match the table schema ${m.schema.simpleString}")
+    require(keyCols.nonEmpty && keyCols.forall(want.contains),
+      s"graft-tiles: merge keys ${keyCols.mkString(",")} must be table columns")
+    val dupe = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dupe.isEmpty,
+      s"graft-tiles: merge source has multiple rows for key ${dupe.headOption}")
+
+    // distributed match: (key, file, ordinal) from the target — the scan
+    // reads ONLY the key chunks — semi-joined against broadcast source keys
+    val target = spark.read.format("graft-tiles").load(dir)
+      .select(keyCols.map(col) :+ col("_tile_file") :+ col("_tile_row"): _*)
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val matched = target.join(broadcast(srcKeys), keyCols, "left_semi")
+      .select(col("_tile_file"), col("_tile_row")).collect()
+      .groupBy(_.getString(0)).map { case (f, rs) => f -> rs.map(_.getLong(1)).toSeq }
+
+    // stage the source as new tiles: a distributed write through the
+    // roll-over writer (same bounded-heap shape as the DSv2 write path)
+    val schemaJson = m.schema.json
+    val dirLocal = dir
+    // identity-partitioned tables keep the one-value-per-tile property:
+    // cluster+sort the staged source on the partition column so the
+    // writer's value-boundary roll yields one tile per value, not per run
+    val pIdx = m.partitionBy.map(m.schema.fieldIndex)
+    val ordered = m.partitionBy match {
+      case Some(c) => source.select(m.schema.fieldNames.map(col).toSeq: _*)
+        .repartition(col(c)).sortWithinPartitions(c)
+      case None => source.select(m.schema.fieldNames.map(col).toSeq: _*)
+    }
+    val staged: Seq[TilePart] = ordered
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val w = new GraftTileWriter(dirLocal, schema, 80000 + pid, taskId = pid.toLong,
+          partitionByIdx = pIdx)
+        it.foreach(w.write)
+        Iterator(w.commit().asInstanceOf[GraftTileCommitMessage])
+      }.collect().toSeq.flatMap(_.parts)
+
+    var dvTiles = 0
+    var dropped = 0
+    var matchedRows = 0L
+    val survivors = m.tiles.flatMap { t =>
+      additionsFor(t, matched) match {
+        case None => Some(t)
+        case Some(add) =>
+          matchedRows += add.size
+          val dv = (t.dv ++ add).distinct.sorted
+          if (dv.length.toLong >= t.rows) { dropped += 1; None } // fully dead tile
+          else { dvTiles += 1; Some(t.copy(dv = dv)) }
+      }
+    }
+    val fresh = staged.collect {
+      case p if p.rows > 0 =>
+        val ok = new File(dir, p.tmpName).renameTo(new File(dir, p.finalName))
+        require(ok, s"graft-tiles: merge rename failed for ${p.tmpName}")
+        TileMeta(p.finalName, p.rows, p.bytes, p.stats)
+    }
+    TileFormat.writeManifest(dir, m.schema, survivors ++ fresh, m.lastEpoch,
+      m.queryId, m.generation + 1L,
+      expect = TileFormat.ExpectCommitSeq(m.commitSeq),
+      partitionBy = m.partitionBy)
+    MergeReport(matchedRows, fresh.map(_.rows).sum, dvTiles, dropped, fresh.size)
+  }
+
+  private def additionsFor(t: TileMeta,
+                           matched: Map[String, Seq[Long]]): Option[Seq[Long]] =
+    matched.get(t.file).map(_.filterNot(t.dv.toSet))
 }

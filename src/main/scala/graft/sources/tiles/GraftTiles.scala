@@ -144,7 +144,8 @@ class GraftTileTable(dir: String, tableSchema: StructType)
     // DELETE is a rewrite: bump the generation so streaming-reader
     // offsets can't silently misread.
     TileFormat.writeManifest(dir, m.schema, updated, m.lastEpoch, m.queryId,
-      m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq))
+      m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq),
+      partitionBy = m.partitionBy)
   }
 
   /** Iceberg-style hidden metadata columns: present only when a query
@@ -229,8 +230,8 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
     with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private val tiles: Seq[TileMeta] =
-    TileFormat.readManifest(dir).map(_.tiles).getOrElse(Seq.empty)
+  private val manifest: Option[TileFormat.ManifestData] = TileFormat.readManifest(dir)
+  private val tiles: Seq[TileMeta] = manifest.map(_.tiles).getOrElse(Seq.empty)
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -355,7 +356,8 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
   }
 
   override def build(): Scan =
-    new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult, limit)
+    new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult, limit,
+      manifest.flatMap(_.partitionBy))
 }
 
 /** One committed tile = one input partition; `dv` is the tile's sorted
@@ -365,11 +367,23 @@ case class GraftTilePartition(file: String, rows: Long, dv: Seq[Long]) extends I
 /** Single-partition carrier for a metadata-answered aggregate row. */
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
+/** All tiles holding ONE value of the table's identity-partition column —
+  * the input-partition shape of a storage-partitioned join: Spark matches
+  * `partitionKey()` rows across the two sides and co-schedules them, no
+  * Exchange. `key` is the value in its INTERNAL representation
+  * (Int/Long/Double/UTF8String), built from the zone map (min==max). */
+case class GraftTileKeyPartition(tiles: Seq[GraftTilePartition], key: Any)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array(key))
+}
+
 class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
                     pushed: Array[Filter], allTiles: Seq[TileMeta],
                     agg: Option[(StructType, Array[Any])],
-                    limit: Option[Int] = None)
-  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+                    limit: Option[Int] = None,
+                    partitionBy: Option[String] = None)
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   // planning-time zone-map prune from the pushed (compile-supported) filters
   private val afterPushdown: Seq[TileMeta] =
@@ -414,11 +428,61 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
     kept = kept.filter(t => filters.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
   }
 
+  /** Storage-partitioned-join groups (r13): when the table was written
+    * `partition_by=c`, group the kept tiles by their single value of `c`.
+    * The partition column's zone map IS the partition value — a tile
+    * qualifies iff its bounds are exact and equal with zero nulls, so the
+    * manifest declaration is VALIDATED per tile, never trusted: one
+    * nonconforming tile (a foreign append, a null) disables the grouping
+    * and the scan degrades to unknown partitioning — a slower plan, never
+    * a wrong one. Values are decoded to their internal representation
+    * (the row `partitionKey()` must hand Spark). */
+  private def keyGroups: Option[Seq[(Any, Seq[TileMeta])]] = partitionBy.flatMap { c =>
+    if (agg.isDefined) None
+    else fullSchema.fields.find(_.name == c).flatMap { f =>
+      def decode(v: String): Option[Any] = f.dataType match {
+        case IntegerType | DateType => Some(v.toLong.toInt)
+        case LongType | TimestampType | TimestampNTZType => Some(v.toLong)
+        case DoubleType => Some(v.toDouble)
+        case StringType => Some(UTF8String.fromString(v))
+        case _ => None
+      }
+      val keyed = kept.map { t =>
+        t.stats.get(c) match {
+          case Some(st) if st.nulls == 0L && st.min.isDefined && st.min == st.max =>
+            decode(st.min.get).map(_ -> t)
+          case _ => None
+        }
+      }
+      if (keyed.nonEmpty && keyed.forall(_.isDefined))
+        Some(keyed.flatten.groupBy(_._1).toSeq
+          .map { case (k, ts) => (k, ts.map(_._2)) }
+          .sortBy(_._1.toString)) // deterministic partition order
+      else None
+    }
+  }
+
+  override def outputPartitioning()
+  : org.apache.spark.sql.connector.read.partitioning.Partitioning = keyGroups match {
+    case Some(gs) =>
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(partitionBy.get)), gs.length)
+    case None =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        if (agg.isDefined) 1 else kept.size)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((_, row)) => Array(GraftAggPartition(row))
-    case None =>
-      kept.map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv))
-        .toArray[InputPartition]
+    case None => keyGroups match {
+      case Some(gs) => gs.map { case (k, ts) =>
+        GraftTileKeyPartition(ts.map(t =>
+          GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv)), k)
+      }.toArray[InputPartition]
+      case None =>
+        kept.map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv))
+          .toArray[InputPartition]
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -550,6 +614,26 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
         override def get(): InternalRow = new GenericInternalRow(values.clone())
         override def close(): Unit = ()
       }
+      case GraftTileKeyPartition(tiles, _) =>
+        // storage-partitioned group: chain the member tiles' readers; the
+        // LIMIT cap applies per member (partial pushdown — Spark re-limits)
+        new PartitionReader[InternalRow] {
+          private val it = tiles.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = createReader(it.next())
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
       case GraftTilePartition(file, _, dvSeq) =>
         val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
         val tags = fullSchema.fields.map(f => TileFormat.typeTag(f.dataType))
@@ -652,15 +736,39 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
     private val clusterBy: Array[String] =
       Option(options.get("cluster_by"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    /** Identity partitioning (r13): `partition_by=c` requests a CLUSTERED
+      * distribution + in-task sort on `c`, and the writer seals a tile at
+      * every value boundary — so each tile holds exactly one value of `c`
+      * and the read side can report `KeyGroupedPartitioning` (storage-
+      * partitioned joins). Appends ADOPT the table's existing partition
+      * column so the property survives follow-up writes. */
+    private val partitionBy: Option[String] =
+      Option(options.get("partition_by")).map(_.trim).filter(_.nonEmpty)
+        .orElse(if (truncateFirst) None
+        else TileFormat.readManifest(dir).flatMap(_.partitionBy))
+    partitionBy.foreach { c =>
+      require(clusterBy.isEmpty,
+        "graft-tiles: partition_by and cluster_by are mutually exclusive " +
+          "(identity partitioning is its own clustering)")
+      require(schema.fieldNames.contains(c),
+        s"graft-tiles: partition_by column `$c` is not in the write schema")
+      require(TileFormat.statTracked(schema(c).dataType),
+        s"graft-tiles: partition_by column `$c` (${schema(c).dataType.sql}) " +
+          "carries no zone map — identity partitioning needs one")
+    }
     private def sorts: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      clusterBy.map(c => Expressions.sort(Expressions.column(c),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      (partitionBy.map(Array(_)).getOrElse(clusterBy))
+        .map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-      if (clusterBy.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      if (partitionBy.isDefined)
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(Expressions.identity(partitionBy.get)))
+      else if (clusterBy.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       else org.apache.spark.sql.connector.distributions.Distributions.ordered(sorts)
     override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = sorts
     override def requiredNumPartitions(): Int =
-      if (clusterBy.isEmpty) 0
+      if (clusterBy.isEmpty && partitionBy.isEmpty) 0
       else Option(options.get("write_partitions")).map(_.toInt).getOrElse(0)
     private val targetBytes: Long = Option(options.get("target_tile_bytes"))
       .map(_.toLong).getOrElse(TileFormat.DefaultTileBytes)
@@ -668,9 +776,10 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
       .map(_.toLong).getOrElse(TileFormat.DefaultTileRows)
     override def toBatch: BatchWrite =
       new GraftTileBatchWrite(dir, schema, truncateFirst, replaceWhere,
-        targetBytes, targetRows)
+        targetBytes, targetRows, partitionBy)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftTileStreamingWrite(dir, schema, queryId, targetBytes, targetRows)
+      new GraftTileStreamingWrite(dir, schema, queryId, targetBytes, targetRows,
+        partitionBy)
     override def description(): String = {
       val mode =
         if (truncateFirst) "overwrite"
@@ -695,11 +804,13 @@ case class GraftTileCommitMessage(parts: Seq[TilePart]) extends WriterCommitMess
 class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolean,
                           replaceWhere: Option[Array[Filter]] = None,
                           targetBytes: Long = TileFormat.DefaultTileBytes,
-                          targetRows: Long = TileFormat.DefaultTileRows)
+                          targetRows: Long = TileFormat.DefaultTileRows,
+                          partitionBy: Option[String] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTileWriterFactory(dir, schema.json, targetBytes, targetRows)
+    new GraftTileWriterFactory(dir, schema.json, targetBytes, targetRows,
+      partitionBy.map(schema.fieldIndex))
 
   /** Driver-side publish: rename task files in, then write the manifest
     * atomically — and NOTHING else. Readers see the previous table version
@@ -736,7 +847,8 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
       // generation files intentionally NOT deleted here (manifest-first);
       // the generation bump invalidates any streaming reader's offsets
       TileFormat.writeManifest(dir, schema, fresh, -1L, None,
-        prior.map(_.generation + 1L).getOrElse(0L), expect = expect)
+        prior.map(_.generation + 1L).getOrElse(0L), expect = expect,
+        partitionBy = partitionBy)
     } else if (replaceWhere.isDefined) {
       val survivors = prior match {
         case Some(m) => GraftTileTable.survivorsUnderDelete(dir, m, replaceWhere.get)
@@ -748,7 +860,8 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
       TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
         survivors ++ fresh,
         prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId),
-        prior.map(_.generation + 1L).getOrElse(0L), expect = expect)
+        prior.map(_.generation + 1L).getOrElse(0L), expect = expect,
+        partitionBy = prior.flatMap(_.partitionBy).orElse(partitionBy))
       // Replaced tiles STAY on disk as orphans for vacuumOrphans, like
       // truncate (VERDICT r12 wrong-item 5: eagerly deleting them here
       // broke snapshot isolation for a reader holding the prior manifest).
@@ -762,7 +875,8 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
       TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
         existing ++ fresh,
         prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId),
-        prior.map(_.generation).getOrElse(0L), expect = expect)
+        prior.map(_.generation).getOrElse(0L), expect = expect,
+        partitionBy = prior.flatMap(_.partitionBy).orElse(partitionBy))
     }
   }
 
@@ -776,11 +890,13 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
 
 class GraftTileWriterFactory(dir: String, schemaJson: String,
                              targetBytes: Long = TileFormat.DefaultTileBytes,
-                             targetRows: Long = TileFormat.DefaultTileRows)
+                             targetRows: Long = TileFormat.DefaultTileRows,
+                             partitionByIdx: Option[Int] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new GraftTileWriter(dir, schema, partitionId, taskId, targetBytes, targetRows)
+    new GraftTileWriter(dir, schema, partitionId, taskId, targetBytes, targetRows,
+      partitionByIdx)
   }
 }
 
@@ -797,7 +913,8 @@ class GraftTileWriterFactory(dir: String, schemaJson: String,
   * so stored bounds are always exact. */
 class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
                       targetBytes: Long = TileFormat.DefaultTileBytes,
-                      targetRows: Long = TileFormat.DefaultTileRows)
+                      targetRows: Long = TileFormat.DefaultTileRows,
+                      partitionByIdx: Option[Int] = None)
   extends DataWriter[InternalRow] {
 
   require(targetBytes > 0L && targetRows > 0L,
@@ -839,6 +956,28 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private var seq = 0
   private val parts = scala.collection.mutable.ArrayBuffer.empty[TilePart]
 
+  // identity partitioning: seal at every value boundary of the partition
+  // column (rows arrive clustered+sorted on it, so boundaries are rare)
+  private val partIdx: Int = partitionByIdx.getOrElse(-1)
+  private var lastKey: Any = _
+  private var haveKey = false
+  private def keyBoundaryRoll(record: InternalRow): Unit = {
+    val k: Any =
+      if (record.isNullAt(partIdx)) null
+      else (tags(partIdx): @annotation.switch) match {
+        case TileFormat.TagInt => record.getInt(partIdx)
+        case TileFormat.TagLong => record.getLong(partIdx)
+        case TileFormat.TagDouble => record.getDouble(partIdx)
+        case TileFormat.TagString => record.getUTF8String(partIdx)
+        case TileFormat.TagBool => record.getBoolean(partIdx)
+      }
+    if (haveKey && k != lastKey) sealTile()
+    if (!haveKey || k != lastKey) {
+      lastKey = k match { case u: UTF8String => u.clone(); case x => x }
+      haveKey = true
+    }
+  }
+
   /** Assemble the buffered chunks into the next staged tile and reset.
     * Stats are computed from the SEALED buffer only — each tile's zone map
     * covers exactly its own rows. */
@@ -877,6 +1016,7 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     }
 
   override def write(record: InternalRow): Unit = {
+    if (partIdx >= 0) keyBoundaryRoll(record)
     var i = 0
     while (i < n) {
       val out = outs(i)
@@ -957,12 +1097,14 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   */
 class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
                               targetBytes: Long = TileFormat.DefaultTileBytes,
-                              targetRows: Long = TileFormat.DefaultTileRows)
+                              targetRows: Long = TileFormat.DefaultTileRows,
+                              partitionBy: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftTileStreamingWriterFactory(dir, schema.json, targetBytes, targetRows)
+    new GraftTileStreamingWriterFactory(dir, schema.json, targetBytes, targetRows,
+      partitionBy.map(schema.fieldIndex))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
@@ -987,7 +1129,8 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
       existing ++ fresh, epochId, Some(queryId),
       prior.map(_.generation).getOrElse(0L),
       expect = prior.map(p => TileFormat.ExpectCommitSeq(p.commitSeq))
-        .getOrElse(TileFormat.ExpectAbsent))
+        .getOrElse(TileFormat.ExpectAbsent),
+      partitionBy = prior.flatMap(_.partitionBy).orElse(partitionBy))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -1000,11 +1143,13 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
 
 class GraftTileStreamingWriterFactory(dir: String, schemaJson: String,
                                       targetBytes: Long = TileFormat.DefaultTileBytes,
-                                      targetRows: Long = TileFormat.DefaultTileRows)
+                                      targetRows: Long = TileFormat.DefaultTileRows,
+                                      partitionByIdx: Option[Int] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new GraftTileWriter(dir, schema, partitionId, taskId, targetBytes, targetRows)
+    new GraftTileWriter(dir, schema, partitionId, taskId, targetBytes, targetRows,
+      partitionByIdx)
   }
 }

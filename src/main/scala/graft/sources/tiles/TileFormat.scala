@@ -116,10 +116,20 @@ object TileFormat {
     * While it is stable, the tile list only ever GROWS at the tail, so a
     * streaming READER can use (generation, tileCount) as an exactly-once
     * offset; a generation change tells a restarted reader its offsets no
-    * longer name the same data (fail loudly, not misread). */
+    * longer name the same data (fail loudly, not misread).
+    *
+    * `partitionBy` (r13): the identity-partition column declared at write
+    * time (`partition_by` option) — each tile then holds exactly ONE value
+    * of it, and the scan reports `KeyGroupedPartitioning` over it so two
+    * tables partitioned on the same key storage-partition-join with NO
+    * Exchange (the Iceberg identity-transform contract). Purely
+    * advisory: the scan re-validates per-tile single-valuedness from the
+    * zone maps before reporting, so a nonconforming append degrades to
+    * unknown partitioning instead of a wrong plan. */
   final case class ManifestData(schema: StructType, tiles: Seq[TileMeta],
                                 lastEpoch: Long, queryId: Option[String] = None,
-                                generation: Long = 0L, commitSeq: Long = 0L)
+                                generation: Long = 0L, commitSeq: Long = 0L,
+                                partitionBy: Option[String] = None)
 
   /** Optimistic-concurrency expectation for a manifest publish (r13,
     * VERDICT r12 missing-item 2 — the `Layout.commitConflicts` semantics
@@ -275,7 +285,8 @@ object TileFormat {
   def writeManifest(dir: String, schema: StructType, tiles: Seq[TileMeta],
                     lastEpoch: Long = -1L, queryId: Option[String] = None,
                     generation: Long = 0L,
-                    expect: PublishExpectation = Unchecked): Unit = {
+                    expect: PublishExpectation = Unchecked,
+                    partitionBy: Option[String] = None): Unit = {
     def render(commitSeq: Long): Array[Byte] = {
       val json: JValue =
         ("version" -> 2) ~
@@ -284,6 +295,7 @@ object TileFormat {
           ("query_id" -> queryId) ~
           ("generation" -> generation) ~
           ("commit_seq" -> commitSeq) ~
+          ("partition_by" -> partitionBy) ~
           ("tiles" -> tiles.map { t =>
             val base = ("file" -> t.file) ~ ("rows" -> t.rows) ~ ("bytes" -> t.bytes) ~
               ("stats" -> JObject(t.stats.toList.sortBy(_._1).map { case (c, s) =>
@@ -351,7 +363,9 @@ object TileFormat {
     val queryId = (j \ "query_id").extractOpt[String]
     val generation = (j \ "generation").extractOpt[Long].getOrElse(0L)
     val commitSeq = (j \ "commit_seq").extractOpt[Long].getOrElse(0L)
-    Some(ManifestData(schema, tiles, lastEpoch, queryId, generation, commitSeq))
+    val partitionBy = (j \ "partition_by").extractOpt[String]
+    Some(ManifestData(schema, tiles, lastEpoch, queryId, generation, commitSeq,
+      partitionBy))
   }
 
   /** Reclaim tile files not referenced by the CURRENT manifest — the

@@ -916,6 +916,125 @@ class TilesSpec extends SparkSpec {
     assert(racers.exists(_.failed.isEmpty), "every racer failed")
   }
 
+  test("MERGE (keyed upsert): updates DV across tiles, inserts append, one atomic publish") {
+    import spark.implicits._
+    val dir = tmp("tiles_spec_merge")
+    // 3 key-clustered tiles: [1..4], [5..8], [9..12]
+    val base = (1L to 12L).map(k => (k, s"v$k", k * 10.0)).toDF("k", "v", "score")
+    base.repartitionByRange(3, $"k").sortWithinPartitions("k")
+      .write.format(Fmt).mode("overwrite").save(dir)
+    val pre = TileFormat.readManifest(dir).get
+    assert(pre.tiles.size === 3)
+    // source: updates spanning tiles 1 and 3 (k=2, k=10), one insert (k=99)
+    val src = Seq((2L, "UP2", 2.5), (10L, "UP10", 10.5), (99L, "NEW", 99.0))
+      .toDF("k", "v", "score")
+    val r = graft.sources.tiles.GraftTileMaintenance.mergeUpsert(spark, dir, src, Seq("k"))
+    assert(r.matchedRows === 2L && r.insertedRows === 3L && r.tilesWithNewDvs === 2
+      && r.tilesDropped === 0 && r.newTiles >= 1, r.toString)
+    val post = TileFormat.readManifest(dir).get
+    assert(post.generation === pre.generation + 1, "merge is a rewrite: generation bumps")
+    assert(post.commitSeq === pre.commitSeq + 1, "merge must be ONE atomic publish")
+    // untouched rows intact, updated rows replaced exactly once, insert present
+    val got = spark.read.format(Fmt).load(dir).as[(Long, String, Double)].collect().toSet
+    val exp = base.as[(Long, String, Double)].collect().toSet
+      .filterNot(t => t._1 == 2L || t._1 == 10L) ++
+      Set((2L, "UP2", 2.5), (10L, "UP10", 10.5), (99L, "NEW", 99.0))
+    assert(got === exp)
+    // a merge that kills EVERY row of a tile drops it from the manifest
+    val killTile1 = (1L to 4L).map(k => (k, "K", 0.0)).toDF("k", "v", "score")
+    val r2 = graft.sources.tiles.GraftTileMaintenance.mergeUpsert(spark, dir, killTile1, Seq("k"))
+    // 2 drops: the original [1..4] tile AND merge-1's single-row tile for
+    // the updated k=2 — both end with their DV covering every row
+    assert(r2.tilesDropped === 2, s"fully-dead tiles should drop: $r2")
+    assert(spark.read.format(Fmt).load(dir).filter($"v" === "K").count() === 4L)
+    assert(spark.read.format(Fmt).load(dir).count() === 13L)
+    // guards: duplicate source keys and schema mismatch are NAMED errors
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k", "v", "score")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.tiles.GraftTileMaintenance.mergeUpsert(spark, dir, dup, Seq("k"))
+    }
+    assert(e1.getMessage.contains("multiple rows"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.tiles.GraftTileMaintenance.mergeUpsert(spark, dir,
+        Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    }
+    assert(e2.getMessage.contains("schema"))
+  }
+
+  test("storage-partitioned join: same-key partitioned tables join with NO Exchange") {
+    // VERDICT r12 directive 7: SupportsReportPartitioning. Both tables are
+    // written partition_by=bucket (identity transform): each tile holds
+    // one bucket value, the scan reports KeyGroupedPartitioning, and with
+    // v2 bucketing enabled Spark co-schedules matching buckets — a
+    // shuffle-free join on the storage layout, Iceberg's SPJ contract.
+    val d1 = tmp("tiles_spec_spj_a")
+    val d2 = tmp("tiles_spec_spj_b")
+    val orders = Tables(spark, sf001).orders
+    val left = orders.groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_l"), sum("o_orderkey").as("s_l"))
+    val right = orders.groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(sum("o_custkey").as("s_r"))
+    left.write.format(Fmt).mode("overwrite")
+      .option("partition_by", "bucket").save(d1)
+    right.write.format(Fmt).mode("overwrite")
+      .option("partition_by", "bucket").save(d2)
+    // one-value-per-tile is real, and recorded in the manifest
+    val m1 = TileFormat.readManifest(d1).get
+    assert(m1.partitionBy === Some("bucket"))
+    assert(m1.tiles.forall(t =>
+      t.stats("bucket").min == t.stats("bucket").max && t.stats("bucket").nulls == 0L))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.read.format(Fmt).load(d1)
+      val b = spark.read.format(Fmt).load(d2)
+      val j = a.join(b, "bucket") // no orderBy: a global sort would add its own (legitimate) Exchange
+      val plan = j.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join must plan ZERO shuffles, found ${shuffles.size}:\n$plan")
+      assert(plan.collectFirst {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj
+        case shj: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => shj
+      }.nonEmpty, s"expected a shuffled-family join operator (not broadcast):\n$plan")
+      // and the co-scheduled result is exactly the relational answer
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val exp = left.join(right, "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.sorted.toSeq === exp.sorted.toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // a nonconforming tile DEGRADES the report instead of lying: the DSv2
+    // write path auto-adopts the partition column on appends, so forge a
+    // multi-bucket tile through the low-level API and republish — the scan
+    // must stop claiming key groups (zone-map validation, not trust)
+    val m1b = TileFormat.readManifest(d1).get
+    val w = new graft.sources.tiles.GraftTileWriter(d1, m1b.schema, 7, 7L)
+    Seq(0L, 1L).foreach { bkt =>
+      w.write(org.apache.spark.sql.catalyst.InternalRow(bkt, 1L, 1L))
+    }
+    val part = w.commit().asInstanceOf[graft.sources.tiles.GraftTileCommitMessage]
+      .parts.head
+    assert(new java.io.File(d1, part.tmpName).renameTo(new java.io.File(d1, part.finalName)))
+    TileFormat.writeManifest(d1, m1b.schema,
+      m1b.tiles :+ TileFormat.TileMeta(part.finalName, part.rows, part.bytes, part.stats),
+      m1b.lastEpoch, m1b.queryId, m1b.generation,
+      expect = TileFormat.ExpectCommitSeq(m1b.commitSeq), partitionBy = m1b.partitionBy)
+    val (_, sb) = scanBuilderFor(d1)
+    val scan = sb.build().asInstanceOf[GraftTileScan]
+    assert(!scan.outputPartitioning().isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+      "a multi-value tile must disable the key-grouped report")
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
