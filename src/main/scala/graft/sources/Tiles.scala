@@ -384,8 +384,64 @@ object Tiles {
       .orderBy("status")
   }
 
+  /** S30 — storage-partitioned join (Iceberg SPJ): both sides are written
+    * `partition_by=bucket` (identity transform, one bucket per tile), so
+    * the scans report `KeyGroupedPartitioning` and Spark co-schedules
+    * matching buckets — the join plans ZERO shuffle Exchanges (suite-
+    * pinned; this entry grades the grouped-partition read path's
+    * correctness through the DuckDB oracle). The 100-TB shape: two
+    * co-partitioned fact tables join with no data movement at all. */
+  private val spjQ: Q = (s, dir) => {
+    val outO = tmpDir("tiles_spj_orders")
+    val outC = tmpDir("tiles_spj_customer")
+    wipe(outO); wipe(outC)
+    Tables(s, dir).orders
+      .groupBy((col("o_custkey") % 32).as("bucket"))
+      .agg(count(lit(1)).as("n_o"), dsum(col("o_totalprice")).as("total"))
+      .write.format(Fmt).mode("overwrite").option("partition_by", "bucket").save(outO)
+    Tables(s, dir).customer
+      .groupBy((col("c_custkey") % 32).as("bucket"))
+      .agg(count(lit(1)).as("n_c"), dsum(col("c_acctbal")).as("acct"))
+      .write.format(Fmt).mode("overwrite").option("partition_by", "bucket").save(outC)
+    // the entry grades the grouped-partition read path's correctness; the
+    // zero-Exchange SPJ plan itself is pinned in TilesSpec, where the
+    // v2-bucketing conf can be scoped around the whole (lazy) execution
+    s.read.format(Fmt).load(outO)
+      .join(s.read.format(Fmt).load(outC), "bucket")
+      .select(col("bucket"), col("n_o"), col("total"), col("n_c"), col("acct"))
+      .orderBy("bucket")
+  }
+
+  /** S31 — metadata GROUP BY: on an identity-partitioned table every tile
+    * holds one partition value, so `GROUP BY <col>` + COUNT/MIN/MAX is
+    * answered entirely from the manifest zone maps — complete aggregate
+    * pushdown with ZERO tiles opened (suite-pinned). The 100-TB shape of
+    * `SELECT day, count(*) FROM events GROUP BY day` on a partitioned
+    * lakehouse table: a driver-side manifest fold, no cluster scan. The
+    * table is created through SQL `PARTITIONED BY` (identity) and filled
+    * with a plain INSERT — the write adopts the table's partitioning. */
+  private val groupMetaQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    wipe(s"$wh/db/orders_pby")
+    s.sql("""CREATE TABLE tiles_cat.db.orders_pby
+            |  (o_orderpriority STRING, o_orderkey BIGINT, o_totalprice DOUBLE)
+            |  PARTITIONED BY (o_orderpriority)""".stripMargin)
+    Tables(s, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .writeTo("tiles_cat.db.orders_pby").append()
+    s.sql("""SELECT o_orderpriority, count(*) AS n,
+            |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            |FROM tiles_cat.db.orders_pby
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "s29_tiles_merge_upsert" -> mergeUpsertQ,
+    "s30_tiles_spj" -> spjQ,
+    "s31_tiles_group_meta" -> groupMetaQ,
     "s16_tiles_roundtrip" -> roundtripQ,
     "s17_tiles_filter_prune" -> filterPruneQ,
     "s18_tiles_agg_pushdown" -> aggPushdownQ,
@@ -402,6 +458,21 @@ object Tiles {
   )
 
   val oracles: Map[String, String] = Map(
+    "s31_tiles_group_meta" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "s30_tiles_spj" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 32 AS bucket, count(*) AS n_o,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT c_custkey % 32 AS bucket, count(*) AS n_c,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct
+        |  FROM customer GROUP BY 1)
+        |SELECT o.bucket AS bucket, n_o, total, n_c, acct
+        |FROM o JOIN c ON o.bucket = c.bucket ORDER BY bucket""".stripMargin,
     "s29_tiles_merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS v

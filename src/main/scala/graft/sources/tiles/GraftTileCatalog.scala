@@ -68,17 +68,40 @@ class GraftTileCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "graft-tiles: PARTITIONED BY is not supported — clustering comes from " +
-          "the cluster_by write option (RequiresDistributionAndOrdering)")
+    // PARTITIONED BY (r13): a single IDENTITY transform on a zone-mapped
+    // column — recorded in the manifest; every INSERT then adopts it (the
+    // write builder reads it back), each tile holds one value, and reads
+    // report KeyGroupedPartitioning (storage-partitioned joins) + answer
+    // GROUP BY <col> aggregates from the manifest. Bucket/range/temporal
+    // transforms would need a FunctionCatalog round-trip — rejected.
+    val partitionBy: Option[String] = partitions match {
+      case Array() => None
+      case Array(t) if t.name() == "identity" && t.arguments().length == 1 =>
+        val c = t.arguments()(0) match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+          case other => throw new UnsupportedOperationException(
+            s"graft-tiles: PARTITIONED BY supports a top-level column only, got $other")
+        }
+        require(schema.fieldNames.contains(c),
+          s"graft-tiles: PARTITIONED BY column `$c` is not in the schema")
+        require(TileFormat.statTracked(schema(c).dataType),
+          s"graft-tiles: PARTITIONED BY column `$c` (${schema(c).dataType.sql}) " +
+            "carries no zone map — identity partitioning needs one")
+        Some(c)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-tiles: unsupported PARTITIONED BY ${other.mkString(", ")} — " +
+            "only a single identity column (ad-hoc clustering comes from the " +
+            "cluster_by write option)")
+    }
     GraftTilesSource.validateSchema(schema) // type support + reserved names
     val d = dirFor(ident)
     d.mkdirs()
     // CREATE is the publish of an empty manifest — the same atomic object
     // a write commit replaces, so readers never see a schemaless table
     TileFormat.writeManifest(d.getAbsolutePath, schema, Seq.empty,
-      expect = TileFormat.ExpectAbsent)
+      expect = TileFormat.ExpectAbsent, partitionBy = partitionBy)
     new GraftTileTable(d.getAbsolutePath, schema)
   }
 

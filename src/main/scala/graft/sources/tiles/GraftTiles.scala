@@ -170,6 +170,12 @@ class GraftTileTable(dir: String, tableSchema: StructType)
 
   override def name(): String = s"graft-tiles.`$dir`"
   override def schema(): StructType = tableSchema
+  /** Report the identity partition column (DESCRIBE/SHOW CREATE surface;
+    * the same fact the scan turns into KeyGroupedPartitioning). */
+  override def partitioning(): Array[Transform] =
+    TileFormat.readManifest(dir).flatMap(_.partitionBy)
+      .map(c => Array[Transform](Expressions.identity(c)))
+      .getOrElse(Array.empty[Transform])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -235,8 +241,9 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  // complete-pushdown aggregate result: (output schema, single final row)
-  private var aggResult: Option[(StructType, Array[Any])] = None
+  // complete-pushdown aggregate result: (output schema, final rows — one
+  // for a global aggregate, one per group for a metadata GROUP BY)
+  private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
@@ -310,8 +317,28 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
     tiles.forall(t => t.rows == 0 || t.stats.get(name).forall(s =>
       s.nulls == t.rows || (s.min.isDefined && s.max.isDefined)))
 
+  /** Every non-empty tile holds exactly ONE non-null value of `name` —
+    * true by construction for `partition_by` tables (the writer seals at
+    * value boundaries), and validated from the zone maps, never assumed.
+    * The condition under which a tile IS a group fragment, so GROUP BY
+    * `name` is answerable per tile from the manifest. */
+  private def tilesSingleValued(name: String): Boolean =
+    dataTypeOf(name).exists(TileFormat.statTracked) &&
+      tiles.forall(t => t.rows == 0 || t.stats.get(name).exists(st =>
+        st.nulls == 0L && st.min.isDefined && st.min == st.max))
+
+  /** The one GROUP BY shape the manifest can answer: a single plain
+    * column every tile is single-valued on. */
+  private def groupByCol(agg: Aggregation): Option[String] =
+    agg.groupByExpressions() match {
+      case Array(e) => colName(e).filter(tilesSingleValued)
+      case _ => None
+    }
+
   private def aggPushable(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+    pushed.isEmpty &&
+      (agg.groupByExpressions().isEmpty ||
+        (agg.groupByExpressions().length == 1 && groupByCol(agg).isDefined)) &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
         case c: Count =>
@@ -327,31 +354,74 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!aggPushable(agg)) return false
-    val liveRows = tiles.map(_.liveRows).sum
+    val group: Option[String] =
+      if (agg.groupByExpressions().isEmpty) None else groupByCol(agg)
+    // scopes: the whole table for a global aggregate; one tile-set per
+    // distinct value for a metadata GROUP BY (each non-empty tile is a
+    // whole group fragment — tilesSingleValued proved it)
+    val scopes: Seq[(Option[Any], Seq[TileMeta])] = group match {
+      case None => Seq((None, tiles))
+      case Some(c) =>
+        val dt = dataTypeOf(c).get
+        tiles.filter(_.rows > 0).groupBy(_.stats(c).min.get).toSeq
+          .sortBy(_._1) // deterministic row order; Spark re-sorts as needed
+          .map { case (v, ts) => (TileFormat.decodeStat(dt, v), ts) }
+    }
+    if (group.isDefined && scopes.exists(_._1.isEmpty)) return false
+    def minMaxOver(ts: Seq[TileMeta], n: String, isMin: Boolean): Option[Any] = {
+      val dt = dataTypeOf(n).getOrElse(return None)
+      val ranges = ts.flatMap(_.stats.get(n)).flatMap(s => if (isMin) s.min else s.max)
+      if (ranges.isEmpty) return None
+      dt match {
+        case DoubleType =>
+          val vs = ranges.map(_.toDouble); Some(if (isMin) vs.min else vs.max)
+        case IntegerType | DateType =>
+          val vs = ranges.map(_.toLong); Some((if (isMin) vs.min else vs.max).toInt)
+        case LongType | TimestampType | TimestampNTZType =>
+          val vs = ranges.map(_.toLong); Some(if (isMin) vs.min else vs.max)
+        case StringType =>
+          val vs = ranges.map(UTF8String.fromString)
+          Some(vs.reduce((a, b) => if ((a.compareTo(b) <= 0) == isMin) a else b))
+        case _ => None
+      }
+    }
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    group.foreach(c => fields += fullSchema(c).copy())
     agg.aggregateExpressions().foreach {
       case _: CountStar =>
         fields += StructField("count_star", LongType, nullable = false)
-        values += liveRows
       case c: Count =>
-        val n = colName(c.column()).get
-        fields += StructField(s"count_$n", LongType, nullable = false)
-        // a tile with NO stats entry predates the column (schema
-        // evolution): every row reads null there, so it contributes 0
-        values += tiles.map(t => t.stats.get(n).map(s => t.rows - s.nulls).getOrElse(0L)).sum
+        fields += StructField(s"count_${colName(c.column()).get}", LongType, nullable = false)
       case m: Min =>
         val n = colName(m.column()).get
         fields += StructField(s"min_$n", dataTypeOf(n).get)
-        values += manifestMinMax(n, isMin = true).orNull
       case m: Max =>
         val n = colName(m.column()).get
         fields += StructField(s"max_$n", dataTypeOf(n).get)
-        values += manifestMinMax(n, isMin = false).orNull
       case other =>
         throw new IllegalStateException(s"unreachable aggregate $other") // guarded above
     }
-    aggResult = Some((StructType(fields.toSeq), values.toArray))
+    val rows: Seq[Array[Any]] = scopes.map { case (key, ts) =>
+      val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+      key.foreach(values += _)
+      agg.aggregateExpressions().foreach {
+        case _: CountStar =>
+          values += ts.map(_.liveRows).sum
+        case c: Count =>
+          val n = colName(c.column()).get
+          // a tile with NO stats entry predates the column (schema
+          // evolution): every row reads null there, so it contributes 0
+          values += ts.map(t => t.stats.get(n).map(s => t.rows - s.nulls).getOrElse(0L)).sum
+        case m: Min =>
+          values += minMaxOver(ts, colName(m.column()).get, isMin = true).orNull
+        case m: Max =>
+          values += minMaxOver(ts, colName(m.column()).get, isMin = false).orNull
+        case other =>
+          throw new IllegalStateException(s"unreachable aggregate $other")
+      }
+      values.toArray
+    }
+    aggResult = Some((StructType(fields.toSeq), rows))
     true
   }
 
@@ -364,8 +434,9 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
   * deletion vector (ordinals the reader masks). */
 case class GraftTilePartition(file: String, rows: Long, dv: Seq[Long]) extends InputPartition
 
-/** Single-partition carrier for a metadata-answered aggregate row. */
-case class GraftAggPartition(values: Array[Any]) extends InputPartition
+/** Single-partition carrier for metadata-answered aggregate rows (one
+  * for a global aggregate, one per group for a metadata GROUP BY). */
+case class GraftAggPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 /** All tiles holding ONE value of the table's identity-partition column —
   * the input-partition shape of a storage-partitioned join: Spark matches
@@ -379,7 +450,7 @@ case class GraftTileKeyPartition(tiles: Seq[GraftTilePartition], key: Any)
 
 class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
                     pushed: Array[Filter], allTiles: Seq[TileMeta],
-                    agg: Option[(StructType, Array[Any])],
+                    agg: Option[(StructType, Seq[Array[Any]])],
                     limit: Option[Int] = None,
                     partitionBy: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
@@ -407,9 +478,9 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
     // post-prune LIVE sizes: the optimizer should plan against what will
     // be read, not what exists (broadcast decisions hinge on this)
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(if (agg.isDefined) 64L else kept.map(_.bytes).sum)
+      OptionalLong.of(agg.map(_._2.size * 64L).getOrElse(kept.map(_.bytes).sum))
     override def numRows(): OptionalLong =
-      OptionalLong.of(if (agg.isDefined) 1L else kept.map(_.liveRows).sum)
+      OptionalLong.of(agg.map(_._2.size.toLong).getOrElse(kept.map(_.liveRows).sum))
   }
 
   override def filterAttributes(): Array[NamedReference] =
@@ -440,17 +511,10 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   private def keyGroups: Option[Seq[(Any, Seq[TileMeta])]] = partitionBy.flatMap { c =>
     if (agg.isDefined) None
     else fullSchema.fields.find(_.name == c).flatMap { f =>
-      def decode(v: String): Option[Any] = f.dataType match {
-        case IntegerType | DateType => Some(v.toLong.toInt)
-        case LongType | TimestampType | TimestampNTZType => Some(v.toLong)
-        case DoubleType => Some(v.toDouble)
-        case StringType => Some(UTF8String.fromString(v))
-        case _ => None
-      }
       val keyed = kept.map { t =>
         t.stats.get(c) match {
           case Some(st) if st.nulls == 0L && st.min.isDefined && st.min == st.max =>
-            decode(st.min.get).map(_ -> t)
+            TileFormat.decodeStat(f.dataType, st.min.get).map(_ -> t)
           case _ => None
         }
       }
@@ -473,7 +537,7 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = agg match {
-    case Some((_, row)) => Array(GraftAggPartition(row))
+    case Some((_, rows)) => Array(GraftAggPartition(rows))
     case None => keyGroups match {
       case Some(gs) => gs.map { case (k, ts) =>
         GraftTileKeyPartition(ts.map(t =>
@@ -608,10 +672,11 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case GraftAggPartition(values) => new PartitionReader[InternalRow] {
-        private var emitted = false
-        override def next(): Boolean = { val go = !emitted; emitted = true; go }
-        override def get(): InternalRow = new GenericInternalRow(values.clone())
+      case GraftAggPartition(rows) => new PartitionReader[InternalRow] {
+        private val it = rows.iterator
+        private var current: Array[Any] = _
+        override def next(): Boolean = { val go = it.hasNext; if (go) current = it.next(); go }
+        override def get(): InternalRow = new GenericInternalRow(current.clone())
         override def close(): Unit = ()
       }
       case GraftTileKeyPartition(tiles, _) =>
@@ -743,9 +808,14 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
       * partitioned joins). Appends ADOPT the table's existing partition
       * column so the property survives follow-up writes. */
     private val partitionBy: Option[String] =
-      Option(options.get("partition_by")).map(_.trim).filter(_.nonEmpty)
-        .orElse(if (truncateFirst) None
-        else TileFormat.readManifest(dir).flatMap(_.partitionBy))
+      Option(options.get("partition_by")) match {
+        case Some(v) if v.trim.isEmpty => None // explicit un-partition
+        case Some(v) => Some(v.trim)
+        // partitioning is TABLE metadata (the Iceberg stance): appends AND
+        // overwrites adopt it from the manifest (a DDL PARTITIONED BY or a
+        // previous write's option) unless this write names its own
+        case None => TileFormat.readManifest(dir).flatMap(_.partitionBy)
+      }
     partitionBy.foreach { c =>
       require(clusterBy.isEmpty,
         "graft-tiles: partition_by and cluster_by are mutually exclusive " +

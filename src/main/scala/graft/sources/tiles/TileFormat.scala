@@ -158,6 +158,18 @@ object TileFormat {
   private def lockFor(dir: String): Object =
     publishLocks.computeIfAbsent(new File(dir).getAbsolutePath, _ => new Object)
 
+  /** Decode a zone-map stat string back to the column's INTERNAL Catalyst
+    * value (Int days / Long micros / Double / UTF8String) — the
+    * representation `InternalRow`s carry. None for untracked types. Used
+    * by key-grouped partition reporting and metadata GROUP BY answers. */
+  def decodeStat(dt: DataType, v: String): Option[Any] = dt match {
+    case IntegerType | DateType => Some(v.toLong.toInt)
+    case LongType | TimestampType | TimestampNTZType => Some(v.toLong)
+    case DoubleType => Some(v.toDouble)
+    case StringType => Some(UTF8String.fromString(v))
+    case _ => None
+  }
+
   /** Column types that carry min/max zone maps. Strings are tracked too
     * (UTF-8 binary order — Spark's own string comparison), with long
     * bounds dropped per [[StringStatMaxBytes]]; booleans only track null

@@ -1035,6 +1035,62 @@ class TilesSpec extends SparkSpec {
       "a multi-value tile must disable the key-grouped report")
   }
 
+  test("PARTITIONED BY + metadata GROUP BY: grouped agg answers with zero tiles opened") {
+    val wh = tmp("tiles_spec_pby_wh")
+    spark.conf.set("spark.sql.catalog.tpby",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tpby.warehouse", wh)
+    spark.sql("""CREATE TABLE tpby.db.t (status STRING, k BIGINT, v DOUBLE)
+                 PARTITIONED BY (status)""")
+    // DESCRIBE-level surface: the table reports its identity transform
+    val cat = spark.sessionState.catalogManager.catalog("tpby")
+      .asInstanceOf[graft.sources.tiles.GraftTileCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(cat.loadTable(Identifier.of(Array("db"), "t")).partitioning()
+      .map(_.describe()).toSeq === Seq("status")) // identity(c) describes as c
+    val orders = Tables(spark, sf001).orders
+    // plain INSERT adopts the table's partitioning: no write options here
+    orders.select(col("o_orderstatus").as("status"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"))
+      .writeTo("tpby.db.t").append()
+    val m = TileFormat.readManifest(s"$wh/db/t").get
+    assert(m.partitionBy === Some("status"))
+    assert(m.tiles.forall(t => t.stats("status").min == t.stats("status").max))
+    // the grouped aggregate is answered from the manifest: ZERO tiles open
+    TileFormat.tilesOpened.set(0L)
+    val got = spark.sql(
+      """SELECT status, count(*) AS n, count(v) AS nv,
+           min(k) AS mn, max(k) AS mx FROM tpby.db.t GROUP BY status""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(TileFormat.tilesOpened.get() === 0L,
+      "metadata GROUP BY must not open tiles")
+    val exp = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)), count(col("o_totalprice")),
+        min("o_orderkey"), max("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === exp.toSeq)
+    // a grouped agg on a NON-single-valued column is NOT pushed (and the
+    // row-level answer is still exact)
+    TileFormat.tilesOpened.set(0L)
+    val byK = spark.sql(
+      "SELECT k % 2 AS b, count(*) AS n FROM tpby.db.t GROUP BY k % 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(TileFormat.tilesOpened.get() > 0L, "non-partition GROUP BY must scan")
+    assert(byK.map(_._2).sum === orders.count())
+    // DVs keep CountStar-only pushdown honest: after a row-level DELETE the
+    // grouped COUNT(v)/MIN/MAX must decline (it scans) yet stay exact
+    spark.sql("DELETE FROM tpby.db.t WHERE k < 100")
+    val afterDel = spark.sql(
+      """SELECT status, count(*) AS n, min(k) AS mn FROM tpby.db.t GROUP BY status""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val expDel = orders.filter(col("o_orderkey") >= 100)
+      .groupBy("o_orderstatus").agg(count(lit(1)), min("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(afterDel.toSeq === expDel.toSeq)
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
