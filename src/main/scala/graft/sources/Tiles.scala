@@ -438,7 +438,38 @@ object Tiles {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** S32 — time travel: every manifest publish keeps its version in
+    * history and no commit path unlinks previous generations' tiles, so
+    * `version_at=<commit_seq>` (or SQL `VERSION AS OF`) plans against the
+    * old manifest with the full pushdown machinery. The entry reads the
+    * SAME table at two versions — pre-DELETE (seq 1) and current (post-
+    * DELETE) — and the oracle recomputes both snapshots from the origin
+    * table: it passes only if the pinned read sees exactly the deleted
+    * rows back and the current read sees exactly the survivors. */
+  private val timeTravelQ: Q = (s, dir) => {
+    val out = tmpDir("tiles_orders_tt")
+    wipe(out)
+    val base = Tables(s, dir).orders
+    base.filter(year(col("o_orderdate")) < 1998)
+      .write.format(Fmt).mode("overwrite").save(out) // commit_seq 0
+    base.filter(year(col("o_orderdate")) >= 1998)
+      .write.format(Fmt).mode("append").save(out) // commit_seq 1: full table
+    val table = new graft.sources.tiles.GraftTileTable(out,
+      graft.sources.tiles.TileFormat.readManifest(out).get.schema)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan(
+        "o_totalprice", java.lang.Double.valueOf(50000.0)))) // commit_seq 2
+    def snap(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key")).withColumn("snap", lit(tag))
+        .select("snap", "n", "total", "min_key")
+    snap(s.read.format(Fmt).option("version_at", "1").load(out), "v1")
+      .unionAll(snap(s.read.format(Fmt).load(out), "current"))
+      .orderBy("snap")
+  }
+
   val entries: Map[String, Q] = Map(
+    "s32_tiles_time_travel" -> timeTravelQ,
     "s29_tiles_merge_upsert" -> mergeUpsertQ,
     "s30_tiles_spj" -> spjQ,
     "s31_tiles_group_meta" -> groupMetaQ,
@@ -458,6 +489,17 @@ object Tiles {
   )
 
   val oracles: Map[String, String] = Map(
+    "s32_tiles_time_travel" ->
+      """SELECT 'current' AS snap, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders WHERE o_totalprice >= 50000.0
+        |UNION ALL
+        |SELECT 'v1' AS snap, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders
+        |ORDER BY snap""".stripMargin,
     "s31_tiles_group_meta" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

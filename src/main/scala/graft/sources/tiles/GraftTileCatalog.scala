@@ -64,6 +64,24 @@ class GraftTileCatalog extends TableCatalog {
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** SQL time travel (r13): `SELECT ... FROM tiles.db.t VERSION AS OF <seq>`
+    * — the version string is a commit_seq; the returned table is pinned to
+    * that committed manifest (read-only, schema AS OF that version). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident).getAbsolutePath
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val seq = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-tiles: VERSION AS OF expects a commit_seq number, got '$version'")
+    }
+    TileFormat.readManifestVersion(dir, seq) match {
+      case Some(m) => new GraftTileTable(dir, m.schema, Some(seq))
+      case None => throw new IllegalArgumentException(
+        s"graft-tiles: no committed version $seq for $ident (vacuumed or never " +
+          s"written; available: ${TileFormat.listVersions(dir).mkString(", ")})")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

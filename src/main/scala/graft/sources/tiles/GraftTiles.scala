@@ -64,6 +64,20 @@ import TileFormat.{ColStats, TileMeta}
   *    that split a tile are rewritten to per-tile deletion vectors instead
   *    of being rejected (r12); provably all-match tiles still drop as pure
   *    manifest edits and provably no-match tiles are never opened.
+  *  - '''MERGE (keyed upsert)''' (r13): [[GraftTileMaintenance.mergeUpsert]]
+  *    — matched target rows DV'd, source appended as new tiles, ONE atomic
+  *    manifest swap; fully-dead tiles drop from the manifest.
+  *  - '''Storage-partitioned joins''' (r13): `SupportsReportPartitioning` —
+  *    a `partition_by=c` table holds one value of `c` per tile (the writer
+  *    seals at value boundaries) and the scan reports
+  *    `KeyGroupedPartitioning(identity(c))`, so two same-key tables join
+  *    with ZERO shuffle Exchanges; `GROUP BY c` aggregates answer straight
+  *    from the manifest (complete pushdown, zero tiles opened). Validated
+  *    per tile from the zone maps — a nonconforming tile degrades the
+  *    report, never the answer.
+  *  - '''Optimistic concurrency''' (r13): every manifest publish CAS-checks
+  *    the `commit_seq` its edit was read at; a racing commit loses LOUDLY
+  *    (orphaned tiles, table unchanged), never silently.
   *
   * Reference behavior twin: the reference's warehouse reads partition- and
   * predicate-pruned parquet (SURVEY §2.1, `ex03` layout); this connector
@@ -81,29 +95,48 @@ class GraftTilesSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TileFormat.readManifest(path(options)).map(_.schema).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-tiles: no ${TileFormat.ManifestName} under ${path(options)} — " +
-          "write the table first or pass an explicit schema"))
+  private def versionAt(get: String => String): Option[Long] =
+    Option(get("version_at")).map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-tiles: version_at must be a commit_seq number, got '$v'")
+      }
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = path(options)
+    versionAt(options.get) match {
+      case Some(seq) => TileFormat.readManifestVersion(dir, seq).map(_.schema)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-tiles: no committed version $seq under $dir (vacuumed or " +
+            s"never written; available: ${TileFormat.listVersions(dir).mkString(", ")})"))
+      case None => TileFormat.readManifest(dir).map(_.schema).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tiles: no ${TileFormat.ManifestName} under $dir — " +
+            "write the table first or pass an explicit schema"))
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val dir = properties.get("path")
     require(dir != null && dir.nonEmpty, "graft-tiles requires a path property")
     GraftTilesSource.validateSchema(schema)
+    val pinned = versionAt(properties.get)
     // a caller-supplied schema (supportsExternalMetadata) must agree with
     // the published manifest, else the positional tile chunks would be
     // misparsed into garbage (ADVICE r11) — tile schemas are immutable;
-    // evolve by writing a new path or DROP + CREATE
-    TileFormat.readManifest(dir).foreach { m =>
+    // evolve by writing a new path or DROP + CREATE. A version-pinned read
+    // checks against ITS version's schema (pre-ADD-COLUMN reads are real).
+    pinned.map(seq => TileFormat.readManifestVersion(dir, seq))
+      .getOrElse(TileFormat.readManifest(dir)).foreach { m =>
       val have = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
       require(have == want,
         s"graft-tiles: schema ${schema.simpleString} does not match the " +
           s"table's manifest schema ${m.schema.simpleString} under $dir")
     }
-    new GraftTileTable(dir, schema)
+    new GraftTileTable(dir, schema, pinned)
   }
 }
 
@@ -118,9 +151,14 @@ object GraftTilesSource {
     }
 }
 
-class GraftTileTable(dir: String, tableSchema: StructType)
+class GraftTileTable(dir: String, tableSchema: StructType,
+                     versionAt: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsDelete {
+
+  private def readOnlyPin(): Unit = versionAt.foreach(v =>
+    throw new UnsupportedOperationException(
+      s"graft-tiles: table is pinned to version $v (time travel) — read-only"))
 
   /** DELETE support contract (r12): any predicate the row-exact compiler
     * handles is accepted — provably all-match tiles drop as pure manifest
@@ -133,6 +171,7 @@ class GraftTileTable(dir: String, tableSchema: StructType)
     filters.forall(f => TileFormat.compilePredicate(tableSchema, f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    readOnlyPin()
     val m = TileFormat.readManifest(dir).getOrElse(return)
     val updated = GraftTileTable.survivorsUnderDelete(dir, m, filters)
     // Manifest-first publish, and the dropped tiles STAY on disk as
@@ -182,10 +221,12 @@ class GraftTileTable(dir: String, tableSchema: StructType)
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTileScanBuilder(dir, tableSchema)
+    new GraftTileScanBuilder(dir, tableSchema, versionAt)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    readOnlyPin()
     new GraftTileWriteBuilder(dir, info.schema(), info.options(), info.queryId())
+  }
 }
 
 object GraftTileTable {
@@ -229,14 +270,25 @@ object GraftTileTable {
 
 // ---------------------------------------------------------------- read path
 
-class GraftTileScanBuilder(dir: String, fullSchema: StructType)
+class GraftTileScanBuilder(dir: String, fullSchema: StructType,
+                           versionAt: Option[Long] = None)
   extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private val manifest: Option[TileFormat.ManifestData] = TileFormat.readManifest(dir)
+  /** Time travel (r13): a pinned read plans against the VERSIONED manifest
+    * — every commit keeps its manifest in history and no commit path
+    * unlinks previous generations' tiles, so the old version's whole
+    * pushdown/prune machinery still works, until an explicit vacuum. */
+  private val manifest: Option[TileFormat.ManifestData] = versionAt match {
+    case Some(seq) => Some(TileFormat.readManifestVersion(dir, seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tiles: no committed version $seq under $dir (vacuumed or never " +
+          s"written; available: ${TileFormat.listVersions(dir).mkString(", ")})")))
+    case None => TileFormat.readManifest(dir)
+  }
   private val tiles: Seq[TileMeta] = manifest.map(_.tiles).getOrElse(Seq.empty)
 
   private var required: StructType = fullSchema
@@ -427,7 +479,7 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType)
 
   override def build(): Scan =
     new GraftTileScan(dir, fullSchema, required, pushed, tiles, aggResult, limit,
-      manifest.flatMap(_.partitionBy))
+      manifest.flatMap(_.partitionBy), versionAt)
 }
 
 /** One committed tile = one input partition; `dv` is the tile's sorted
@@ -452,7 +504,8 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
                     pushed: Array[Filter], allTiles: Seq[TileMeta],
                     agg: Option[(StructType, Seq[Array[Any]])],
                     limit: Option[Int] = None,
-                    partitionBy: Option[String] = None)
+                    partitionBy: Option[String] = None,
+                    versionPinned: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -558,8 +611,11 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionPinned.isEmpty,
+      "graft-tiles: a version-pinned (time travel) read cannot stream")
     new GraftTileMicroBatchStream(dir, fullSchema, required, pushed)
+  }
 }
 
 /** Streaming-read offset: (generation, tiles delivered). The manifest's

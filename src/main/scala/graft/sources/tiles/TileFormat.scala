@@ -341,17 +341,51 @@ object TileFormat {
               s"${onDisk.map(_.toString).getOrElse("no manifest")} — another commit " +
               "landed since this edit was read; re-read and retry")
       }
-      Files.write(tmp, render(onDisk.map(_ + 1L).getOrElse(0L)))
+      val seq = onDisk.map(_ + 1L).getOrElse(0L)
+      val bytes = render(seq)
+      Files.write(tmp, bytes)
       Files.move(tmp, Paths.get(dir, ManifestName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // Manifest HISTORY (r13 time travel): every committed version is also
+      // kept as a write-once versioned file. Old versions' tiles are
+      // already on disk (no commit path unlinks previous generations), so
+      // `VERSION AS OF <seq>` is just "plan against the old manifest".
+      // Best-effort after the atomic publish: a crash here costs one
+      // history entry, never the table.
+      try Files.write(Paths.get(dir, versionedManifestName(seq)), bytes)
+      catch { case _: Throwable => () }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  def versionedManifestName(seq: Long): String = s"_graft_manifest.v$seq.json"
+
+  /** Read one committed HISTORY version (the `commit_seq` it was published
+    * at). None when that version was never written or has been vacuumed. */
+  def readManifestVersion(dir: String, seq: Long): Option[ManifestData] = {
+    val p = Paths.get(dir, versionedManifestName(seq))
+    if (!Files.exists(p)) None
+    else parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Committed history versions still on disk, ascending. */
+  def listVersions(dir: String): Seq[Long] = {
+    val VName = ("_graft_manifest\\.v(\\d+)\\.json").r
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .flatMap(f => f.getName match {
+        case VName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted.toSeq
   }
 
   def readManifest(dir: String): Option[ManifestData] = {
     val p = Paths.get(dir, ManifestName)
     if (!Files.exists(p)) return None
+    parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private def parseManifest(text: String): Option[ManifestData] = {
     implicit val formats: Formats = DefaultFormats
-    val j = JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val j = JsonMethods.parse(text)
     val schema = DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType]
     val tiles = (j \ "tiles") match {
       case JArray(arr) => arr.map { t =>
@@ -389,12 +423,19 @@ object TileFormat {
     * an in-flight commit that has renamed tiles but not yet published;
     * single-process grading has no such window. Returns the deleted names. */
   def vacuumOrphans(dir: String): Seq[String] = {
-    val live = readManifest(dir).map(_.tiles.map(_.file).toSet).getOrElse(Set.empty[String])
+    val m = readManifest(dir)
+    val live = m.map(_.tiles.map(_.file).toSet).getOrElse(Set.empty[String])
+    val currentVersion = m.map(x => versionedManifestName(x.commitSeq))
     val orphans = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => (f.getName.startsWith("tile-") && f.getName.endsWith(".gtile") &&
         !live(f.getName)) ||
         // staged manifests a crash left between render and atomic move
-        f.getName.startsWith(ManifestName + ".tmp"))
+        f.getName.startsWith(ManifestName + ".tmp") ||
+        // history manifests except the current version: VACUUM truncates
+        // time travel, exactly Delta's retention trade (the versions'
+        // tiles are being reclaimed on the line above)
+        (f.getName.matches("_graft_manifest\\.v\\d+\\.json") &&
+          !currentVersion.contains(f.getName)))
     orphans.foreach(_.delete())
     orphans.map(_.getName).toSeq
   }

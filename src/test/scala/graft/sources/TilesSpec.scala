@@ -71,7 +71,10 @@ class TilesSpec extends SparkSpec {
     }
     // the explicit reclaim step removes exactly the orphans
     val removed = TileFormat.vacuumOrphans(dir)
-    assert(removed.toSet === oldManifest.tiles.map(_.file).toSet)
+    // (r13: vacuum also truncates the manifest HISTORY to the current
+    // version — compare the tile subset)
+    assert(removed.filter(_.endsWith(".gtile")).toSet ===
+      oldManifest.tiles.map(_.file).toSet)
     val tilesOnDisk = new java.io.File(dir).listFiles()
       .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
     val manifestTiles = TileFormat.readManifest(dir).get.tiles.size
@@ -422,7 +425,7 @@ class TilesSpec extends SparkSpec {
     }
     // the explicit reclaim removes exactly the dropped tiles
     val delOrphans = TileFormat.vacuumOrphans(s"$wh/db/t")
-    assert(delOrphans.toSet ===
+    assert(delOrphans.filter(_.endsWith(".gtile")).toSet ===
       preDelete.tiles.map(_.file).toSet -- after.map(_.file).toSet)
     val onDisk = new java.io.File(s"$wh/db/t").listFiles()
       .count(f => f.getName.startsWith("tile-") && f.getName.endsWith(".gtile"))
@@ -1089,6 +1092,50 @@ class TilesSpec extends SparkSpec {
       .groupBy("o_orderstatus").agg(count(lit(1)), min("o_orderkey"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(afterDel.toSeq === expDel.toSeq)
+  }
+
+  test("time travel: version-pinned reads, SQL VERSION AS OF, vacuum truncates history") {
+    import spark.implicits._
+    val wh = tmp("tiles_spec_tt_wh")
+    spark.conf.set("spark.sql.catalog.ttt",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ttt.warehouse", wh)
+    val dir = s"$wh/db/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.format(Fmt).mode("overwrite").save(dir) // seq 0
+    Seq((3L, "c")).toDF("k", "v")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir) // seq 1
+    spark.sql("DELETE FROM ttt.db.t WHERE k <= 2") // seq 2
+    spark.sql("ALTER TABLE ttt.db.t ADD COLUMN w DOUBLE") // seq 3
+    assert(TileFormat.listVersions(dir) === Seq(0L, 1L, 2L, 3L))
+    // pinned reads see each snapshot exactly
+    def at(seq: Long) = spark.read.format(Fmt)
+      .option("version_at", seq.toString).load(dir)
+    assert(at(0L).as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(at(1L).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(at(2L).as[(Long, String)].collect().toSet === Set((3L, "c")))
+    // schema is AS OF the version: pre-evolution pins have no `w`
+    assert(at(1L).schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(at(3L).schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    // SQL VERSION AS OF through the catalog
+    assert(spark.sql("SELECT k FROM ttt.db.t VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // pinned tables are read-only
+    val e = intercept[Exception] {
+      Seq((9L, "z")).toDF("k", "v").write.format(Fmt).mode("append")
+        .option("version_at", "1").save(dir)
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // a missing version names the survivors
+    val e2 = intercept[Exception] { at(99L).collect() }
+    assert(e2.getMessage.contains("no committed version 99"), e2.getMessage)
+    // vacuum reclaims old generations AND truncates history to current
+    TileFormat.vacuumOrphans(dir)
+    assert(TileFormat.listVersions(dir) === Seq(3L))
+    intercept[Exception] { at(1L).collect() } // time travel ends at vacuum
+    assert(spark.read.format(Fmt).load(dir).select("k", "v")
+      .as[(Long, String)].collect().toSet === Set((3L, "c")), "vacuum touched live data")
   }
 
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
