@@ -92,7 +92,7 @@ object Bench {
     "s23_tiles_delete_rows", "s24_tiles_string_prune", "ann_mmr_rerank",
     "s25_tiles_compact", "s26_tiles_stream_source", "s27_tiles_replace_where",
     "s28_tiles_add_column", "s29_tiles_merge_upsert", "s30_tiles_spj",
-    "s31_tiles_group_meta", "s32_tiles_time_travel",
+    "s31_tiles_group_meta", "s32_tiles_time_travel", "s33_tiles_bloom_point",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

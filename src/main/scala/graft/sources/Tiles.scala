@@ -468,7 +468,31 @@ object Tiles {
       .orderBy("snap")
   }
 
+  /** S33 — bloom-sidecar point lookup: the table is key-clustered (so
+    * o_custkey is SCATTERED across tiles and zone maps cannot prune a
+    * custkey probe) with `bloom_columns=o_custkey`; the IN probe then
+    * prunes through the per-tile blooms (suite-pinned on a synthetic
+    * needle fixture; this entry grades the bloom path's EXACTNESS — a
+    * false drop would lose rows and fail the oracle). The 100-TB shape:
+    * `WHERE user_id = ?` on a time-partitioned events table — the lookup
+    * that reads 3 files instead of 30,000. */
+  private val bloomPointQ: Q = (s, dir) => {
+    val out = tmpDir("tiles_orders_bloom")
+    wipe(out)
+    Tables(s, dir).orders
+      .write.format(Fmt).mode("overwrite")
+      .option("cluster_by", "o_orderkey").option("write_partitions", "8")
+      .option("bloom_columns", "o_custkey").save(out)
+    s.read.format(Fmt).load(out)
+      .filter(col("o_custkey").isin(7L, 11L, 13L, 964L))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_custkey")
+  }
+
   val entries: Map[String, Q] = Map(
+    "s33_tiles_bloom_point" -> bloomPointQ,
     "s32_tiles_time_travel" -> timeTravelQ,
     "s29_tiles_merge_upsert" -> mergeUpsertQ,
     "s30_tiles_spj" -> spjQ,
@@ -489,6 +513,12 @@ object Tiles {
   )
 
   val oracles: Map[String, String] = Map(
+    "s33_tiles_bloom_point" ->
+      """SELECT o_custkey, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders WHERE o_custkey IN (7, 11, 13, 964)
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "s32_tiles_time_travel" ->
       """SELECT 'current' AS snap, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

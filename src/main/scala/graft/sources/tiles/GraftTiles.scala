@@ -513,8 +513,21 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   private val afterPushdown: Seq[TileMeta] =
     allTiles.filter(t => pushed.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
 
+  // bloom prune (r13): equality-shaped pushed filters additionally test
+  // each zone-map survivor's sidecar — the point-lookup case min/max
+  // cannot prune on an unclustered column. Sidecars are opened at most
+  // once per tile, only when a probed column actually carries a bloom;
+  // any parse problem answers "may match" (IO cost, never correctness).
+  private val afterBloom: Seq[TileMeta] =
+    if (pushed.isEmpty || afterPushdown.forall(_.bloomCols.isEmpty)) afterPushdown
+    else afterPushdown.filter { t =>
+      lazy val sidecar = TileFormat.readBloomSidecar(
+        new File(dir, TileFormat.bloomSidecarName(t.file)))
+      pushed.forall(f => TileFormat.bloomMayMatch(fullSchema, t, f, sidecar))
+    }
+
   // runtime (DPP) prune narrows this further before planInputPartitions
-  @volatile private var kept: Seq[TileMeta] = afterPushdown
+  @volatile private var kept: Seq[TileMeta] = afterBloom
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
 
@@ -900,12 +913,25 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
       .map(_.toLong).getOrElse(TileFormat.DefaultTileBytes)
     private val targetRows: Long = Option(options.get("target_tile_rows"))
       .map(_.toLong).getOrElse(TileFormat.DefaultTileRows)
+    /** Bloom sidecars (r13): `bloom_columns=c1,c2` — per-tile bloom filters
+      * for point-lookup pruning on columns the tiles are NOT clustered by
+      * (the case zone maps cannot prune). */
+    private val bloomCols: Array[String] =
+      Option(options.get("bloom_columns"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    bloomCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-tiles: bloom_columns column `$c` is not in the write schema")
+      require(TileFormat.statTracked(schema(c).dataType),
+        s"graft-tiles: bloom_columns column `$c` (${schema(c).dataType.sql}) " +
+          "is not bloom-indexable")
+    }
     override def toBatch: BatchWrite =
       new GraftTileBatchWrite(dir, schema, truncateFirst, replaceWhere,
-        targetBytes, targetRows, partitionBy)
+        targetBytes, targetRows, partitionBy, bloomCols)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftTileStreamingWrite(dir, schema, queryId, targetBytes, targetRows,
-        partitionBy)
+        partitionBy, bloomCols)
     override def description(): String = {
       val mode =
         if (truncateFirst) "overwrite"
@@ -920,7 +946,27 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
   * `finalName` by the DRIVER's commit (never by the task — a speculative
   * twin must not publish). */
 case class TilePart(tmpName: String, finalName: String, rows: Long,
-                    bytes: Long, stats: Map[String, ColStats])
+                    bytes: Long, stats: Map[String, ColStats],
+                    bloomCols: Seq[String] = Nil) {
+  /** Driver-side publish of this staged tile: rename it (and its bloom
+    * sidecar) in, return its manifest entry. Shared by every commit path
+    * so a sidecar can never be left behind under its tmp name. */
+  def commitTo(d: java.io.File): TileMeta = {
+    val ok = new java.io.File(d, tmpName).renameTo(new java.io.File(d, finalName))
+    require(ok, s"graft-tiles: commit rename failed for $tmpName")
+    if (bloomCols.nonEmpty) {
+      val bOk = new java.io.File(d, TileFormat.bloomSidecarName(tmpName))
+        .renameTo(new java.io.File(d, TileFormat.bloomSidecarName(finalName)))
+      require(bOk, s"graft-tiles: bloom sidecar rename failed for $tmpName")
+    }
+    TileMeta(finalName, rows, bytes, stats, Nil, bloomCols)
+  }
+  def abortIn(d: java.io.File): Unit = {
+    new java.io.File(d, tmpName).delete()
+    if (bloomCols.nonEmpty)
+      new java.io.File(d, TileFormat.bloomSidecarName(tmpName)).delete()
+  }
+}
 
 /** A task's commit message: ALL tiles it sealed. One task emits multiple
   * tiles since r13 — the writer rolls at a byte/row bound instead of
@@ -931,12 +977,13 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
                           replaceWhere: Option[Array[Filter]] = None,
                           targetBytes: Long = TileFormat.DefaultTileBytes,
                           targetRows: Long = TileFormat.DefaultTileRows,
-                          partitionBy: Option[String] = None)
+                          partitionBy: Option[String] = None,
+                          bloomCols: Array[String] = Array.empty)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftTileWriterFactory(dir, schema.json, targetBytes, targetRows,
-      partitionBy.map(schema.fieldIndex))
+      partitionBy.map(schema.fieldIndex), bloomCols.map(schema.fieldIndex))
 
   /** Driver-side publish: rename task files in, then write the manifest
     * atomically — and NOTHING else. Readers see the previous table version
@@ -962,12 +1009,7 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
     val fresh = messages.toSeq.flatMap {
       case m: GraftTileCommitMessage => m.parts
       case _ => Seq.empty
-    }.collect {
-      case p if p.rows > 0 =>
-        val ok = new File(d, p.tmpName).renameTo(new File(d, p.finalName))
-        require(ok, s"graft-tiles: commit rename failed for ${p.tmpName}")
-        TileMeta(p.finalName, p.rows, p.bytes, p.stats)
-    }
+    }.collect { case p if p.rows > 0 => p.commitTo(d) }
     if (truncateFirst) {
       // truncate resets data, streaming history, and query identity; old
       // generation files intentionally NOT deleted here (manifest-first);
@@ -1008,8 +1050,7 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: GraftTileCommitMessage =>
-        m.parts.foreach(p => new File(new File(dir), p.tmpName).delete())
+      case m: GraftTileCommitMessage => m.parts.foreach(_.abortIn(new File(dir)))
       case _ => ()
     }
 }
@@ -1017,12 +1058,13 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
 class GraftTileWriterFactory(dir: String, schemaJson: String,
                              targetBytes: Long = TileFormat.DefaultTileBytes,
                              targetRows: Long = TileFormat.DefaultTileRows,
-                             partitionByIdx: Option[Int] = None)
+                             partitionByIdx: Option[Int] = None,
+                             bloomIdx: Array[Int] = Array.empty)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GraftTileWriter(dir, schema, partitionId, taskId, targetBytes, targetRows,
-      partitionByIdx)
+      partitionByIdx, bloomIdx)
   }
 }
 
@@ -1040,7 +1082,8 @@ class GraftTileWriterFactory(dir: String, schemaJson: String,
 class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
                       targetBytes: Long = TileFormat.DefaultTileBytes,
                       targetRows: Long = TileFormat.DefaultTileRows,
-                      partitionByIdx: Option[Int] = None)
+                      partitionByIdx: Option[Int] = None,
+                      bloomIdx: Array[Int] = Array.empty)
   extends DataWriter[InternalRow] {
 
   require(targetBytes > 0L && targetRows > 0L,
@@ -1064,7 +1107,12 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private var seenD: Array[Boolean] = _
   private var minS: Array[UTF8String] = _
   private var maxS: Array[UTF8String] = _
+  // bloom sidecar state: one hash buffer per opted-in column, sized into
+  // a filter at seal time (when the tile's row count is known)
+  private var bloomBufs: Array[scala.collection.mutable.ArrayBuffer[Long]] = _
   private def reset(): Unit = {
+    bloomBufs = Array.fill(bloomIdx.length)(
+      new scala.collection.mutable.ArrayBuffer[Long](256))
     bufs = Array.fill(n)(new ByteArrayOutputStream(8192))
     outs = bufs.map(b => new DataOutputStream(b))
     rows = 0L
@@ -1125,7 +1173,20 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     }.toMap
     val file = new File(dir, tmpName(seq))
     TileFormat.assembleTile(file, rows, bufs.map(_.toByteArray))
-    parts += TilePart(tmpName(seq), finalName(seq), rows, file.length(), stats)
+    val bloomCols: Seq[String] =
+      if (bloomIdx.isEmpty) Nil
+      else {
+        val blooms = bloomIdx.indices.map { bi =>
+          val words = new Array[Long](TileFormat.bloomWords(rows))
+          bloomBufs(bi).foreach(h => TileFormat.bloomAdd(words, TileFormat.BloomK, h))
+          schema(bloomIdx(bi)).name -> words
+        }
+        TileFormat.writeBloomSidecar(
+          new File(dir, TileFormat.bloomSidecarName(tmpName(seq))), blooms)
+        blooms.map(_._1)
+      }
+    parts += TilePart(tmpName(seq), finalName(seq), rows, file.length(), stats,
+      bloomCols)
     seq += 1
     reset()
   }
@@ -1143,6 +1204,21 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
 
   override def write(record: InternalRow): Unit = {
     if (partIdx >= 0) keyBoundaryRoll(record)
+    var b = 0
+    while (b < bloomIdx.length) {
+      val ci = bloomIdx(b)
+      if (!record.isNullAt(ci)) {
+        val h = (tags(ci): @annotation.switch) match {
+          case TileFormat.TagInt => TileFormat.bloomHashLong(record.getInt(ci).toLong)
+          case TileFormat.TagLong => TileFormat.bloomHashLong(record.getLong(ci))
+          case TileFormat.TagDouble => TileFormat.bloomHashDouble(record.getDouble(ci))
+          case TileFormat.TagString => TileFormat.bloomHashUTF8(record.getUTF8String(ci))
+          case _ => 0L // unreachable: bool columns are rejected at build
+        }
+        bloomBufs(b) += h
+      }
+      b += 1
+    }
     var i = 0
     while (i < n) {
       val out = outs(i)
@@ -1196,7 +1272,11 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   }
 
   override def abort(): Unit = {
-    parts.foreach(p => new File(dir, p.tmpName).delete())
+    parts.foreach { p =>
+      new File(dir, p.tmpName).delete()
+      if (p.bloomCols.nonEmpty)
+        new File(dir, TileFormat.bloomSidecarName(p.tmpName)).delete()
+    }
     parts.clear()
   }
 
@@ -1224,13 +1304,14 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
 class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
                               targetBytes: Long = TileFormat.DefaultTileBytes,
                               targetRows: Long = TileFormat.DefaultTileRows,
-                              partitionBy: Option[String] = None)
+                              partitionBy: Option[String] = None,
+                              bloomCols: Array[String] = Array.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
   : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftTileStreamingWriterFactory(dir, schema.json, targetBytes, targetRows,
-      partitionBy.map(schema.fieldIndex))
+      partitionBy.map(schema.fieldIndex), bloomCols.map(schema.fieldIndex))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
@@ -1245,12 +1326,7 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
     val fresh = messages.toSeq.flatMap {
       case m: GraftTileCommitMessage => m.parts
       case _ => Seq.empty
-    }.collect {
-      case p if p.rows > 0 =>
-        val ok = new File(d, p.tmpName).renameTo(new File(d, p.finalName))
-        require(ok, s"graft-tiles: epoch $epochId commit rename failed for ${p.tmpName}")
-        TileMeta(p.finalName, p.rows, p.bytes, p.stats)
-    }
+    }.collect { case p if p.rows > 0 => p.commitTo(d) }
     TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
       existing ++ fresh, epochId, Some(queryId),
       prior.map(_.generation).getOrElse(0L),
@@ -1261,8 +1337,7 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: GraftTileCommitMessage =>
-        m.parts.foreach(p => new File(new File(dir), p.tmpName).delete())
+      case m: GraftTileCommitMessage => m.parts.foreach(_.abortIn(new File(dir)))
       case _ => ()
     }
 }
@@ -1270,12 +1345,13 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
 class GraftTileStreamingWriterFactory(dir: String, schemaJson: String,
                                       targetBytes: Long = TileFormat.DefaultTileBytes,
                                       targetRows: Long = TileFormat.DefaultTileRows,
-                                      partitionByIdx: Option[Int] = None)
+                                      partitionByIdx: Option[Int] = None,
+                                      bloomIdx: Array[Int] = Array.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GraftTileWriter(dir, schema, partitionId, taskId, targetBytes, targetRows,
-      partitionByIdx)
+      partitionByIdx, bloomIdx)
   }
 }

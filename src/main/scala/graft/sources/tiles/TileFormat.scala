@@ -100,7 +100,8 @@ object TileFormat {
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
 
   final case class TileMeta(file: String, rows: Long, bytes: Long,
-                            stats: Map[String, ColStats], dv: Seq[Long] = Nil) {
+                            stats: Map[String, ColStats], dv: Seq[Long] = Nil,
+                            bloomCols: Seq[String] = Nil) {
     def liveRows: Long = rows - dv.length
   }
 
@@ -313,7 +314,9 @@ object TileFormat {
               ("stats" -> JObject(t.stats.toList.sortBy(_._1).map { case (c, s) =>
                 c -> (("min" -> s.min) ~ ("max" -> s.max) ~ ("nulls" -> s.nulls))
               }))
-            if (t.dv.isEmpty) base else base ~ ("dv" -> t.dv)
+            val withDv = if (t.dv.isEmpty) base else base ~ ("dv" -> t.dv)
+            if (t.bloomCols.isEmpty) withDv
+            else withDv ~ ("bloom_cols" -> t.bloomCols)
           })
       JsonMethods.pretty(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8)
     }
@@ -400,8 +403,12 @@ object TileFormat {
           case JArray(ords) => ords.map(_.extract[Long])
           case _ => Nil
         }
+        val bloomCols = (t \ "bloom_cols") match {
+          case JArray(cs) => cs.map(_.extract[String])
+          case _ => Nil
+        }
         TileMeta((t \ "file").extract[String], (t \ "rows").extract[Long],
-          (t \ "bytes").extract[Long], stats, dv)
+          (t \ "bytes").extract[Long], stats, dv, bloomCols)
       }
       case _ => Nil
     }
@@ -429,6 +436,9 @@ object TileFormat {
     val orphans = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => (f.getName.startsWith("tile-") && f.getName.endsWith(".gtile") &&
         !live(f.getName)) ||
+        // bloom sidecars travel with their tile
+        (f.getName.startsWith("tile-") && f.getName.endsWith(".gtile.bloom") &&
+          !live(f.getName.stripSuffix(".bloom"))) ||
         // staged manifests a crash left between render and atomic move
         f.getName.startsWith(ManifestName + ".tmp") ||
         // history manifests except the current version: VACUUM truncates
@@ -438,6 +448,151 @@ object TileFormat {
           !currentVersion.contains(f.getName)))
     orphans.foreach(_.delete())
     orphans.map(_.getName).toSeq
+  }
+
+  // ----------------------------------------------------------- bloom sidecars
+
+  /** Per-tile bloom sidecars (r13): `<tile>.gtile.bloom` holds one bloom
+    * filter per opted-in column (`bloom_columns` write option) — the
+    * point-lookup complement to zone maps. min/max cannot prune an
+    * equality probe on a column the tiles are NOT clustered by (every
+    * tile's range covers the probe value); a bloom can, with ~1% false
+    * positives at ~10 bits/row, k=7 (sized at seal time, when the row
+    * count is known). Sidecars commit, abort, and vacuum WITH their tile;
+    * membership is only ever used to SKIP a tile, so a false positive
+    * costs IO, never correctness, and any missing/corrupt sidecar simply
+    * disables the prune. The same structure as parquet's column bloom
+    * filters / Iceberg's puffin blobs, scaled to the manifest layout. */
+  val BloomMagic = 0x47424C31 // "GBL1"
+  val BloomK = 7
+  private val BloomSeed = 0x9E3779B97F4A7C15L
+
+  def bloomSidecarName(tileFile: String): String = tileFile + ".bloom"
+
+  // writer-facing hashes over the INTERNAL value domain — the literal
+  // side below normalizes into the same domain, so both sides agree
+  def bloomHashLong(l: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(l, BloomSeed)
+  def bloomHashDouble(d: Double): Long =
+    // +0.0/-0.0 compare equal in SQL; normalize so a +0.0 probe cannot
+    // wrongly prune a tile holding -0.0 (NaN canonicalizes via longBits)
+    bloomHashLong(java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d))
+  def bloomHashUTF8(u: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, BloomSeed)
+
+  /** 64-bit hash of a pushed-filter literal in the zone-map domain; None =
+    * unhashable (unsupported type or untranslatable literal) => no prune. */
+  def bloomHash(dt: DataType, v: Any): Option[Long] = dt match {
+    case DoubleType => v match {
+      case d: java.lang.Double => Some(bloomHashDouble(d.doubleValue))
+      case _ => None
+    }
+    case StringType =>
+      val u = v match {
+        case s: String => UTF8String.fromString(s)
+        case s: UTF8String => s
+        case _ => return None
+      }
+      Some(bloomHashUTF8(u))
+    case _ => litToLong(dt, v).map(bloomHashLong)
+  }
+
+  /** Set this hash's k bits (double hashing over one 64-bit value). */
+  def bloomAdd(words: Array[Long], k: Int, h: Long): Unit = {
+    val nbits = words.length.toLong * 64L
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h + i.toLong * h2, nbits)
+      words((bit >>> 6).toInt) |= 1L << (bit & 63L)
+      i += 1
+    }
+  }
+
+  def bloomContains(words: Array[Long], k: Int, h: Long): Boolean = {
+    val nbits = words.length.toLong * 64L
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h + i.toLong * h2, nbits)
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Bloom size for a sealed tile: ~10 bits/row, next power of two, min
+    * 1 KiB — FP ~1% at k=7. */
+  def bloomWords(rows: Long): Int = {
+    val bits = math.max(8192L, java.lang.Long.highestOneBit(rows * 10L - 1L) << 1)
+    (bits >>> 6).toInt
+  }
+
+  def writeBloomSidecar(file: File, blooms: Seq[(String, Array[Long])]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+    try {
+      out.writeInt(BloomMagic)
+      out.writeInt(blooms.length)
+      blooms.foreach { case (name, words) =>
+        val nb = name.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(nb.length); out.write(nb)
+        out.writeInt(BloomK)
+        out.writeInt(words.length)
+        words.foreach(out.writeLong)
+      }
+    } finally out.close()
+  }
+
+  /** Parse a sidecar; None on any problem (prune disabled, never wrong). */
+  def readBloomSidecar(file: File): Option[Map[String, (Int, Array[Long])]] =
+    try {
+      if (!file.isFile) return None
+      val in = new DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file), 1 << 16))
+      try {
+        if (in.readInt() != BloomMagic) return None
+        val n = in.readInt()
+        Some((0 until n).map { _ =>
+          val len = in.readInt()
+          val nb = new Array[Byte](len); in.readFully(nb)
+          val k = in.readInt()
+          val nw = in.readInt()
+          val words = new Array[Long](nw)
+          var i = 0
+          while (i < nw) { words(i) = in.readLong(); i += 1 }
+          new String(nb, StandardCharsets.UTF_8) -> (k, words)
+        }.toMap)
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Planning-time bloom prune for one tile. Only equality-shaped filters
+    * participate; everything else answers true (zone maps already ran).
+    * `sidecar` is the tile's parsed sidecar (cached per planning pass). */
+  def bloomMayMatch(schema: StructType, meta: TileMeta, f: Filter,
+                    sidecar: => Option[Map[String, (Int, Array[Long])]]): Boolean = {
+    val byName = schema.fields.map(x => x.name -> x.dataType).toMap
+    def probe(attr: String, v: Any): Boolean = {
+      if (!meta.bloomCols.contains(attr) || v == null) return true
+      val dt = byName.getOrElse(attr, return true)
+      bloomHash(dt, v) match {
+        case Some(h) => sidecar.flatMap(_.get(attr)) match {
+          case Some((k, words)) => bloomContains(words, k, h)
+          case None => true
+        }
+        case None => true
+      }
+    }
+    f match {
+      case And(l, r) => bloomMayMatch(schema, meta, l, sidecar) &&
+        bloomMayMatch(schema, meta, r, sidecar)
+      case Or(l, r) => bloomMayMatch(schema, meta, l, sidecar) ||
+        bloomMayMatch(schema, meta, r, sidecar)
+      case EqualTo(a, v) => probe(a, v)
+      case EqualNullSafe(a, v) if v != null => probe(a, v)
+      case In(a, vs) => vs == null || vs.exists(v => v != null && probe(a, v))
+      case _ => true
+    }
   }
 
   // ------------------------------------------------- literal normalization

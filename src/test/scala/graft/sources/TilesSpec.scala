@@ -1138,6 +1138,61 @@ class TilesSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((3L, "c")), "vacuum touched live data")
   }
 
+  test("bloom sidecars prune point lookups on unclustered columns") {
+    import spark.implicits._
+    val dir = tmp("tiles_spec_bloom")
+    // 16 k-range tiles; `tag` is scattered (multiplicative hash) so its
+    // zone maps span every tile — min/max CANNOT prune a tag probe, the
+    // bloom is the only thing that can. Two needles in two known tiles.
+    val rows = (0L until 8000L).map { k =>
+      val tag = if (k == 1234L) "needle-a"
+      else if (k == 6789L) "needle-b"
+      else s"u-${(k * 2654435761L) % 1000003L}"
+      (k, tag)
+    }
+    rows.toDF("k", "tag")
+      .repartitionByRange(16, $"k").sortWithinPartitions("k")
+      .write.format(Fmt).mode("overwrite")
+      .option("bloom_columns", "tag").save(dir)
+    val m = TileFormat.readManifest(dir).get
+    assert(m.tiles.size === 16)
+    assert(m.tiles.forall(_.bloomCols === Seq("tag")))
+    // sidecars are real committed files
+    assert(m.tiles.forall(t =>
+      new java.io.File(dir, TileFormat.bloomSidecarName(t.file)).isFile))
+    // planning: the equality probe plans (almost) one partition — allow a
+    // couple of bloom false positives, but 16 would mean no prune
+    val (_, sb) = scanBuilderFor(dir)
+    assert(sb.pushFilters(Array(EqualTo("tag", "needle-a"))).isEmpty)
+    val planned = sb.build().asInstanceOf[GraftTileScan].planInputPartitions().length
+    assert(planned <= 3, s"bloom should prune a point probe to ~1 tile, planned $planned/16")
+    // end to end: exact answers, skipped tiles never opened
+    TileFormat.tilesOpened.set(0L)
+    assert(spark.read.format(Fmt).load(dir)
+      .filter($"tag" === "needle-a").as[(Long, String)].collect().toSeq ===
+      Seq((1234L, "needle-a")))
+    assert(TileFormat.tilesOpened.get() <= planned.toLong)
+    // IN probe spans two tiles; a never-stored probe opens zero tiles
+    assert(spark.read.format(Fmt).load(dir)
+      .filter($"tag".isin("needle-a", "needle-b")).count() === 2L)
+    TileFormat.tilesOpened.set(0L)
+    assert(spark.read.format(Fmt).load(dir)
+      .filter($"tag" === "not-there-at-all").count() === 0L)
+    assert(TileFormat.tilesOpened.get() <= 2L,
+      "an absent probe should be (nearly) metadata-only")
+    // vacuum keeps live sidecars; overwrite + vacuum reclaims old ones
+    rows.take(100).toDF("k", "tag").coalesce(1).write.format(Fmt)
+      .mode("overwrite").option("bloom_columns", "tag").save(dir)
+    val removed = TileFormat.vacuumOrphans(dir)
+    assert(removed.count(_.endsWith(".gtile.bloom")) === 16,
+      s"old sidecars should be vacuumed: $removed")
+    val live = TileFormat.readManifest(dir).get.tiles
+    assert(live.forall(t =>
+      new java.io.File(dir, TileFormat.bloomSidecarName(t.file)).isFile),
+      "vacuum deleted a live sidecar")
+    assert(spark.read.format(Fmt).load(dir).count() === 100L)
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
