@@ -1034,17 +1034,39 @@ class GraftTileBatchWrite(dir: String, schema: StructType, truncateFirst: Boolea
       // truncate (VERDICT r12 wrong-item 5: eagerly deleting them here
       // broke snapshot isolation for a reader holding the prior manifest).
     } else {
-      val existing = prior.map(_.tiles).getOrElse(Seq.empty)
-      // a batch append preserves the streaming watermark, its owner, the
-      // generation (appends only grow the tile tail — reader offsets stay
-      // valid), and the PRIOR schema object (same names/types by the
-      // getTable check; keeping the original nullability flags stops an
-      // all-non-null append from narrowing a nullable column's type)
-      TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
-        existing ++ fresh,
-        prior.map(_.lastEpoch).getOrElse(-1L), prior.flatMap(_.queryId),
-        prior.map(_.generation).getOrElse(0L), expect = expect,
-        partitionBy = prior.flatMap(_.partitionBy).orElse(partitionBy))
+      // APPENDS COMMUTE (r13, the Delta conflict-resolution split): a lost
+      // CAS race means another commit landed first, but an append's edit —
+      // "add these tiles at the tail" — is valid against ANY newer state,
+      // so re-read and re-publish instead of failing the job. Rewrites
+      // (truncate, REPLACE WHERE, DELETE, compaction, merge) stay
+      // single-shot: their edits were computed FROM a specific state and
+      // must surface the conflict. Bounded so a livelock turns into the
+      // loud error, not a hang.
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val now = if (attempt == 0) prior else TileFormat.readManifest(dir)
+        val existing = now.map(_.tiles).getOrElse(Seq.empty)
+        try {
+          // a batch append preserves the streaming watermark, its owner, the
+          // generation (appends only grow the tile tail — reader offsets stay
+          // valid), and the PRIOR schema object (same names/types by the
+          // getTable check; keeping the original nullability flags stops an
+          // all-non-null append from narrowing a nullable column's type)
+          TileFormat.writeManifest(dir, now.map(_.schema).getOrElse(schema),
+            existing ++ fresh,
+            now.map(_.lastEpoch).getOrElse(-1L), now.flatMap(_.queryId),
+            now.map(_.generation).getOrElse(0L),
+            expect = now.map(p => TileFormat.ExpectCommitSeq(p.commitSeq))
+              .getOrElse(TileFormat.ExpectAbsent),
+            partitionBy = now.flatMap(_.partitionBy).orElse(partitionBy))
+          committed = true
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 16) throw e
+        }
+      }
     }
   }
 
@@ -1316,23 +1338,41 @@ class GraftTileStreamingWrite(dir: String, schema: StructType, queryId: String,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val d = new File(dir)
     d.mkdirs()
-    val prior = TileFormat.readManifest(dir)
-    if (prior.exists(m => m.queryId.contains(queryId) && m.lastEpoch >= epochId)) {
-      // epoch replay of THIS query after restart: already committed
-      abort(epochId, messages)
-      return
+    // an epoch commit is an append and appends commute (r13): retry a lost
+    // CAS race against the fresh state — re-evaluating the REPLAY check
+    // each attempt, since the state that just beat us could be this very
+    // epoch from a twin driver (exactly-once holds either way)
+    var fresh: Option[Seq[TileMeta]] = None
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val prior = TileFormat.readManifest(dir)
+      if (prior.exists(m => m.queryId.contains(queryId) && m.lastEpoch >= epochId)) {
+        // epoch replay of THIS query after restart: already committed
+        if (fresh.isEmpty) abort(epochId, messages)
+        // (tiles renamed by a lost first attempt stay as vacuumable orphans)
+        return
+      }
+      if (fresh.isEmpty)
+        fresh = Some(messages.toSeq.flatMap {
+          case m: GraftTileCommitMessage => m.parts
+          case _ => Seq.empty
+        }.collect { case p if p.rows > 0 => p.commitTo(d) })
+      val existing = prior.map(_.tiles).getOrElse(Seq.empty)
+      try {
+        TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
+          existing ++ fresh.get, epochId, Some(queryId),
+          prior.map(_.generation).getOrElse(0L),
+          expect = prior.map(p => TileFormat.ExpectCommitSeq(p.commitSeq))
+            .getOrElse(TileFormat.ExpectAbsent),
+          partitionBy = prior.flatMap(_.partitionBy).orElse(partitionBy))
+        committed = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 16) throw e
+      }
     }
-    val existing = prior.map(_.tiles).getOrElse(Seq.empty)
-    val fresh = messages.toSeq.flatMap {
-      case m: GraftTileCommitMessage => m.parts
-      case _ => Seq.empty
-    }.collect { case p if p.rows > 0 => p.commitTo(d) }
-    TileFormat.writeManifest(dir, prior.map(_.schema).getOrElse(schema),
-      existing ++ fresh, epochId, Some(queryId),
-      prior.map(_.generation).getOrElse(0L),
-      expect = prior.map(p => TileFormat.ExpectCommitSeq(p.commitSeq))
-        .getOrElse(TileFormat.ExpectAbsent),
-      partitionBy = prior.flatMap(_.partitionBy).orElse(partitionBy))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -893,9 +893,9 @@ class TilesSpec extends SparkSpec {
       TileFormat.writeManifest(dir, stale.schema, Seq.empty,
         expect = TileFormat.ExpectAbsent)
     }
-    // end to end: two real concurrent appends both land (the loser path
-    // would be a thrown commit, never a silent lost update) — run several
-    // racing batch writes and require the union to be complete
+    // end to end: concurrent appends ALL land — appends commute, so a
+    // lost CAS race re-reads and re-publishes (r13; rewrites stay
+    // single-shot and surface the conflict). No failures, no lost updates.
     val racers = (0 until 4).map { i =>
       new Thread {
         var failed: Option[Throwable] = None
@@ -906,17 +906,16 @@ class TilesSpec extends SparkSpec {
       }
     }
     racers.foreach(_.start()); racers.foreach(_.join())
+    racers.zipWithIndex.foreach { case (r, i) =>
+      assert(r.failed.isEmpty, s"racer $i failed: ${r.failed}")
+    }
     val landed = spark.read.format(Fmt).load(dir).as[(Long, String)]
       .collect().toSet
-    racers.zipWithIndex.foreach { case (r, i) =>
-      if (r.failed.isEmpty)
-        assert(landed.contains((10L + i, s"r$i")),
-          s"racer $i reported success but its row is missing (lost update)")
-      else assert(r.failed.get.getMessage.contains("commit_seq") ||
-        Option(r.failed.get.getCause).exists(_.getMessage.contains("commit_seq")),
-        s"racer $i failed for an unexpected reason: ${r.failed.get}")
+    (0 until 4).foreach { i =>
+      assert(landed.contains((10L + i, s"r$i")), s"racer $i's row lost")
     }
-    assert(racers.exists(_.failed.isEmpty), "every racer failed")
+    assert(TileFormat.readManifest(dir).get.commitSeq === afterB.commitSeq + 4,
+      "each racer must have published exactly one commit")
   }
 
   test("MERGE (keyed upsert): updates DV across tiles, inserts append, one atomic publish") {
