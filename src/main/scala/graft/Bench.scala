@@ -93,6 +93,9 @@ object Bench {
     "s25_tiles_compact", "s26_tiles_stream_source", "s27_tiles_replace_where",
     "s28_tiles_add_column", "s29_tiles_merge_upsert", "s30_tiles_spj",
     "s31_tiles_group_meta", "s32_tiles_time_travel", "s33_tiles_bloom_point",
+    // round-14 entries: field-id schema evolution, OPTIMIZE ZORDER BY, and
+    // the tiles-persisted seen-before index (metadata-only probe)
+    "s34_tiles_rename_drop", "s35_tiles_zorder", "dedup_seen_persisted",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

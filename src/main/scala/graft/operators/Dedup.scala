@@ -676,6 +676,91 @@ object Dedup {
       }.toDF("doc_id", "maybe_seen")
   }
 
+  /** Persist the seen-before index under the `graft-tiles` connector (r14,
+    * VERDICT r13 next-item 7): the corpus' content fingerprints land as a
+    * shard-partitioned tiles table with a BLOOM SIDECAR on the fingerprint
+    * column — the s33 point-lookup plumbing generalized into dedup's front
+    * door. Unlike [[seenBeforeProbeSharded]], whose sketch table is
+    * recomputed from the corpus every run, this index is built ONCE and
+    * each incremental corpus slice is one `append` (new tiles + sidecars;
+    * appends commute, so concurrent ingest batches never conflict). The
+    * probe side ([[seenBeforeProbePersisted]]) then reads ONLY manifest +
+    * sidecars — metadata, never tile payloads.
+    *
+    * `nShards` is part of the index's contract (the probe must route
+    * fingerprints with the same modulus); pass the same value to build,
+    * append, and probe calls. */
+  def buildSeenIndex(corpus: DataFrame, textCol: String, dir: String,
+                     nShards: Int = 16, mode: String = "append"): Unit = {
+    val fp = graft.functions.TextOps.fingerprint(col(textCol))
+    corpus.select(fp.as("fp"),
+        pmod(xxhash64(fp), lit(nShards.toLong)).cast(IntegerType).as("shard"))
+      .repartition(nShards, col("shard")).sortWithinPartitions("shard")
+      .write.format("graft-tiles").mode(mode)
+      .option("partition_by", "shard")
+      .option("bloom_columns", "fp")
+      .save(dir)
+  }
+
+  /** Probe a batch against a [[buildSeenIndex]] index WITHOUT reading one
+    * tile payload: the driver loads the manifest and each tile's bloom
+    * sidecar (metadata-sized — sketch bytes ∝ index rows × 10 bits, held
+    * as per-shard slices), broadcasts them, and each batch row probes its
+    * shard's tile blooms in a tight loop. Same contract as the other two
+    * probes: no false negatives (a missing/corrupt sidecar degrades that
+    * tile's SHARD to always-maybe, never to a wrong "new"), ~1%/tile false
+    * positives. Definitely-new docs skip the expensive near-dup pipeline;
+    * the shape survives 10^10 fingerprints because nothing driver-side
+    * scales with batch rows and nothing executor-side scales with index
+    * rows beyond the broadcast sidecars. */
+  def seenBeforeProbePersisted(batch: DataFrame, idCol: String, textCol: String,
+                               dir: String, nShards: Int = 16): DataFrame = {
+    import graft.sources.tiles.TileFormat
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val m = TileFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"dedup: no seen-index manifest under $dir — run buildSeenIndex first"))
+    require(m.schema.fieldNames.contains("fp") && m.schema.fieldNames.contains("shard"),
+      s"dedup: $dir is not a seen-index table (${m.schema.simpleString})")
+    // driver-side metadata load: tile → (shard from the zone map, fp bloom)
+    var maybeAllShards = false // a tile whose shard is underivable taints ALL
+    val byShard = scala.collection.mutable.HashMap
+      .empty[Int, List[(Int, Array[Long])]]
+    val maybeShards = scala.collection.mutable.HashSet.empty[Int]
+    m.tiles.filter(_.liveRows > 0).foreach { t =>
+      val shard = t.stats.get("shard").flatMap(s =>
+        for (lo <- s.min; hi <- s.max; if lo == hi) yield lo.toInt)
+      val bloom = TileFormat.readBloomSidecar(new java.io.File(dir,
+        TileFormat.bloomSidecarName(t.file))).flatMap(_.get("fp"))
+      (shard, bloom) match {
+        case (Some(sh), Some(b)) => byShard(sh) = b :: byShard.getOrElse(sh, Nil)
+        case (Some(sh), None) => maybeShards += sh // sidecar lost: shard always-maybe
+        case (None, _) => maybeAllShards = true // shard unknown: everything maybe
+      }
+    }
+    val bloomsBc = spark.sparkContext.broadcast(
+      byShard.map { case (k, v) => k -> v.toArray }.toMap)
+    val maybeBc = spark.sparkContext.broadcast(maybeShards.toSet)
+    val maybeAll = maybeAllShards
+    val fp = graft.functions.TextOps.fingerprint(col(textCol))
+    batch.select(col(idCol).cast(LongType).as("doc_id"), fp.as("fp"),
+        pmod(xxhash64(fp), lit(nShards.toLong)).cast(IntegerType).as("shard"))
+      .as[(Long, String, Int)]
+      .mapPartitions { it =>
+        val blooms = bloomsBc.value
+        val tainted = maybeBc.value
+        it.map { case (id, f, sh) =>
+          val seen = maybeAll || tainted(sh) || {
+            val h = TileFormat.bloomHashUTF8(
+              org.apache.spark.unsafe.types.UTF8String.fromString(f))
+            blooms.getOrElse(sh, Array.empty[(Int, Array[Long])])
+              .exists { case (k, words) => TileFormat.bloomContains(words, k, h) }
+          }
+          (id, seen)
+        }
+      }.toDF("doc_id", "maybe_seen")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
     * computed by the native [[graft.functions.GraftSimHash]] kernel (the
     * SQL HOF form pays 64 interpreted folds per row — 45s -> ~1s at sf0.1).
@@ -1098,6 +1183,27 @@ object Dedup {
       corpus, d, "doc_id", "text")
   }
 
+  /** Persisted-index seen-before probe, GRADED (r14): the 80% corpus lands
+    * in the tiles-backed index in TWO slices — a bulk build, then an
+    * incremental `append` batch (the production ingest shape) — and the
+    * full feed probes the PERSISTED index through manifest + bloom
+    * sidecars only (zero tile payload reads, pinned in DedupSpec). Same
+    * corpus slice, batch, and exact-twin oracle as the other two graded
+    * seen-before entries, so all three front doors are held to the same
+    * no-false-negative contract. */
+  private val seenPersistedQ: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val root = new java.io.File(
+      s"target/tmp/seen_index_${new java.io.File(dir).getName}").getAbsolutePath
+    buildSeenIndex(corpus.filter(col("doc_id") % 7 =!= 0), "text", root,
+      nShards = 16, mode = "overwrite")
+    buildSeenIndex(corpus.filter(col("doc_id") % 7 === 0), "text", root,
+      nShards = 16, mode = "append") // the incremental batch
+    gradeSeenProbe(seenBeforeProbePersisted(d, "doc_id", "text", root, nShards = 16),
+      corpus, d, "doc_id", "text")
+  }
+
   /** Decontamination scan: src0 plays the held-out benchmark, the rest of
     * the corpus is scanned for >= 2 shared 3-gram shingles. */
   private val contaminationQ: Q = (s, dir) => {
@@ -1152,6 +1258,7 @@ object Dedup {
     "dedup_contamination" -> contaminationQ,
     "dedup_seen_before" -> seenBeforeQ, // graded vs exact fingerprint join
     "dedup_seen_sharded" -> seenShardedQ, // distributed-sketch twin, graded
+    "dedup_seen_persisted" -> seenPersistedQ, // tiles-backed persisted index, graded
     "dedup_substring_probe" -> substringProbeQ,
     "dedup_substring_multi" -> substringMultiQ,
   )
@@ -1394,6 +1501,7 @@ object Dedup {
     // the no-false-negative Bloom contract is asserted TRUE per row
     "dedup_seen_before" -> seenOracleSql,
     "dedup_seen_sharded" -> seenOracleSql,
+    "dedup_seen_persisted" -> seenOracleSql,
     "dedup_simhash" ->
       s"""$simhashSigCte
          |SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id""".stripMargin,

@@ -491,7 +491,75 @@ object Tiles {
       .orderBy("o_custkey")
   }
 
+  /** S34 — RENAME/DROP COLUMN through field-id mapping (r14): the table is
+    * ingested under its ORIGINAL schema, then evolves by pure manifest
+    * edits — a column rename (old tiles resolve by field id, zone maps
+    * re-keyed), a column drop, and a re-ADD of the dropped NAME (fresh id:
+    * the old chunk must read as null, never resurface) — before the second
+    * slice appends WITH the evolved schema. The aggregate mixes pre- and
+    * post-evolution tiles on every column, so the oracle passes only if
+    * the rename resolves old data exactly, the dropped column's data is
+    * gone, and the null/value split across the evolution boundary is
+    * exact. No tile is rewritten at any step (suite-pinned). */
+  private val renameDropQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    val tdir = s"$wh/db/orders_fid"
+    wipe(tdir)
+    val base = Tables(s, dir).orders
+    base.filter(year(col("o_orderdate")) < 1998)
+      .select(col("o_orderkey"), col("o_custkey").as("legacy_cust"),
+        col("o_totalprice"), (col("o_totalprice") * 2.0d).as("junk"))
+      .write.format(Fmt).mode("overwrite").save(tdir)
+    s.sql("ALTER TABLE tiles_cat.db.orders_fid RENAME COLUMN legacy_cust TO o_custkey")
+    s.sql("ALTER TABLE tiles_cat.db.orders_fid DROP COLUMN junk")
+    s.sql("ALTER TABLE tiles_cat.db.orders_fid ADD COLUMN junk DOUBLE")
+    base.filter(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_totalprice") + 1.0d).as("junk"))
+      .write.format(Fmt).mode("append").save(tdir)
+    s.sql("""SELECT count(*) AS n,
+            |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |       count(junk) AS n_junk,
+            |       CAST(sum(CAST(junk AS DECIMAL(18,2))) AS DOUBLE) AS sum_junk,
+            |       min(o_orderkey) AS min_key
+            |FROM tiles_cat.db.orders_fid""".stripMargin)
+  }
+
+  /** S35 — OPTIMIZE … ZORDER BY (r14): lineitem lands UNCLUSTERED in many
+    * small tiles (hash partitions — every tile spans ~the full key space,
+    * so a box predicate prunes nothing), then
+    * [[graft.sources.tiles.GraftTileMaintenance.optimizeZOrder]] re-lays
+    * the table along the Morton curve of (l_partkey, l_suppkey) in one
+    * atomic manifest swap. After the rewrite each tile covers a tight
+    * bounding box on BOTH columns, so the same zone maps prune the box
+    * query (prune-ratio suite-pinned in TilesSpec); the oracle grades the
+    * answer stays exact through the rewrite. */
+  private val zorderTilesQ: Q = (s, dir) => {
+    val out = tmpDir("tiles_li_zorder")
+    Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartition(8)
+      .write.format(Fmt).mode("overwrite")
+      .option("target_tile_rows", "2000").save(out)
+    val rep = graft.sources.tiles.GraftTileMaintenance.optimizeZOrder(
+      s, out, "l_partkey", "l_suppkey", bits = 16, targetRows = 2000L)
+    require(rep.rows > 0 && rep.tilesOut > 0, s"z-order rewrote nothing: $rep")
+    s.read.format(Fmt).load(out)
+      .filter(col("l_partkey").between(100L, 300L) &&
+        col("l_suppkey").between(10L, 30L))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"),
+        dsum(col("l_quantity")).as("qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+  }
+
   val entries: Map[String, Q] = Map(
+    "s35_tiles_zorder" -> zorderTilesQ,
+    "s34_tiles_rename_drop" -> renameDropQ,
     "s33_tiles_bloom_point" -> bloomPointQ,
     "s32_tiles_time_travel" -> timeTravelQ,
     "s29_tiles_merge_upsert" -> mergeUpsertQ,
@@ -513,6 +581,23 @@ object Tiles {
   )
 
   val oracles: Map[String, String] = Map(
+    "s35_tiles_zorder" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin,
+    "s34_tiles_rename_drop" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(CASE WHEN year(o_orderdate) >= 1998 THEN 1 END) AS n_junk,
+        |       CAST(sum(CASE WHEN year(o_orderdate) >= 1998
+        |                     THEN CAST(o_totalprice + 1.0 AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS sum_junk,
+        |       min(o_orderkey) AS min_key
+        |FROM orders""".stripMargin,
     "s33_tiles_bloom_point" ->
       """SELECT o_custkey, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -120,20 +120,42 @@ class GraftTileCatalog extends TableCatalog {
     // a write commit replaces, so readers never see a schemaless table
     TileFormat.writeManifest(d.getAbsolutePath, schema, Seq.empty,
       expect = TileFormat.ExpectAbsent, partitionBy = partitionBy)
-    new GraftTileTable(d.getAbsolutePath, schema)
+    new GraftTileTable(d.getAbsolutePath,
+      TileFormat.readManifest(d.getAbsolutePath).get.schema)
   }
 
-  /** Schema evolution (r12): ADD COLUMN only — the one evolution the
-    * immutable-tile layout supports without rewrites. The manifest schema
-    * gains the column; existing tiles have fewer chunks and read the new
-    * column as null ([[TileFormat.TileCursor]]'s add-column contract);
-    * compaction upgrades old tiles to the full schema. Everything else
-    * (drop/rename/retype/reposition) would change chunk POSITIONS and is
-    * rejected — that is rewrite territory. */
+  /** Schema evolution, ALL metadata-only (r14 — field-id mapping): ADD,
+    * RENAME, and DROP COLUMN are manifest edits; no tile is ever
+    * rewritten.
+    *
+    *  - '''ADD''': the new column gets a FRESH field id
+    *    (`manifest.nextFieldId`); existing tiles carry no chunk with that
+    *    id and read it as null (the Iceberg add-column contract).
+    *  - '''RENAME''': the field id is stable, only the NAME changes —
+    *    old tiles keep resolving through their `colIds`. The name-keyed
+    *    zone maps (and bloom column lists / partition column reference)
+    *    are re-keyed in the same publish so pruning keeps firing; a
+    *    renamed column's bloom SIDEcars still carry the old name inside,
+    *    which safely disables (never corrupts) the bloom prune until
+    *    compaction regenerates them.
+    *  - '''DROP''': the field leaves the schema; its id is never reused
+    *    (`nextFieldId` is persistent), so a later re-ADD of the same NAME
+    *    reads null on old tiles instead of resurfacing dropped data. The
+    *    dropped column's stats keys are removed from every tile — a stale
+    *    same-name entry would wrongly prune the re-added column. Requires
+    *    every tile to be field-id-stamped (legacy positional tiles would
+    *    misparse once positions shift — compact first). The partition
+    *    column cannot be dropped.
+    *
+    * Retype/reposition stay rejected — those are rewrite territory. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident).getAbsolutePath
     val m = TileFormat.readManifest(dir).getOrElse(throw new NoSuchTableException(ident))
-    val newFields = changes.map {
+    var fields = m.schema.fields.toVector
+    var tiles = m.tiles
+    var partitionBy = m.partitionBy
+    var nextId = m.nextFieldId
+    changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft-tiles: ADD COLUMN supports top-level columns only")
@@ -146,20 +168,64 @@ class GraftTileCatalog extends TableCatalog {
           s"graft-tiles: unsupported column type ${add.dataType().sql} for `$name`")
         require(!TileFormat.ReservedColumns(name),
           s"graft-tiles: `$name` is a reserved metadata column name")
-        require(!m.schema.fieldNames.contains(name),
+        require(!fields.exists(_.name == name),
           s"graft-tiles: column `$name` already exists")
-        org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)
+        fields = fields :+ TileFormat.fieldWithId(
+          org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true),
+          nextId)
+        nextId += 1
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft-tiles: RENAME COLUMN supports top-level columns only")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        val idx = fields.indexWhere(_.name == from)
+        require(idx >= 0, s"graft-tiles: no column `$from` to rename")
+        require(!fields.exists(_.name == to),
+          s"graft-tiles: rename target `$to` already exists")
+        require(!TileFormat.ReservedColumns(to),
+          s"graft-tiles: `$to` is a reserved metadata column name")
+        fields = fields.updated(idx, fields(idx).copy(name = to))
+        // re-key the name-indexed metadata with the schema, atomically
+        tiles = tiles.map { t =>
+          t.copy(
+            stats = t.stats.map { case (k, v) => (if (k == from) to else k) -> v },
+            bloomCols = t.bloomCols.map(c => if (c == from) to else c))
+        }
+        if (partitionBy.contains(from)) partitionBy = Some(to)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft-tiles: DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames()(0)
+        val idx = fields.indexWhere(_.name == name)
+        if (idx < 0) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(s"graft-tiles: no column `$name` to drop")
+        } else {
+          require(fields.length > 1, "graft-tiles: cannot drop the only column")
+          require(!partitionBy.contains(name),
+            s"graft-tiles: `$name` is the partition column — repartition (rewrite) first")
+          require(tiles.forall(t => t.rows == 0 || t.colIds.nonEmpty),
+            "graft-tiles: DROP COLUMN requires field-id-stamped tiles " +
+              "(legacy positional tiles present — run compaction first)")
+          fields = fields.patch(idx, Nil, 1)
+          // drop the name-keyed metadata: a stale entry under this name
+          // would wrongly prune a later re-added column
+          tiles = tiles.map(t => t.copy(stats = t.stats - name,
+            bloomCols = t.bloomCols.filterNot(_ == name)))
+        }
       case other =>
         throw new UnsupportedOperationException(
-          s"graft-tiles: unsupported ALTER TABLE change $other (only ADD COLUMN; " +
-            "drop/rename/retype would move physical chunk positions)")
+          s"graft-tiles: unsupported ALTER TABLE change $other (ADD/RENAME/DROP " +
+            "COLUMN only; retype/reposition are rewrite territory)")
     }
-    val evolved = org.apache.spark.sql.types.StructType(m.schema.fields ++ newFields)
-    // metadata-only publish: tiles, watermark, and generation unchanged
-    // (tile positions did not move, so streaming offsets stay valid)
-    TileFormat.writeManifest(dir, evolved, m.tiles, m.lastEpoch, m.queryId, m.generation,
-      expect = TileFormat.ExpectCommitSeq(m.commitSeq), partitionBy = m.partitionBy)
-    new GraftTileTable(dir, evolved)
+    val evolved = org.apache.spark.sql.types.StructType(fields)
+    // metadata-only publish: tile files, watermark, and generation are
+    // unchanged (no tile positions moved, so streaming offsets stay valid)
+    TileFormat.writeManifest(dir, evolved, tiles, m.lastEpoch, m.queryId, m.generation,
+      expect = TileFormat.ExpectCommitSeq(m.commitSeq), partitionBy = partitionBy,
+      nextFieldId = nextId)
+    new GraftTileTable(dir, TileFormat.readManifest(dir).get.schema)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

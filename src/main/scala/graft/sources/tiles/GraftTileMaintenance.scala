@@ -66,19 +66,27 @@ object GraftTileMaintenance {
 
     val tags = m.schema.fields.map(f => TileFormat.typeTag(f.dataType))
     val allIdx = m.schema.indices.toArray
+    val ids = TileFormat.fieldIds(m.schema)
     var rows = 0L
     var dvs = 0
     val compacted: Seq[TileMeta] = rewrite.toSeq.zipWithIndex.flatMap { case (bin, i) =>
       // bins are already sized by this function's targetBytes, so the
-      // writer's own roll-over is disabled: exactly one tile per bin
+      // writer's own roll-over is disabled: exactly one tile per bin.
+      // Bloom sidecars survive the rewrite (ADVICE r13): the rewritten
+      // tile indexes the UNION of its inputs' bloom columns, so a
+      // point-lookup prune never silently degrades after maintenance.
+      val binBloomIdx = bin.flatMap(_.bloomCols).distinct
+        .filter(m.schema.fieldNames.contains).map(m.schema.fieldIndex).toArray
       val writer = new GraftTileWriter(dir, m.schema, partitionId = 90000 + i,
         taskId = -1L, targetBytes = Long.MaxValue, targetRows = Long.MaxValue,
-        partitionByIdx = m.partitionBy.map(m.schema.fieldIndex))
+        partitionByIdx = m.partitionBy.map(m.schema.fieldIndex),
+        bloomIdx = binBloomIdx, fieldIds = ids)
       bin.foreach { t =>
         if (t.dv.nonEmpty) dvs += 1
         val dv = t.dv.toArray
         var dvPos = 0
-        val cur = TileFormat.openCursor(new File(dir, t.file), allIdx, tags)
+        val cur = TileFormat.openCursor(new File(dir, t.file), allIdx,
+          TileFormat.chunkIndices(ids, t, allIdx), tags)
         val dest = new Array[Any](tags.length)
         var ord = 0L
         while (cur.next(dest)) {
@@ -90,11 +98,7 @@ object GraftTileMaintenance {
       }
       val msg = writer.commit().asInstanceOf[GraftTileCommitMessage]
       require(msg.parts.nonEmpty, s"graft-tiles: compaction bin $i produced an empty tile")
-      msg.parts.map { part =>
-        val ok = new File(dir, part.tmpName).renameTo(new File(dir, part.finalName))
-        require(ok, s"graft-tiles: compaction rename failed for ${part.tmpName}")
-        TileMeta(part.finalName, part.rows, part.bytes, part.stats)
-      }
+      msg.parts.map(_.commitTo(new File(dir))) // renames tile + bloom sidecar
     }
     // manifest-first swap; replaced originals become vacuumable orphans;
     // compaction is a rewrite, so the generation bump invalidates any
@@ -102,7 +106,7 @@ object GraftTileMaintenance {
     TileFormat.writeManifest(dir, m.schema,
       keep ++ passthrough.flatten ++ compacted, m.lastEpoch, m.queryId,
       m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq),
-      partitionBy = m.partitionBy)
+      partitionBy = m.partitionBy, nextFieldId = m.nextFieldId)
     CompactionReport(rewrite.size, rewrite.map(_.size).sum, compacted.size, rows, dvs)
   }
 
@@ -167,9 +171,14 @@ object GraftTileMaintenance {
       .groupBy(_.getString(0)).map { case (f, rs) => f -> rs.map(_.getLong(1)).toSeq }
 
     // stage the source as new tiles: a distributed write through the
-    // roll-over writer (same bounded-heap shape as the DSv2 write path)
+    // roll-over writer (same bounded-heap shape as the DSv2 write path).
+    // The staged tiles index the union of the table's existing bloom
+    // columns (ADVICE r13: merge must not degrade point-lookup pruning).
     val schemaJson = m.schema.json
     val dirLocal = dir
+    val bloomIdxLocal: Array[Int] = m.tiles.flatMap(_.bloomCols).distinct
+      .filter(m.schema.fieldNames.contains).map(m.schema.fieldIndex).toArray
+    val idsLocal: Array[Int] = TileFormat.fieldIds(m.schema)
     // identity-partitioned tables keep the one-value-per-tile property:
     // cluster+sort the staged source on the partition column so the
     // writer's value-boundary roll yields one tile per value, not per run
@@ -184,7 +193,7 @@ object GraftTileMaintenance {
         val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val w = new GraftTileWriter(dirLocal, schema, 80000 + pid, taskId = pid.toLong,
-          partitionByIdx = pIdx)
+          partitionByIdx = pIdx, bloomIdx = bloomIdxLocal, fieldIds = idsLocal)
         it.foreach(w.write)
         Iterator(w.commit().asInstanceOf[GraftTileCommitMessage])
       }.collect().toSeq.flatMap(_.parts)
@@ -203,19 +212,100 @@ object GraftTileMaintenance {
       }
     }
     val fresh = staged.collect {
-      case p if p.rows > 0 =>
-        val ok = new File(dir, p.tmpName).renameTo(new File(dir, p.finalName))
-        require(ok, s"graft-tiles: merge rename failed for ${p.tmpName}")
-        TileMeta(p.finalName, p.rows, p.bytes, p.stats)
+      case p if p.rows > 0 => p.commitTo(new File(dir)) // tile + bloom sidecar
     }
     TileFormat.writeManifest(dir, m.schema, survivors ++ fresh, m.lastEpoch,
       m.queryId, m.generation + 1L,
       expect = TileFormat.ExpectCommitSeq(m.commitSeq),
-      partitionBy = m.partitionBy)
+      partitionBy = m.partitionBy, nextFieldId = m.nextFieldId)
     MergeReport(matchedRows, fresh.map(_.rows).sum, dvTiles, dropped, fresh.size)
   }
 
   private def additionsFor(t: TileMeta,
                            matched: Map[String, Seq[Long]]): Option[Seq[Long]] =
     matched.get(t.file).map(_.filterNot(t.dv.toSet))
+
+  /** Result of one [[optimizeZOrder]] pass, for observability and pins. */
+  final case class ZOrderReport(tilesIn: Int, tilesOut: Int, rows: Long)
+
+  /** OPTIMIZE … ZORDER BY (x, y) — the multi-column clustering rewrite of
+    * the maintenance ladder (Delta `OPTIMIZE ZORDER BY`, Iceberg
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(...)')`).
+    *
+    * The table's LIVE rows (deletion vectors applied, field-ids resolved —
+    * the read goes through the connector) are re-laid-out along the Morton
+    * curve of `(x, y)` ([[graft.warehouse.Layout.zValue]]: pure integer
+    * arithmetic, whole-stage codegen): `repartitionByRange` on the z-value
+    * plus an in-partition z-sort means each rewritten tile covers one
+    * CONTIGUOUS z-range, i.e. a tight bounding box on BOTH columns — so
+    * the existing zone maps prune box predicates on either column, where
+    * the pre-rewrite layout pruned on at most the incidental write order.
+    * Bloom sidecars survive (union of the replaced tiles' bloom columns),
+    * DVs are purged (only live rows are copied), and the publish is ONE
+    * atomic manifest swap: generation bumps (a rewrite), the CAS fails
+    * loudly if any commit raced, and the replaced tiles become vacuumable
+    * orphans — the same posture as [[compact]].
+    *
+    * Identity-partitioned tables cluster WITHIN each partition value
+    * (cluster on the partition column, sort by (value, z)), preserving the
+    * one-value-per-tile invariant storage-partitioned joins rely on.
+    *
+    * Scale shape: one shuffle (the range partitioning on z) + one
+    * embarrassingly-parallel write pass; at 100 TB this is the same plan
+    * Delta's OPTIMIZE executes, and the driver holds only manifest-sized
+    * state. */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     xCol: String, yCol: String, bits: Int = 16,
+                     targetBytes: Long = TileFormat.DefaultTileBytes,
+                     targetRows: Long = TileFormat.DefaultTileRows): ZOrderReport = {
+    import org.apache.spark.sql.functions.col
+    val m = TileFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft-tiles: optimizeZOrder target $dir has no manifest"))
+    Seq(xCol, yCol).foreach { c =>
+      val f = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"graft-tiles: no column `$c` to z-order by"))
+      require(f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.LongType,
+        s"graft-tiles: ZORDER BY needs integral columns, `$c` is ${f.dataType.sql}")
+    }
+    if (m.tiles.isEmpty) return ZOrderReport(0, 0, 0L)
+
+    val schemaJson = m.schema.json
+    val dirLocal = dir
+    val bloomIdxLocal: Array[Int] = m.tiles.flatMap(_.bloomCols).distinct
+      .filter(m.schema.fieldNames.contains).map(m.schema.fieldIndex).toArray
+    val idsLocal: Array[Int] = TileFormat.fieldIds(m.schema)
+    val pIdx = m.partitionBy.map(m.schema.fieldIndex)
+
+    val live = spark.read.format("graft-tiles").load(dir)
+    val z = graft.warehouse.Layout.zValue(col(xCol), col(yCol), bits)
+    val nOut = math.max(1L, m.tiles.map(_.bytes).sum / targetBytes).toInt
+    val ordered = (m.partitionBy match {
+      case Some(c) => live.withColumn("__z", z)
+        .repartition(col(c)).sortWithinPartitions(col(c), col("__z"))
+      case None => live.withColumn("__z", z)
+        .repartitionByRange(nOut, col("__z")).sortWithinPartitions(col("__z"))
+    }).select(m.schema.fieldNames.map(col).toSeq: _*)
+
+    val staged: Seq[TilePart] = ordered
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val w = new GraftTileWriter(dirLocal, schema, 70000 + pid, taskId = pid.toLong,
+          targetBytes = targetBytes, targetRows = targetRows,
+          partitionByIdx = pIdx, bloomIdx = bloomIdxLocal, fieldIds = idsLocal)
+        it.foreach(w.write)
+        Iterator(w.commit().asInstanceOf[GraftTileCommitMessage])
+      }.collect().toSeq.flatMap(_.parts)
+
+    val fresh = staged.collect {
+      case p if p.rows > 0 => p.commitTo(new File(dir)) // tile + bloom sidecar
+    }
+    // full-table rewrite: ONE atomic swap; a raced commit fails the CAS
+    // loudly (single-shot — rewrites conflict with everything)
+    TileFormat.writeManifest(dir, m.schema, fresh, m.lastEpoch, m.queryId,
+      m.generation + 1L, expect = TileFormat.ExpectCommitSeq(m.commitSeq),
+      partitionBy = m.partitionBy, nextFieldId = m.nextFieldId)
+    ZOrderReport(m.tiles.size, fresh.size, fresh.map(_.rows).sum)
+  }
 }

@@ -129,6 +129,47 @@ class DedupSpec extends SparkSpec {
     assert(fpRate <= 0.1, s"false-positive rate $fpRate far above the 1% target")
   }
 
+  test("persisted seen-before index: incremental append, metadata-only probe, no false negatives") {
+    import graft.sources.tiles.TileFormat
+    val docs = Tables(spark, sf001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val root = new java.io.File("target/tmp/dedup_spec_seen_index").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // bulk build + an incremental append slice (the production shape)
+    Dedup.buildSeenIndex(corpus.filter(col("doc_id") % 7 =!= 0), "text", root,
+      nShards = 8, mode = "overwrite")
+    Dedup.buildSeenIndex(corpus.filter(col("doc_id") % 7 === 0), "text", root,
+      nShards = 8, mode = "append")
+
+    // the probe is METADATA-ONLY: manifest + sidecars, zero tile payloads
+    val probe = Dedup.seenBeforeProbePersisted(docs, "doc_id", "text", root,
+      nShards = 8)
+    val t0 = TileFormat.tilesOpened.get()
+    val out = probe.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(TileFormat.tilesOpened.get() === t0,
+      "persisted seen-probe opened tile payloads — it must stay metadata-only")
+
+    val corpusFps = corpus.select(graft.functions.TextOps.fingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    val fps = docs.select(col("doc_id"),
+      graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (seenTexts, newTexts) = fps.partition { case (_, fp) => corpusFps(fp) }
+    seenTexts.keys.foreach(id => assert(out(id), s"false negative on doc $id"))
+    val fpRate = newTexts.keys.count(out(_)).toDouble / math.max(newTexts.size, 1)
+    assert(fpRate <= 0.1, s"false-positive rate $fpRate far above the 1% target")
+
+    // a lost sidecar degrades to always-maybe for ITS shard, never to a
+    // wrong "definitely new"
+    val m = TileFormat.readManifest(root).get
+    val victim = m.tiles.find(_.liveRows > 0).get
+    assert(new java.io.File(root, TileFormat.bloomSidecarName(victim.file)).delete())
+    val degraded = Dedup.seenBeforeProbePersisted(docs, "doc_id", "text", root,
+      nShards = 8).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    seenTexts.keys.foreach(id =>
+      assert(degraded(id), s"false negative on doc $id after sidecar loss"))
+  }
+
   test("driver and sharded seen-before probes agree on the test corpus") {
     // VERDICT r7 item 5: the two variants share the no-false-negative
     // contract exactly; false positives COULD differ (different bitsets)

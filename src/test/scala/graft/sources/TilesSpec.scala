@@ -373,8 +373,8 @@ class TilesSpec extends SparkSpec {
     }
     intercept[UnsupportedOperationException] { // rewrite-shaped change: rejected
       cat.alterTable(Identifier.of(Array("ns"), "t1"),
-        org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
-          Array("v"), false))
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("v"), org.apache.spark.sql.types.DoubleType))
     }
     cat.renameTable(Identifier.of(Array("ns"), "t1"), Identifier.of(Array("ns"), "t2"))
     assert(spark.sql("SELECT count(*) FROM tspec.ns.t2").head().getLong(0) === 3L)
@@ -1192,6 +1192,248 @@ class TilesSpec extends SparkSpec {
     assert(spark.read.format(Fmt).load(dir).count() === 100L)
   }
 
+  test("cross-process CAS: a foreign commit token loses the publish; stale pointers roll forward") {
+    import spark.implicits._
+    val dir = tmp("tiles_spec_cas")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format(Fmt).mode("overwrite").save(dir) // seq 0
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format(Fmt).mode("append").save(dir) // seq 1
+    val m = TileFormat.readManifest(dir).get
+    assert(m.commitSeq === 1L)
+    // simulate ANOTHER PROCESS committing seq 2 (the JVM-local monitor
+    // cannot see it): its durable commit token is the versioned manifest
+    val foreign = java.nio.file.Paths.get(dir, TileFormat.versionedManifestName(2L))
+    val forged = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, TileFormat.versionedManifestName(1L))), "UTF-8")
+      .replace("\"commit_seq\" : 1", "\"commit_seq\" : 2")
+    java.nio.file.Files.write(foreign, forged.getBytes("UTF-8"))
+    // …a publish whose edit was computed from seq 1 must lose LOUDLY even
+    // though the MAIN manifest file still says seq 1: reads reconcile
+    // through the durable token chain, so the foreign commit is visible
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TileFormat.writeManifest(dir, m.schema, m.tiles, m.lastEpoch, m.queryId,
+        m.generation, expect = TileFormat.ExpectCommitSeq(1L),
+        partitionBy = m.partitionBy)
+    }
+    assert(e.getMessage.contains("another commit"), e.getMessage)
+    // recovery-on-read: the durable v2 token IS the committed state — the
+    // trailing main-manifest pointer rolls forward to it
+    assert(TileFormat.readManifest(dir).get.commitSeq === 2L)
+    // a crash that lost the pointer entirely also recovers from history
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, TileFormat.ManifestName))
+    assert(TileFormat.readManifest(dir).get.commitSeq === 2L)
+    // vacuum (maintenance) repairs the pointer cache to the reconciled head
+    TileFormat.vacuumOrphans(dir)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, TileFormat.ManifestName)), "UTF-8")
+    assert(raw.contains("\"commit_seq\" : 2"), raw.take(200))
+    // the next regular commit continues the chain at seq 3
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format(Fmt).mode("append").save(dir)
+    assert(TileFormat.readManifest(dir).get.commitSeq === 3L)
+  }
+
+  test("streaming epoch replay aborts clean; a lost first attempt's orphans vacuum, never visible") {
+    import spark.implicits._
+    val dir = tmp("tiles_spec_replay")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format(Fmt).mode("overwrite").save(dir) // seq 0
+    val m0 = TileFormat.readManifest(dir).get
+
+    def stage(tag: String): graft.sources.tiles.GraftTileCommitMessage = {
+      val w = new graft.sources.tiles.GraftTileWriter(dir, m0.schema,
+        partitionId = 7, taskId = 1L)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](2L, org.apache.spark.unsafe.types.UTF8String.fromString(tag))))
+      w.commit().asInstanceOf[graft.sources.tiles.GraftTileCommitMessage]
+    }
+
+    // a TWIN driver of query `qreplay` already committed epoch 7: its
+    // durable commit token is the next versioned manifest
+    val forged = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, TileFormat.versionedManifestName(m0.commitSeq))),
+      "UTF-8")
+      .replace(s""""commit_seq" : ${m0.commitSeq}""",
+        s""""commit_seq" : ${m0.commitSeq + 1}""")
+      .replace(""""last_epoch" : -1""",
+        """"last_epoch" : 7, "query_id" : "qreplay"""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir,
+      TileFormat.versionedManifestName(m0.commitSeq + 1)), forged.getBytes("UTF-8"))
+
+    // 1) replay seen ON READ: the restarted driver re-commits epoch 7,
+    //    finds it already durable, and ABORTS its staged tmp files
+    val msg = stage("replay")
+    val sw = new graft.sources.tiles.GraftTileStreamingWrite(dir, m0.schema, "qreplay")
+    sw.commit(7L, Array(msg))
+    assert(!new java.io.File(dir, msg.parts.head.tmpName).exists(),
+      "replayed epoch left its staged tmp behind")
+    assert(!new java.io.File(dir, msg.parts.head.finalName).exists())
+    assert(spark.read.format(Fmt).load(dir).count() === 1L)
+
+    // 2) replay seen AFTER a lost CAS: attempt 1 had already renamed its
+    //    tiles in when the twin won; the retry's replay check returns,
+    //    leaving committed-then-raced files as orphans (the class-doc
+    //    commute policy) — never visible, reclaimed by vacuumOrphans
+    val lost = stage("lost")
+    val orphanFiles = lost.parts.map { p =>
+      p.commitTo(new java.io.File(dir)); p.finalName
+    }
+    orphanFiles.foreach(f => assert(new java.io.File(dir, f).exists()))
+    assert(spark.read.format(Fmt).load(dir).count() === 1L,
+      "lost-attempt orphan tiles visible to a reader")
+    val removed = TileFormat.vacuumOrphans(dir)
+    orphanFiles.foreach(f => assert(removed.contains(f),
+      s"orphan $f not reclaimed by vacuum: $removed"))
+    assert(spark.read.format(Fmt).load(dir).count() === 1L)
+  }
+
+  test("partitioned scans plan one task per TILE; SPJ grouping is Spark's (ADVICE r13)") {
+    val dir = tmp("tiles_spec_pertile")
+    val orders = Tables(spark, sf001).orders
+    // 4 partition values, tiny row cap => many tiles per value
+    orders.select((col("o_orderkey") % 4).as("bucket"), col("o_orderkey").as("k"))
+      .write.format(Fmt).mode("overwrite")
+      .option("partition_by", "bucket")
+      .option("target_tile_rows", "100").save(dir)
+    val m = TileFormat.readManifest(dir).get
+    assert(m.tiles.size > 4, s"need >1 tile per value, got ${m.tiles.size}")
+    val (_, sb) = scanBuilderFor(dir)
+    val scan = sb.build().asInstanceOf[GraftTileScan]
+    // the scan still REPORTS key-grouped partitioning over 4 values…
+    val p = scan.outputPartitioning()
+    assert(p.isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+    assert(p.numPartitions() === 4)
+    // …but PLANS one InputPartition per tile, each carrying its key — a
+    // plain scan keeps full per-tile parallelism (a whole partition value
+    // no longer serializes through one task), and Spark's own
+    // groupPartitions only coalesces them when SPJ actually applies
+    val parts = scan.planInputPartitions()
+    assert(parts.length === m.tiles.size)
+    assert(parts.forall(_.isInstanceOf[
+      org.apache.spark.sql.connector.read.HasPartitionKey]))
+    // end to end, without v2 bucketing: tile-count tasks, exact result
+    val got = spark.read.format(Fmt).load(dir)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = orders.groupBy((col("o_orderkey") % 4).as("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("compaction and merge preserve bloom sidecars (ADVICE r13)") {
+    val dir = tmp("tiles_spec_bloom_compact")
+    val orders = Tables(spark, sf001).orders
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("v"))
+    // many small tiles, bloom-indexed on the unclustered cust column
+    orders.repartition(8)
+      .write.format(Fmt).mode("overwrite")
+      .option("bloom_columns", "cust").save(dir)
+    val pre = TileFormat.readManifest(dir).get
+    assert(pre.tiles.forall(_.bloomCols === Seq("cust")))
+    val report = graft.sources.tiles.GraftTileMaintenance.compact(
+      dir, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    assert(report.tilesOut < report.tilesIn, s"no compaction: $report")
+    val post = TileFormat.readManifest(dir).get
+    assert(post.tiles.forall(_.bloomCols === Seq("cust")),
+      s"compaction dropped bloom columns: ${post.tiles.map(_.bloomCols)}")
+    post.tiles.foreach { t =>
+      assert(new java.io.File(dir, TileFormat.bloomSidecarName(t.file)).isFile,
+        s"missing sidecar for ${t.file} after compaction")
+    }
+    // the point prune still fires on the compacted table
+    TileFormat.vacuumOrphans(dir)
+    TileFormat.tilesOpened.set(0L)
+    val got = spark.read.format(Fmt).load(dir)
+      .filter(col("cust") === 7L).agg(count(lit(1))).head.getLong(0)
+    val want = orders.filter(col("cust") === 7L).count()
+    assert(got === want)
+    // merge keeps the index on ITS staged tiles too
+    import spark.implicits._
+    val src = Seq((1L, 7L, 99.0), (999999999L, 7L, 1.0)).toDF("k", "cust", "v")
+    graft.sources.tiles.GraftTileMaintenance.mergeUpsert(spark, dir, src, Seq("k"))
+    val merged = TileFormat.readManifest(dir).get
+    assert(merged.tiles.forall(_.bloomCols === Seq("cust")),
+      s"merge dropped bloom columns: ${merged.tiles.map(_.bloomCols)}")
+  }
+
+  test("a version-pinned table reports ITS version's partitioning (ADVICE r13)") {
+    val dir = tmp("tiles_spec_pin_part")
+    val df = Tables(spark, sf001).region
+      .select((col("r_regionkey") % 2).as("bucket"), col("r_name"))
+    df.write.format(Fmt).mode("overwrite").save(dir) // seq 0: unpartitioned
+    df.write.format(Fmt).mode("overwrite")
+      .option("partition_by", "bucket").save(dir) // seq 1: partitioned
+    val schema0 = TileFormat.readManifestVersion(dir, 0L).get.schema
+    val pinned = new graft.sources.tiles.GraftTileTable(dir, schema0, Some(0L))
+    assert(pinned.partitioning().isEmpty,
+      "v0 was unpartitioned; the pin must not report the current partitioning")
+    val cur = new graft.sources.tiles.GraftTileTable(dir,
+      TileFormat.readManifest(dir).get.schema)
+    assert(cur.partitioning().map(_.describe()).toSeq === Seq("bucket"))
+  }
+
+  test("RENAME/DROP COLUMN are metadata-only via field ids; dropped data never resurfaces") {
+    val wh = tmp("tiles_spec_fid_wh")
+    spark.conf.set("spark.sql.catalog.tfid",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tfid.warehouse", wh)
+    val dir = s"$wh/db/t"
+    import spark.implicits._
+    spark.sql("CREATE TABLE tfid.db.t (k BIGINT, oldname BIGINT, junk DOUBLE)")
+    Seq((1L, 10L, 0.5), (2L, 20L, 1.5)).toDF("k", "oldname", "junk")
+      .coalesce(1).writeTo("tfid.db.t").append()
+    val tilesBefore = TileFormat.readManifest(dir).get.tiles.map(_.file).toSet
+
+    // RENAME: old tiles resolve the renamed column through their colIds
+    spark.sql("ALTER TABLE tfid.db.t RENAME COLUMN oldname TO cust")
+    assert(spark.sql("SELECT k, cust FROM tfid.db.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (2L, 20L)))
+    // …and the re-keyed zone maps still PRUNE on the new name
+    TileFormat.tilesOpened.set(0L)
+    assert(spark.sql("SELECT count(*) FROM tfid.db.t WHERE cust > 1000")
+      .head.getLong(0) === 0L)
+    assert(TileFormat.tilesOpened.get() === 0L,
+      "rename must re-key zone maps: the out-of-range probe should prune")
+
+    // DROP: the column stops resolving; NO tile was rewritten
+    spark.sql("ALTER TABLE tfid.db.t DROP COLUMN junk")
+    intercept[Exception] { spark.sql("SELECT junk FROM tfid.db.t").collect() }
+    assert(TileFormat.readManifest(dir).get.tiles.map(_.file).toSet === tilesBefore,
+      "rename/drop must not rewrite tiles")
+
+    // re-ADD the dropped name: fresh field id — old tiles read NULL, never
+    // the dropped chunk's data
+    spark.sql("ALTER TABLE tfid.db.t ADD COLUMN junk DOUBLE")
+    assert(spark.sql("SELECT count(junk) FROM tfid.db.t").head.getLong(0) === 0L,
+      "dropped data resurfaced under a re-added name")
+    // new writes fill the re-added column; old rows stay null
+    Seq((3L, 30L, 9.0)).toDF("k", "cust", "junk")
+      .coalesce(1).writeTo("tfid.db.t").append()
+    assert(spark.sql("SELECT k, cust, junk FROM tfid.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ===
+      Seq((1L, 10L, null), (2L, 20L, null), (3L, 30L, 9.0)))
+
+    // mixed-era tiles agree through every path: DELETE under the renamed
+    // column (id-mapped row-exact scan) and compaction (upgrade rewrite)
+    spark.sql("DELETE FROM tfid.db.t WHERE cust = 20")
+    graft.sources.tiles.GraftTileMaintenance.compact(
+      dir, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    assert(spark.sql("SELECT k, cust, junk FROM tfid.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ===
+      Seq((1L, 10L, null), (3L, 30L, 9.0)))
+
+    // guards: partition column undroppable; last column undroppable
+    intercept[Exception] {
+      spark.sql("ALTER TABLE tfid.db.t DROP COLUMN k, cust, junk")
+    }
+    spark.sql("DROP TABLE tfid.db.t")
+  }
+
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
     val dir = tmp("tiles_spec_stats")
     Tables(spark, sf001).orders
@@ -1204,5 +1446,157 @@ class TilesSpec extends SparkSpec {
     val cut = sbCut.build().asInstanceOf[GraftTileScan].estimateStatistics()
     assert(cut.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
     assert(cut.numRows().getAsLong < full.numRows().getAsLong)
+  }
+
+  test("OPTIMIZE ZORDER BY: box queries prune tiles the unclustered layout could not") {
+    val dir = tmp("tiles_spec_zorder")
+    Tables(spark, sf001).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+      .repartition(8) // unclustered: every tile spans ~the full key space
+      .write.format(Fmt).mode("overwrite").option("target_tile_rows", "500").save(dir)
+    val before = TileFormat.readManifest(dir).get
+    assert(before.tiles.size >= 8, s"need many tiles, got ${before.tiles.size}")
+
+    // box answer as order-independent exact values (count + decimal sum)
+    def box(): (Long, java.math.BigDecimal) = {
+      val r = spark.read.format(Fmt).load(dir)
+        .filter(col("l_partkey").between(20L, 60L) &&
+          col("l_suppkey").between(2L, 4L))
+        .agg(count(lit(1)), sum(col("l_extendedprice").cast(DecimalType(18, 2))))
+        .collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def opened(f: () => Unit): Long = {
+      val s0 = TileFormat.tilesOpened.get(); f(); TileFormat.tilesOpened.get() - s0
+    }
+    val preAnswer = box()
+    assert(preAnswer._1 > 0L, "empty box — test data assumption broken")
+    val preOpened = opened(() => box())
+
+    val rep = graft.sources.tiles.GraftTileMaintenance.optimizeZOrder(
+      spark, dir, "l_partkey", "l_suppkey", bits = 16, targetRows = 500L)
+    val after = TileFormat.readManifest(dir).get
+    assert(rep.tilesIn === before.tiles.size)
+    assert(rep.rows === before.tiles.map(_.liveRows).sum)
+    assert(after.generation === before.generation + 1L, "rewrite must bump generation")
+
+    // the answer is identical through the rewrite…
+    assert(box() === preAnswer)
+    // …and the box now PRUNES: the unclustered layout opened every tile,
+    // the z-ordered one opens only the tiles whose bounding box intersects
+    val postOpened = opened(() => box())
+    assert(preOpened >= before.tiles.size.toLong,
+      s"expected no pruning pre-rewrite: $preOpened of ${before.tiles.size}")
+    assert(postOpened * 2 <= after.tiles.size.toLong,
+      s"z-order pruned too little: opened $postOpened of ${after.tiles.size} tiles")
+
+    // replaced tiles are orphans: invisible, reclaimed by vacuum
+    val removed = TileFormat.vacuumOrphans(dir)
+    before.tiles.foreach(t => assert(removed.contains(t.file),
+      s"pre-rewrite tile ${t.file} not reclaimed"))
+    assert(box() === preAnswer)
+  }
+
+  test("manifest column stats reach CBO: a join's build side flips with stats on vs off") {
+    import spark.implicits._
+    val dir1 = tmp("tiles_spec_cbo_fact")
+    val dir2 = tmp("tiles_spec_cbo_other")
+    // `a` spans 0..99, `b` spans 1000..1049: the zone maps PROVE a > b is
+    // empty, but only COLUMN stats can tell the optimizer — the predicate
+    // compares two columns, so it can never push down (V1 Filter API) and
+    // never zone-prunes; the scan reports full size either way
+    spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 100).as("a"), (lit(1000) + col("id") % 50).as("b"))
+      .coalesce(2).write.format(Fmt).mode("overwrite").save(dir1)
+    spark.range(0, 2000).select(col("id").as("k"),
+      concat(lit("payload-"), col("id")).as("v"))
+      .coalesce(2).write.format(Fmt).mode("overwrite").save(dir2)
+
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10240")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def planFor(statsOn: Boolean): String = {
+        val t1 = spark.read.format(Fmt)
+          .option("column_stats", statsOn.toString).load(dir1)
+        val t2 = spark.read.format(Fmt)
+          .option("column_stats", statsOn.toString).load(dir2)
+        t1.filter(col("a") > col("b")).join(t2, "k")
+          .queryExecution.executedPlan.toString
+      }
+      // stats ON: FilterEstimation sees disjoint [0,99] vs [1000,1049]
+      // ranges → ~0 rows → the filtered side broadcasts
+      val withStats = planFor(statsOn = true)
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"column stats did not flip the join to broadcast:\n$withStats")
+      // stats OFF: the filter is unestimable → full ~50KB on both sides,
+      // over the 10KB threshold → shuffle join
+      val noStats = planFor(statsOn = false)
+      assert(!noStats.contains("BroadcastHashJoin"),
+        s"expected a shuffle join without column stats:\n$noStats")
+
+      // and the stats themselves are exact where the manifest is exact
+      val t1Stats = spark.read.format(Fmt).load(dir1)
+        .queryExecution.optimizedPlan.stats
+      assert(t1Stats.attributeStats.nonEmpty, "no column stats surfaced to catalyst")
+      val aStat = t1Stats.attributeStats.find(_._1.name == "a").map(_._2).get
+      assert(aStat.min.contains(0L) && aStat.max.contains(99L), aStat.toString)
+      assert(aStat.nullCount.contains(BigInt(0)), aStat.toString)
+      assert(aStat.distinctCount.exists(_ <= BigInt(100)), aStat.toString)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("plain scans vectorize (ColumnarBatch); per-row shapes stay on the row path") {
+    val dir = tmp("tiles_spec_columnar")
+    val src = Tables(spark, sf001).orders
+      .withColumn("k_int", col("o_orderkey").cast(IntegerType))
+      .withColumn("k_date", to_date(col("o_orderdate")))
+      .withColumn("k_bool", col("o_orderkey") % 2 === 0)
+      .withColumn("k_null", when(col("o_orderkey") % 3 === 0, col("o_orderstatus")))
+    src.write.format(Fmt).mode("overwrite").save(dir)
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // 1) full projection, no filter → the scan hands Spark ColumnarBatches
+    //    (the plan inserts a ColumnarToRow transition above the BatchScan)
+    val full = spark.read.format(Fmt).load(dir)
+      .select("o_orderkey", "o_totalprice", "k_int", "k_date", "k_bool", "k_null")
+    assert(planOf(full).contains("ColumnarToRow"),
+      s"plain tile scan did not vectorize:\n${planOf(full)}")
+    // value-faithful across every type incl. presence-byte nulls
+    val expected = src.select("o_orderkey", "o_totalprice", "k_int", "k_date",
+      "k_bool", "k_null")
+    assert(full.exceptAll(expected).isEmpty && expected.exceptAll(full).isEmpty,
+      "columnar read-back differs from the written frame")
+
+    // 2) a pushed filter needs the row-exact re-check → row path
+    val filtered = spark.read.format(Fmt).load(dir).filter(col("o_orderkey") < 100L)
+    assert(!planOf(filtered).contains("ColumnarToRow"),
+      s"filtered tile scan wrongly planned columnar:\n${planOf(filtered)}")
+    assert(filtered.count() === expected.filter(col("o_orderkey") < 100L).count())
+
+    // 3) schema evolution: a column added after the tiles were written
+    //    null-fills in the vectorized path too
+    spark.conf.set("spark.sql.catalog.tcol",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tcol.warehouse",
+      new java.io.File(dir).getParent)
+    val ident = new java.io.File(dir).getName
+    spark.sql(s"ALTER TABLE tcol.`$ident` ADD COLUMN late_col DOUBLE")
+    val evolved = spark.read.format(Fmt).load(dir).select("o_orderkey", "late_col")
+    assert(planOf(evolved).contains("ColumnarToRow"))
+    assert(evolved.filter(col("late_col").isNotNull).count() === 0L)
+    assert(evolved.count() === expected.count())
+
+    // 4) a deletion vector forces the row path (per-row masking)
+    spark.sql(s"DELETE FROM tcol.`$ident` WHERE o_orderkey = 1")
+    val afterDv = spark.read.format(Fmt).load(dir).select("o_orderkey")
+    assert(!planOf(afterDv).contains("ColumnarToRow"),
+      s"DV'd tile scan wrongly planned columnar:\n${planOf(afterDv)}")
+    assert(afterDv.count() === expected.count() - 1)
   }
 }
