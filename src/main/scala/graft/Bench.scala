@@ -96,6 +96,7 @@ object Bench {
     // round-14 entries: field-id schema evolution, OPTIMIZE ZORDER BY, and
     // the tiles-persisted seen-before index (metadata-only probe)
     "s34_tiles_rename_drop", "s35_tiles_zorder", "dedup_seen_persisted",
+    "s36_tiles_widen",
     // pipeline_corpus_curation is Verify-graded but NOT a bench headliner:
     // it is a composite of stages that are each benched above, and its
     // bench-scale cost is dominated by sequential stage materializations

@@ -557,7 +557,40 @@ object Tiles {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  /** S36 — ALTER COLUMN TYPE widening (r14): the first slice is ingested
+    * with `o_custkey` narrowed to INT, then the column is widened to
+    * BIGINT and RENAMED — both pure manifest edits stacked on the same
+    * field id — before the second slice appends as BIGINT. The aggregate
+    * mixes int-chunk and long-chunk tiles under one BIGINT column, so the
+    * oracle passes only if the recorded physical tags decode old chunks
+    * exactly and the upcast is value-faithful. No tile rewritten. */
+  private val widenQ: Q = (s, dir) => {
+    val wh = tmpDir("tile_warehouse")
+    s.conf.set("spark.sql.catalog.tiles_cat",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    s.conf.set("spark.sql.catalog.tiles_cat.warehouse", wh)
+    val tdir = s"$wh/db/orders_widen"
+    wipe(tdir)
+    val base = Tables(s, dir).orders
+    base.filter(year(col("o_orderdate")) < 1998)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("cust_small"), col("o_totalprice"))
+      .write.format(Fmt).mode("overwrite").save(tdir)
+    s.sql("ALTER TABLE tiles_cat.db.orders_widen ALTER COLUMN cust_small TYPE BIGINT")
+    s.sql("ALTER TABLE tiles_cat.db.orders_widen RENAME COLUMN cust_small TO o_custkey")
+    base.filter(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.format(Fmt).mode("append").save(tdir)
+    s.sql("""SELECT count(*) AS n,
+            |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+            |       max(o_custkey) AS max_cust,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+            |       min(o_orderkey) AS min_key
+            |FROM tiles_cat.db.orders_widen""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
+    "s36_tiles_widen" -> widenQ,
     "s35_tiles_zorder" -> zorderTilesQ,
     "s34_tiles_rename_drop" -> renameDropQ,
     "s33_tiles_bloom_point" -> bloomPointQ,
@@ -581,6 +614,13 @@ object Tiles {
   )
 
   val oracles: Map[String, String] = Map(
+    "s36_tiles_widen" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       max(o_custkey) AS max_cust,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders""".stripMargin,
     "s35_tiles_zorder" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -82,6 +82,26 @@ class GraftTileCatalog extends TableCatalog {
     }
   }
 
+  /** SQL time travel by instant (r14): `… FROM tiles.db.t TIMESTAMP AS OF
+    * <ts>` — Spark hands the instant in MICROSECONDS; the catalog resolves
+    * it to the latest commit at-or-before it
+    * ([[TileFormat.versionAsOfTimestamp]], Delta semantics) and pins the
+    * table exactly like `VERSION AS OF` does. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident).getAbsolutePath
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val tsMillis = Math.floorDiv(timestamp, 1000L)
+    TileFormat.versionAsOfTimestamp(dir, tsMillis) match {
+      case Some(seq) =>
+        new GraftTileTable(dir, TileFormat.readManifestVersion(dir, seq).get.schema,
+          Some(seq))
+      case None => throw new IllegalArgumentException(
+        s"graft-tiles: no committed version of $ident at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (before the oldest " +
+          "retained commit, or history vacuumed)")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -147,7 +167,12 @@ class GraftTileCatalog extends TableCatalog {
     *    misparse once positions shift — compact first). The partition
     *    column cannot be dropped.
     *
-    * Retype/reposition stay rejected — those are rewrite territory. */
+    *  - '''WIDEN''' (ALTER COLUMN TYPE, INT → BIGINT): the manifest type
+    *    widens; stamped tiles decode their chunks with the RECORDED
+    *    physical tag and upcast on read — no rewrite, stats and blooms
+    *    survive (shared value domain).
+    *
+    * Any other retype and repositioning stay rejected — rewrite territory. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident).getAbsolutePath
     val m = TileFormat.readManifest(dir).getOrElse(throw new NoSuchTableException(ident))
@@ -214,10 +239,35 @@ class GraftTileCatalog extends TableCatalog {
           tiles = tiles.map(t => t.copy(stats = t.stats - name,
             bloomCols = t.bloomCols.filterNot(_ == name)))
         }
+      case upd: TableChange.UpdateColumnType =>
+        // '''WIDEN''' (r14): INT → BIGINT, the Iceberg type promotion —
+        // metadata-only because every stamped tile records its chunks'
+        // physical tags ([[TileFormat.TileMeta.colTags]]): the manifest
+        // type widens, old chunks decode with their own codec and upcast
+        // on read. Zone maps and bloom sidecars survive unchanged (both
+        // live in the shared ordered/internal domain). Narrowing and any
+        // other retype stay rejected — those need a rewrite.
+        require(upd.fieldNames().length == 1,
+          "graft-tiles: ALTER COLUMN TYPE supports top-level columns only")
+        val name = upd.fieldNames()(0)
+        val idx = fields.indexWhere(_.name == name)
+        require(idx >= 0, s"graft-tiles: no column `$name` to retype")
+        val from = fields(idx).dataType
+        val to = upd.newDataType()
+        require(from == org.apache.spark.sql.types.IntegerType &&
+          to == org.apache.spark.sql.types.LongType,
+          s"graft-tiles: only the INT -> BIGINT widening is metadata-only; " +
+            s"${from.sql} -> ${to.sql} is rewrite territory")
+        require(tiles.forall(t => t.rows == 0 ||
+          (t.colIds.nonEmpty && t.colTags.nonEmpty)),
+          "graft-tiles: ALTER COLUMN TYPE requires type-stamped tiles " +
+            "(legacy tiles present — run compaction first)")
+        fields = fields.updated(idx, fields(idx).copy(dataType = to))
       case other =>
         throw new UnsupportedOperationException(
           s"graft-tiles: unsupported ALTER TABLE change $other (ADD/RENAME/DROP " +
-            "COLUMN only; retype/reposition are rewrite territory)")
+            "COLUMN and the INT -> BIGINT widening only; other retypes and " +
+            "repositions are rewrite territory)")
     }
     val evolved = org.apache.spark.sql.types.StructType(fields)
     // metadata-only publish: tile files, watermark, and generation are

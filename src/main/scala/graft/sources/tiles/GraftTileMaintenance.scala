@@ -85,8 +85,9 @@ object GraftTileMaintenance {
         if (t.dv.nonEmpty) dvs += 1
         val dv = t.dv.toArray
         var dvPos = 0
-        val cur = TileFormat.openCursor(new File(dir, t.file), allIdx,
-          TileFormat.chunkIndices(ids, t, allIdx), tags)
+        val cIdx = TileFormat.chunkIndices(ids, t, allIdx)
+        val cur = TileFormat.openCursor(new File(dir, t.file), allIdx, cIdx,
+          tags, TileFormat.chunkTagsFor(t, cIdx, allIdx, tags))
         val dest = new Array[Any](tags.length)
         var ord = 0L
         while (cur.next(dest)) {

@@ -241,7 +241,12 @@ class GraftTileTable(dir: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTileScanBuilder(dir, tableSchema, versionAt,
-      columnStats = options.getBoolean("column_stats", true))
+      columnStats = options.getBoolean("column_stats", true),
+      maxTilesPerTrigger = Option(options.get("max_tiles_per_trigger")).map { v =>
+        val n = v.trim.toInt
+        require(n > 0, s"graft-tiles: max_tiles_per_trigger must be positive, got $n")
+        n
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     readOnlyPin()
@@ -272,8 +277,9 @@ object GraftTileTable {
         Some(t) // provably no-match: untouched
       else {
         // the predicate splits this tile: scan ONLY its predicate columns
-        val cur = TileFormat.openCursor(new File(dir, t.file), neededIdx,
-          TileFormat.chunkIndices(ids, t, neededIdx), tags)
+        val cIdx = TileFormat.chunkIndices(ids, t, neededIdx)
+        val cur = TileFormat.openCursor(new File(dir, t.file), neededIdx, cIdx,
+          tags, TileFormat.chunkTagsFor(t, cIdx, neededIdx, tags))
         val dest = new Array[Any](tags.length)
         val already = t.dv.toSet
         val dv = scala.collection.mutable.ArrayBuffer.empty[Long] ++= t.dv
@@ -294,7 +300,8 @@ object GraftTileTable {
 
 class GraftTileScanBuilder(dir: String, fullSchema: StructType,
                            versionAt: Option[Long] = None,
-                           columnStats: Boolean = true)
+                           columnStats: Boolean = true,
+                           maxTilesPerTrigger: Option[Int] = None)
   extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -505,14 +512,16 @@ class GraftTileScanBuilder(dir: String, fullSchema: StructType,
       manifest.flatMap(_.partitionBy), versionAt,
       manifest.map(m => TileFormat.fieldIds(m.schema))
         .getOrElse(Array.tabulate(fullSchema.length)(_ + 1)),
-      columnStatsOn = columnStats)
+      columnStatsOn = columnStats, maxTilesPerTrigger = maxTilesPerTrigger)
 }
 
 /** One committed tile = one input partition; `dv` is the tile's sorted
   * deletion vector (ordinals the reader masks); `colIds` the field ids of
-  * its chunks (empty = legacy positional). */
+  * its chunks (empty = legacy positional); `colTags` their physical type
+  * tags at write time (empty = same as the manifest type). */
 case class GraftTilePartition(file: String, rows: Long, dv: Seq[Long],
-                              colIds: Seq[Int] = Nil) extends InputPartition
+                              colIds: Seq[Int] = Nil,
+                              colTags: Seq[Int] = Nil) extends InputPartition
 
 /** Single-partition carrier for metadata-answered aggregate rows (one
   * for a global aggregate, one per group for a metadata GROUP BY). */
@@ -542,7 +551,8 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
                     partitionBy: Option[String] = None,
                     versionPinned: Option[Long] = None,
                     fieldIds: Array[Int] = Array.empty,
-                    columnStatsOn: Boolean = true)
+                    columnStatsOn: Boolean = true,
+                    maxTilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -721,11 +731,11 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
         // tile (full parallelism within a partition value)
         ts.map(t => GraftTileKeyedPartition(
           GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv,
-            t.colIds), k))
+            t.colIds, t.colTags), k))
       }.toArray[InputPartition]
       case None =>
         kept.map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows,
-          t.dv, t.colIds))
+          t.dv, t.colIds, t.colTags))
           .toArray[InputPartition]
     }
   }
@@ -757,7 +767,8 @@ class GraftTileScan(dir: String, fullSchema: StructType, required: StructType,
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(versionPinned.isEmpty,
       "graft-tiles: a version-pinned (time travel) read cannot stream")
-    new GraftTileMicroBatchStream(dir, fullSchema, required, pushed)
+    new GraftTileMicroBatchStream(dir, fullSchema, required, pushed,
+      maxTilesPerTrigger)
   }
 }
 
@@ -797,11 +808,12 @@ object GraftTileOffset {
   * bumps the manifest generation and a restarted reader fails loudly
   * instead of silently misreading shifted positions. */
 class GraftTileMicroBatchStream(dir: String, fullSchema: StructType,
-                                required: StructType, pushed: Array[Filter])
+                                required: StructType, pushed: Array[Filter],
+                                maxTilesPerTrigger: Option[Int] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private def manifest: Option[TileFormat.ManifestData] = TileFormat.readManifest(dir)
 
@@ -823,12 +835,32 @@ class GraftTileMicroBatchStream(dir: String, fullSchema: StructType,
   override def latestOffset(): Offset =
     availableNowEnd.getOrElse(snapshotOffset)
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the engine
-  // calls this form; the default ReadLimit is allAvailable, and a pinned
-  // AvailableNow end wins regardless (process exactly the prepared data)
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    availableNowEnd.getOrElse(snapshotOffset)
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the
+  // `max_tiles_per_trigger` read option becomes a ReadMaxFiles limit (r14)
+  // — the maxFilesPerTrigger of the built-in file source, in tile units —
+  // so a large backlog drains in bounded micro-batches instead of one
+  // giant batch (the state-store and output-latency safety valve at
+  // scale). A pinned AvailableNow end still bounds the DRAIN TARGET; the
+  // per-trigger cap paces the way there (the engine keeps triggering
+  // until the pinned end is reached — FileStreamSource semantics).
+  override def getDefaultReadLimit: ReadLimit =
+    maxTilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowEnd.getOrElse(snapshotOffset)
+    val s = start.asInstanceOf[GraftTileOffset]
+    limit match {
+      case mf: ReadMaxFiles if s.generation == target.generation =>
+        // same generation: advance at most maxFiles tiles toward the target
+        GraftTileOffset(target.generation,
+          math.min(target.tiles, s.tiles + mf.maxFiles().toLong))
+      case _ =>
+        // generation moved (rewrite) — report the target; the plan-time
+        // generation guard fails loudly rather than pacing into misread
+        target
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = GraftTileOffset.fromJson(json)
 
@@ -853,7 +885,7 @@ class GraftTileMicroBatchStream(dir: String, fullSchema: StructType,
     m.tiles.slice(s.tiles.toInt, e.tiles.toInt)
       .filter(t => pushed.forall(f => TileFormat.tileMayMatch(fullSchema, t, f)))
       .map(t => GraftTilePartition(new File(dir, t.file).getAbsolutePath, t.rows, t.dv,
-        t.colIds))
+        t.colIds, t.colTags))
       .toArray[InputPartition]
   }
 
@@ -892,7 +924,7 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
   override def createColumnarReader(partition: InputPartition)
   : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = partition match {
     case GraftTileKeyedPartition(tile, _) => createColumnarReader(tile)
-    case GraftTilePartition(file, _, dvSeq, colIds) =>
+    case GraftTilePartition(file, _, dvSeq, colIds, colTags) =>
       require(dvSeq.isEmpty, "graft-tiles: columnar read planned over a DV tile")
       val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
       // physical chunk per required column, id-mapped (legacy: positional)
@@ -911,8 +943,12 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
         k
       }
       val tags = fields.map(f => TileFormat.typeTag(f.dataType))
-      new GraftTileColumnarReader(new File(file), fields,
-        slotOf.map(chunkOfNeeded), tags)
+      val chunks = slotOf.map(chunkOfNeeded)
+      // physical codec per required column (type widening, r14)
+      val readTags = chunks.zip(tags).map { case (c, t) =>
+        if (colTags.nonEmpty && c >= 0 && c < colTags.length) colTags(c) else t
+      }
+      new GraftTileColumnarReader(new File(file), fields, chunks, tags, readTags)
     case other =>
       throw new IllegalArgumentException(s"graft-tiles: unexpected columnar partition $other")
   }
@@ -930,7 +966,7 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
         // key-carrying wrapper (SPJ grouping is Spark's job — its
         // DataSourceRDD chains a group's member readers)
         createReader(tile)
-      case GraftTilePartition(file, _, dvSeq, colIds) =>
+      case GraftTilePartition(file, _, dvSeq, colIds, colTags) =>
         val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
         val tags = fullSchema.fields.map(f => TileFormat.typeTag(f.dataType))
         val fileName = UTF8String.fromString(new File(file).getName)
@@ -952,9 +988,15 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
             val pos = colIds.zipWithIndex.toMap
             neededIds.map(id => pos.getOrElse(id, -1))
           }
+        // physical codec per needed column (type widening, r14)
+        val chunkTags: Array[Int] =
+          if (colTags.isEmpty) neededIdx.map(tags)
+          else chunkIdx.zip(neededIdx).map { case (c, d) =>
+            if (c >= 0 && c < colTags.length) colTags(c) else tags(d)
+          }
         new PartitionReader[InternalRow] {
           private val cursor = TileFormat.openCursor(new File(file), neededIdx,
-            chunkIdx, tags)
+            chunkIdx, tags, chunkTags)
           private val parsed = new Array[Any](fullSchema.length)
           private var current: InternalRow = _
           private var emitted = 0L
@@ -1003,7 +1045,8 @@ class GraftTileReaderFactory(fullSchemaJson: String, requiredNames: Array[String
   * supports it). A `null` stream (schema evolution: the tile predates
   * the column, or field-id says the chunk was dropped) fills nulls. */
 class GraftTileColumnarReader(file: File, fields: Array[StructField],
-                              chunkIdx: Array[Int], tags: Array[Int])
+                              chunkIdx: Array[Int], tags: Array[Int],
+                              readTags: Array[Int])
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -1025,8 +1068,16 @@ class GraftTileColumnarReader(file: File, fields: Array[StructField],
       val in = chunkIns(c)
       if (in == null) {
         vec.putNulls(0, n)
+      } else if (readTags(c) == TileFormat.TagInt && tags(c) == TileFormat.TagLong) {
+        // widen on read (r14): an int chunk under a long manifest column
+        var i = 0
+        while (i < n) {
+          if (in.readByte() != 1) vec.putNull(i)
+          else vec.putLong(i, in.readInt().toLong)
+          i += 1
+        }
       } else {
-        val tag = tags(c)
+        val tag = readTags(c)
         var i = 0
         (tag: @annotation.switch) match {
           case TileFormat.TagInt =>
@@ -1200,7 +1251,8 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
 case class TilePart(tmpName: String, finalName: String, rows: Long,
                     bytes: Long, stats: Map[String, ColStats],
                     bloomCols: Seq[String] = Nil,
-                    colIds: Seq[Int] = Nil) {
+                    colIds: Seq[Int] = Nil,
+                    colTags: Seq[Int] = Nil) {
   /** Driver-side publish of this staged tile: rename it (and its bloom
     * sidecar) in, return its manifest entry. Shared by every commit path
     * so a sidecar can never be left behind under its tmp name. */
@@ -1212,7 +1264,7 @@ case class TilePart(tmpName: String, finalName: String, rows: Long,
         .renameTo(new java.io.File(d, TileFormat.bloomSidecarName(finalName)))
       require(bOk, s"graft-tiles: bloom sidecar rename failed for $tmpName")
     }
-    TileMeta(finalName, rows, bytes, stats, Nil, bloomCols, colIds)
+    TileMeta(finalName, rows, bytes, stats, Nil, bloomCols, colIds, colTags)
   }
   def abortIn(d: java.io.File): Unit = {
     new java.io.File(d, tmpName).delete()
@@ -1397,6 +1449,10 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private val colIds: Seq[Int] =
     if (fieldIds.nonEmpty) fieldIds.toSeq
     else (1 to schema.length).toSeq
+  // the chunks' PHYSICAL type tags at write time (r14): what lets a later
+  // ALTER COLUMN widen the manifest type while old chunks decode exactly
+  private val colTags: Seq[Int] =
+    schema.fields.map(f => TileFormat.typeTag(f.dataType)).toSeq
   private val uuid = UUID.randomUUID().toString.take(8)
   new File(dir).mkdirs()
   private def tmpName(seq: Int) = f".tmp-$partitionId%05d-$taskId-$uuid-$seq%04d.gtile"
@@ -1495,7 +1551,7 @@ class GraftTileWriter(dir: String, schema: StructType, partitionId: Int, taskId:
         blooms.map(_._1)
       }
     parts += TilePart(tmpName(seq), finalName(seq), rows, file.length(), stats,
-      bloomCols, colIds)
+      bloomCols, colIds, colTags)
     seq += 1
     reset()
   }

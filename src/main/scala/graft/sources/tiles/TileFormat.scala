@@ -107,11 +107,23 @@ object TileFormat {
     * FRESH id that no old chunk carries (old data never resurfaces).
     * Empty = legacy positional tile (chunk i ↔ manifest field i), valid
     * only while the schema history is append-only — DROP COLUMN refuses
-    * tables holding such tiles until compaction stamps them. */
+    * tables holding such tiles until compaction stamps them.
+    *
+    * `colTags` (r14): the PHYSICAL type tags of this tile's chunks at
+    * write time, in chunk order — the indirection that makes type
+    * WIDENING (`ALTER COLUMN … TYPE`, int → long: the Iceberg promotion)
+    * metadata-only. The manifest schema carries the widened type; a chunk
+    * whose recorded tag is narrower decodes with its own codec and
+    * upcasts. Zone maps and bloom sidecars survive the widen unchanged
+    * (both store the ordered-domain/internal-value rendering, identical
+    * for an int and the long it widens to). Empty = legacy tile (chunk
+    * type == manifest type at read) — widening refuses tables holding
+    * such tiles until compaction stamps them. */
   final case class TileMeta(file: String, rows: Long, bytes: Long,
                             stats: Map[String, ColStats], dv: Seq[Long] = Nil,
                             bloomCols: Seq[String] = Nil,
-                            colIds: Seq[Int] = Nil) {
+                            colIds: Seq[Int] = Nil,
+                            colTags: Seq[Int] = Nil) {
     def liveRows: Long = rows - dv.length
   }
 
@@ -187,11 +199,16 @@ object TileFormat {
     * a DROPPED column's id is never reused by a later ADD (Iceberg's
     * last-column-id): a re-added same-name column must read null on old
     * tiles, not resurface the dropped chunk. */
+  /** `commitTs` (r14): wall-clock millis stamped at publish — what
+    * `TIMESTAMP AS OF` resolves against (the Delta/Iceberg
+    * timestamp-to-version lookup). Advisory for time travel only; no
+    * correctness surface reads it. */
   final case class ManifestData(schema: StructType, tiles: Seq[TileMeta],
                                 lastEpoch: Long, queryId: Option[String] = None,
                                 generation: Long = 0L, commitSeq: Long = 0L,
                                 partitionBy: Option[String] = None,
-                                nextFieldId: Int = 0)
+                                nextFieldId: Int = 0,
+                                commitTs: Long = 0L)
 
   /** Optimistic-concurrency expectation for a manifest publish (r13,
     * VERDICT r12 missing-item 2 — the `Layout.commitConflicts` semantics
@@ -333,9 +350,13 @@ object TileFormat {
     * (the Iceberg add-column contract; no tile rewrite). Compaction
     * upgrades old tiles to the full schema. */
   final class TileCursor(file: File, destIdx: Array[Int], chunkIdx: Array[Int],
-                         tags: Array[Int])
+                         tags: Array[Int], chunkTags: Array[Int] = null)
     extends AutoCloseable {
     require(destIdx.length == chunkIdx.length)
+    // physical codec per needed column: the tile's recorded chunk tag when
+    // known (type widening, r14), else the manifest/dest tag
+    private val readTags: Array[Int] =
+      if (chunkTags != null) chunkTags else destIdx.map(tags)
 
     private val (rowCount, chunkIns) = openChunkStreams(file, chunkIdx)
     def rows: Long = rowCount
@@ -348,16 +369,22 @@ object TileFormat {
         val in = chunkIns(k)
         dest(destIdx(k)) =
           if (in == null || in.readByte() != 1) null
-          else (tags(destIdx(k)): @annotation.switch) match {
-            case TagInt => in.readInt()
-            case TagLong => in.readLong()
-            case TagDouble => in.readDouble()
-            case TagString =>
-              val n = in.readInt()
-              val b = new Array[Byte](n)
-              in.readFully(b)
-              UTF8String.fromBytes(b)
-            case TagBool => in.readBoolean()
+          else {
+            val v: Any = (readTags(k): @annotation.switch) match {
+              case TagInt => in.readInt()
+              case TagLong => in.readLong()
+              case TagDouble => in.readDouble()
+              case TagString =>
+                val n = in.readInt()
+                val b = new Array[Byte](n)
+                in.readFully(b)
+                UTF8String.fromBytes(b)
+              case TagBool => in.readBoolean()
+            }
+            // widen on read: an int chunk under a long manifest column
+            if (readTags(k) == TagInt && tags(destIdx(k)) == TagLong)
+              v.asInstanceOf[Int].toLong
+            else v
           }
         k += 1
       }
@@ -367,6 +394,18 @@ object TileFormat {
 
     override def close(): Unit = () // chunks are in-memory; nothing open
   }
+
+  /** Physical read tag per needed column for ONE tile: the tile's recorded
+    * chunk tag (type widening reads the chunk's own codec) or the manifest
+    * tag for legacy/unstamped tiles (physical == manifest by the widen
+    * guard). -1-resolved (absent) chunks keep the manifest tag — they only
+    * ever produce nulls. */
+  def chunkTagsFor(tile: TileMeta, chunkIdx: Array[Int], destIdx: Array[Int],
+                   tags: Array[Int]): Array[Int] =
+    if (tile.colTags.isEmpty) destIdx.map(tags)
+    else chunkIdx.zip(destIdx).map { case (c, d) =>
+      if (c >= 0 && c < tile.colTags.length) tile.colTags(c) else tags(d)
+    }
 
   /** Positional open (legacy/suite convenience): dest slot = chunk index —
     * valid for tiles written under the reading schema or an append-only
@@ -378,6 +417,10 @@ object TileFormat {
   def openCursor(file: File, destIdx: Array[Int], chunkIdx: Array[Int],
                  tags: Array[Int]): TileCursor =
     new TileCursor(file, destIdx, chunkIdx, tags)
+
+  def openCursor(file: File, destIdx: Array[Int], chunkIdx: Array[Int],
+                 tags: Array[Int], chunkTags: Array[Int]): TileCursor =
+    new TileCursor(file, destIdx, chunkIdx, tags, chunkTags)
 
   // -------------------------------------------------------------- manifest
 
@@ -401,6 +444,7 @@ object TileFormat {
           ("commit_seq" -> commitSeq) ~
           ("partition_by" -> partitionBy) ~
           ("next_field_id" -> nextId) ~
+          ("commit_ts" -> System.currentTimeMillis()) ~
           ("tiles" -> tiles.map { t =>
             val base = ("file" -> t.file) ~ ("rows" -> t.rows) ~ ("bytes" -> t.bytes) ~
               ("stats" -> JObject(t.stats.toList.sortBy(_._1).map { case (c, s) =>
@@ -409,8 +453,10 @@ object TileFormat {
             val withDv = if (t.dv.isEmpty) base else base ~ ("dv" -> t.dv)
             val withBloom = if (t.bloomCols.isEmpty) withDv
               else withDv ~ ("bloom_cols" -> t.bloomCols)
-            if (t.colIds.isEmpty) withBloom
-            else withBloom ~ ("col_ids" -> t.colIds)
+            val withIds = if (t.colIds.isEmpty) withBloom
+              else withBloom ~ ("col_ids" -> t.colIds)
+            if (t.colTags.isEmpty) withIds
+            else withIds ~ ("col_tags" -> t.colTags)
           })
       JsonMethods.pretty(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8)
     }
@@ -536,8 +582,12 @@ object TileFormat {
           case JArray(cs) => cs.map(_.extract[Int])
           case _ => Nil
         }
+        val colTags = (t \ "col_tags") match {
+          case JArray(cs) => cs.map(_.extract[Int])
+          case _ => Nil
+        }
         TileMeta((t \ "file").extract[String], (t \ "rows").extract[Long],
-          (t \ "bytes").extract[Long], stats, dv, bloomCols, colIds)
+          (t \ "bytes").extract[Long], stats, dv, bloomCols, colIds, colTags)
       }
       case _ => Nil
     }
@@ -551,8 +601,27 @@ object TileFormat {
     val stamped = withFieldIds(schema)
     val nextFieldId = (j \ "next_field_id").extractOpt[Int]
       .getOrElse(fieldIds(stamped).foldLeft(0)(math.max) + 1)
+    val commitTs = (j \ "commit_ts").extractOpt[Long].getOrElse(0L)
     Some(ManifestData(stamped, tiles, lastEpoch, queryId, generation, commitSeq,
-      partitionBy, nextFieldId))
+      partitionBy, nextFieldId, commitTs))
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST committed version whose
+    * publish stamp is at or before `tsMillis` (the Delta semantics —
+    * "the state the table had at that wall-clock instant"). None when the
+    * instant predates the oldest retained version (vacuum truncates
+    * history) or the table has no versions. Clock skew between committers
+    * can locally reorder stamps; resolution scans in COMMIT order and
+    * keeps the last qualifying seq, so a skewed stamp can blur which
+    * neighbor wins but never resurrect a vacuumed state. */
+  def versionAsOfTimestamp(dir: String, tsMillis: Long): Option[Long] = {
+    var best: Option[Long] = None
+    listVersions(dir).sorted.foreach { seq =>
+      readManifestVersion(dir, seq).foreach { m =>
+        if (m.commitTs > 0L && m.commitTs <= tsMillis) best = Some(seq)
+      }
+    }
+    best
   }
 
   /** Reclaim tile files not referenced by the CURRENT manifest — the

@@ -371,11 +371,13 @@ class TilesSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
       spark.sql("CREATE TABLE tspec.ns.t1 (x BIGINT)")
     }
-    intercept[UnsupportedOperationException] { // rewrite-shaped change: rejected
+    // rewrite-shaped retype (not the INT -> BIGINT widening): rejected
+    val retypeErr = intercept[IllegalArgumentException] {
       cat.alterTable(Identifier.of(Array("ns"), "t1"),
         org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
           Array("v"), org.apache.spark.sql.types.DoubleType))
     }
+    assert(retypeErr.getMessage.contains("rewrite territory"), retypeErr.getMessage)
     cat.renameTable(Identifier.of(Array("ns"), "t1"), Identifier.of(Array("ns"), "t2"))
     assert(spark.sql("SELECT count(*) FROM tspec.ns.t2").head().getLong(0) === 3L)
     assert(spark.sql("DROP TABLE tspec.ns.t2") != null)
@@ -715,6 +717,68 @@ class TilesSpec extends SparkSpec {
     // offset JSON roundtrip
     val off = graft.sources.tiles.GraftTileOffset(3L, 7L)
     assert(graft.sources.tiles.GraftTileOffset.fromJson(off.json()) === off)
+  }
+
+  test("TIMESTAMP AS OF resolves the latest commit at-or-before the instant") {
+    import spark.implicits._
+    val wh = tmp("tiles_spec_tsasof_wh")
+    spark.conf.set("spark.sql.catalog.tts",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tts.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS tts.db.t")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).writeTo("tts.db.t").using(Fmt).create()
+    Thread.sleep(15)
+    Seq((2L, "b")).toDF("k", "v").coalesce(1).writeTo("tts.db.t").append()
+    Thread.sleep(15)
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).writeTo("tts.db.t").append()
+    val dir = s"$wh/db/t"
+    val versions = TileFormat.listVersions(dir).sorted
+      .flatMap(s => TileFormat.readManifestVersion(dir, s))
+    assert(versions.map(_.commitTs).distinct.size >= 3, "commit stamps not distinct")
+    // the instant of the 2-row state (after the first append, before the
+    // second) must resolve to exactly that version
+    val mid = versions.find(_.tiles.size == 1).get // CREATE is v0 (0 tiles)
+    val midTs = versions.filter(_.tiles.size == 2).map(_.commitTs).min - 1L
+    def countAt(ms: Long): Long =
+      spark.sql(s"SELECT count(*) FROM tts.db.t TIMESTAMP AS OF timestamp_millis($ms)")
+        .head.getLong(0)
+    assert(countAt(midTs) === 1L)
+    assert(countAt(System.currentTimeMillis()) === 3L)
+    assert(mid.tiles.size === 1)
+    // an instant before the first commit fails loudly
+    val e = intercept[Exception] { countAt(versions.head.commitTs - 10000L) }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+    spark.sql("DROP TABLE tts.db.t")
+  }
+
+  test("streaming admission control: max_tiles_per_trigger paces the drain in bounded batches") {
+    val dir = tmp("tiles_spec_admission")
+    val ckpt = tmp("tiles_spec_admission_ckpt")
+    val sink = tmp("tiles_spec_admission_sink")
+    import spark.implicits._
+    // a 5-tile backlog
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.format(Fmt).mode(if (i == 1) "overwrite" else "append").save(dir)
+    }
+    assert(TileFormat.readManifest(dir).get.tiles.size === 5)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format(Fmt)
+      .option("max_tiles_per_trigger", "2").load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], _: Long) =>
+        batchSizes += batch.count()
+        batch.write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 5 tiles at <=2 per trigger: [2, 2, 1] — paced, complete, exactly-once
+    assert(batchSizes.toSeq === Seq(2L, 2L, 1L),
+      s"expected a 2/2/1 paced drain, got $batchSizes")
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
   }
 
   test("REPLACE WHERE: atomic slice swap — aligned is metadata-only, split goes to DVs") {
@@ -1432,6 +1496,66 @@ class TilesSpec extends SparkSpec {
       spark.sql("ALTER TABLE tfid.db.t DROP COLUMN k, cust, junk")
     }
     spark.sql("DROP TABLE tfid.db.t")
+  }
+
+  test("ALTER COLUMN TYPE widens INT -> BIGINT metadata-only; mixed-era tiles read exactly") {
+    import spark.implicits._
+    val wh = tmp("tiles_spec_widen_wh")
+    spark.conf.set("spark.sql.catalog.twid",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.twid.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS twid.db.t")
+    Seq((1, 10L), (2, 20L)).toDF("k", "v").coalesce(1)
+      .writeTo("twid.db.t").using(Fmt).create()
+    val before = TileFormat.readManifest(s"$wh/db/t").get
+
+    spark.sql("ALTER TABLE twid.db.t ALTER COLUMN k TYPE BIGINT")
+    val after = TileFormat.readManifest(s"$wh/db/t").get
+    assert(after.schema("k").dataType === LongType)
+    // metadata-only: same tile files, int chunks recorded as int
+    assert(after.tiles.map(_.file) === before.tiles.map(_.file))
+    assert(after.tiles.head.colTags ===
+      Seq(TileFormat.TagInt, TileFormat.TagLong))
+
+    // appends land with the widened schema; mixed-era reads are exact on
+    // the vectorized full scan, the filtered row path, and agg pushdown
+    Seq((3L, 30L)).toDF("k", "v").coalesce(1).writeTo("twid.db.t").append()
+    assert(spark.sql("SELECT k, v FROM twid.db.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(spark.sql("SELECT v FROM twid.db.t WHERE k = 2").collect()
+      .map(_.getLong(0)).toSeq === Seq(20L))
+    assert(spark.sql("SELECT min(k), max(k), count(k) FROM twid.db.t").head ===
+      org.apache.spark.sql.Row(1L, 3L, 3L))
+
+    // DELETE under the widened column (row-exact over an int chunk), then
+    // compaction upgrades old tiles to long chunks; still exact
+    spark.sql("DELETE FROM twid.db.t WHERE k = 2")
+    graft.sources.tiles.GraftTileMaintenance.compact(
+      s"$wh/db/t", smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    val upgraded = TileFormat.readManifest(s"$wh/db/t").get
+    assert(upgraded.tiles.forall(_.colTags ==
+      Seq(TileFormat.TagLong, TileFormat.TagLong)))
+    assert(spark.sql("SELECT k, v FROM twid.db.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (3L, 30L)))
+
+    // anything but the INT -> BIGINT widening is rejected — narrowing by
+    // Spark's own upcast analysis, other widenings by our guard (probed
+    // through the catalog API since Spark admits e.g. LONG -> DOUBLE)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE twid.db.t ALTER COLUMN v TYPE INT")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("twid")
+      .asInstanceOf[graft.sources.tiles.GraftTileCatalog]
+    val e = intercept[IllegalArgumentException] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "t"),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("v"), org.apache.spark.sql.types.DoubleType))
+    }
+    assert(e.getMessage.contains("rewrite territory"), e.getMessage)
+    spark.sql("DROP TABLE twid.db.t")
   }
 
   test("reported statistics shrink after pushdown (the broadcast-decision input)") {
