@@ -136,10 +136,17 @@ class GraftTileCatalog extends TableCatalog {
     GraftTilesSource.validateSchema(schema) // type support + reserved names
     val d = dirFor(ident)
     d.mkdirs()
+    // durable TBLPROPERTIES (r14): user properties persist in the manifest
+    // (engine-reserved keys Spark injects are not table config)
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap -- GraftTileCatalog.EngineProps
+    }
     // CREATE is the publish of an empty manifest — the same atomic object
     // a write commit replaces, so readers never see a schemaless table
     TileFormat.writeManifest(d.getAbsolutePath, schema, Seq.empty,
-      expect = TileFormat.ExpectAbsent, partitionBy = partitionBy)
+      expect = TileFormat.ExpectAbsent, partitionBy = partitionBy,
+      tableProps = Some(userProps))
     new GraftTileTable(d.getAbsolutePath,
       TileFormat.readManifest(d.getAbsolutePath).get.schema)
   }
@@ -180,7 +187,14 @@ class GraftTileCatalog extends TableCatalog {
     var tiles = m.tiles
     var partitionBy = m.partitionBy
     var nextId = m.nextFieldId
+    var props = m.properties
     changes.foreach {
+      case set: TableChange.SetProperty =>
+        require(!GraftTileCatalog.EngineProps(set.property()),
+          s"graft-tiles: `${set.property()}` is an engine-reserved property")
+        props = props + (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property()
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft-tiles: ADD COLUMN supports top-level columns only")
@@ -274,7 +288,7 @@ class GraftTileCatalog extends TableCatalog {
     // unchanged (no tile positions moved, so streaming offsets stay valid)
     TileFormat.writeManifest(dir, evolved, tiles, m.lastEpoch, m.queryId, m.generation,
       expect = TileFormat.ExpectCommitSeq(m.commitSeq), partitionBy = partitionBy,
-      nextFieldId = nextId)
+      nextFieldId = nextId, tableProps = Some(props))
     new GraftTileTable(dir, TileFormat.readManifest(dir).get.schema)
   }
 
@@ -296,4 +310,11 @@ class GraftTileCatalog extends TableCatalog {
     require(dirFor(oldIdent).renameTo(target),
       s"graft-tiles: rename $oldIdent -> $newIdent failed")
   }
+}
+
+object GraftTileCatalog {
+  /** Keys Spark's DDL machinery injects that are NOT user table config —
+    * never persisted as TBLPROPERTIES and rejected by an explicit SET. */
+  val EngineProps: Set[String] =
+    Set("provider", "location", "owner", "external")
 }

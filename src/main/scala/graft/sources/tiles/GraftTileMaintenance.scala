@@ -180,6 +180,11 @@ object GraftTileMaintenance {
     val bloomIdxLocal: Array[Int] = m.tiles.flatMap(_.bloomCols).distinct
       .filter(m.schema.fieldNames.contains).map(m.schema.fieldIndex).toArray
     val idsLocal: Array[Int] = TileFormat.fieldIds(m.schema)
+    // staged tiles honor the table's durable layout targets (r14)
+    val tbLocal = m.properties.get("target_tile_bytes").map(_.toLong)
+      .getOrElse(TileFormat.DefaultTileBytes)
+    val trLocal = m.properties.get("target_tile_rows").map(_.toLong)
+      .getOrElse(TileFormat.DefaultTileRows)
     // identity-partitioned tables keep the one-value-per-tile property:
     // cluster+sort the staged source on the partition column so the
     // writer's value-boundary roll yields one tile per value, not per run
@@ -194,6 +199,7 @@ object GraftTileMaintenance {
         val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val w = new GraftTileWriter(dirLocal, schema, 80000 + pid, taskId = pid.toLong,
+          targetBytes = tbLocal, targetRows = trLocal,
           partitionByIdx = pIdx, bloomIdx = bloomIdxLocal, fieldIds = idsLocal)
         it.foreach(w.write)
         Iterator(w.commit().asInstanceOf[GraftTileCommitMessage])
@@ -254,11 +260,20 @@ object GraftTileMaintenance {
     * Scale shape: one shuffle (the range partitioning on z) + one
     * embarrassingly-parallel write pass; at 100 TB this is the same plan
     * Delta's OPTIMIZE executes, and the driver holds only manifest-sized
-    * state. */
+    * state.
+    *
+    * `curve` picks the space-filling curve: `"zorder"` (Morton, default)
+    * or `"hilbert"` ([[graft.warehouse.Layout.withHilbert]] — adjacent
+    * indices are always grid-adjacent, so tile bounding boxes come out
+    * tighter on box predicates; the same pair every modern OPTIMIZE
+    * offers). Tile size targets default to the table's TBLPROPERTIES
+    * (`target_tile_bytes`/`target_tile_rows`), then the engine defaults;
+    * pass a positive value to override per call. */
   def optimizeZOrder(spark: org.apache.spark.sql.SparkSession, dir: String,
                      xCol: String, yCol: String, bits: Int = 16,
-                     targetBytes: Long = TileFormat.DefaultTileBytes,
-                     targetRows: Long = TileFormat.DefaultTileRows): ZOrderReport = {
+                     targetBytes: Long = -1L,
+                     targetRows: Long = -1L,
+                     curve: String = "zorder"): ZOrderReport = {
     import org.apache.spark.sql.functions.col
     val m = TileFormat.readManifest(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-tiles: optimizeZOrder target $dir has no manifest"))
@@ -278,13 +293,28 @@ object GraftTileMaintenance {
     val idsLocal: Array[Int] = TileFormat.fieldIds(m.schema)
     val pIdx = m.partitionBy.map(m.schema.fieldIndex)
 
+    // per-call override > durable TBLPROPERTIES > engine default
+    val tb = if (targetBytes > 0L) targetBytes
+      else m.properties.get("target_tile_bytes").map(_.toLong)
+        .getOrElse(TileFormat.DefaultTileBytes)
+    val tr = if (targetRows > 0L) targetRows
+      else m.properties.get("target_tile_rows").map(_.toLong)
+        .getOrElse(TileFormat.DefaultTileRows)
+
     val live = spark.read.format("graft-tiles").load(dir)
-    val z = graft.warehouse.Layout.zValue(col(xCol), col(yCol), bits)
-    val nOut = math.max(1L, m.tiles.map(_.bytes).sum / targetBytes).toInt
+    val withKey = curve match {
+      case "zorder" =>
+        live.withColumn("__z", graft.warehouse.Layout.zValue(col(xCol), col(yCol), bits))
+      case "hilbert" =>
+        graft.warehouse.Layout.withHilbert(live, col(xCol), col(yCol), bits, "__z")
+      case other => throw new IllegalArgumentException(
+        s"graft-tiles: unknown clustering curve `$other` (zorder | hilbert)")
+    }
+    val nOut = math.max(1L, m.tiles.map(_.bytes).sum / tb).toInt
     val ordered = (m.partitionBy match {
-      case Some(c) => live.withColumn("__z", z)
+      case Some(c) => withKey
         .repartition(col(c)).sortWithinPartitions(col(c), col("__z"))
-      case None => live.withColumn("__z", z)
+      case None => withKey
         .repartitionByRange(nOut, col("__z")).sortWithinPartitions(col("__z"))
     }).select(m.schema.fieldNames.map(col).toSeq: _*)
 
@@ -293,7 +323,7 @@ object GraftTileMaintenance {
         val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val w = new GraftTileWriter(dirLocal, schema, 70000 + pid, taskId = pid.toLong,
-          targetBytes = targetBytes, targetRows = targetRows,
+          targetBytes = tb, targetRows = tr,
           partitionByIdx = pIdx, bloomIdx = bloomIdxLocal, fieldIds = idsLocal)
         it.foreach(w.write)
         Iterator(w.commit().asInstanceOf[GraftTileCommitMessage])

@@ -222,6 +222,15 @@ class GraftTileTable(dir: String, tableSchema: StructType,
 
   override def name(): String = s"graft-tiles.`$dir`"
   override def schema(): StructType = tableSchema
+  /** Durable TBLPROPERTIES (r14) from the manifest — pinned reads report
+    * their version's map, mirroring schema/partitioning handling. */
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    (versionAt match {
+      case Some(seq) => TileFormat.readManifestVersion(dir, seq)
+      case None => TileFormat.readManifest(dir)
+    }).map(_.properties).getOrElse(Map.empty[String, String]).asJava
+  }
   /** Report the identity partition column (DESCRIBE/SHOW CREATE surface;
     * the same fact the scan turns into KeyGroupedPartitioning). A
     * version-pinned table reports ITS version's partitioning — the scan
@@ -1170,6 +1179,13 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
     * repartitionByRange first (Iceberg's write.distribution-mode
     * contract). `write_partitions` optionally pins the task count. */
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // layout config precedence (r14): write option > durable TBLPROPERTIES
+    // > engine default — a table declares its layout once and every
+    // writer inherits it; a single write can still override
+    private val tableProps: Map[String, String] =
+      TileFormat.readManifest(dir).map(_.properties).getOrElse(Map.empty)
+    private def opt(key: String): Option[String] =
+      Option(options.get(key)).orElse(tableProps.get(key))
     private val clusterBy: Array[String] =
       Option(options.get("cluster_by"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
@@ -1212,15 +1228,17 @@ class GraftTileWriteBuilder(dir: String, schema: StructType,
     override def requiredNumPartitions(): Int =
       if (clusterBy.isEmpty && partitionBy.isEmpty) 0
       else Option(options.get("write_partitions")).map(_.toInt).getOrElse(0)
-    private val targetBytes: Long = Option(options.get("target_tile_bytes"))
+    private val targetBytes: Long = opt("target_tile_bytes")
       .map(_.toLong).getOrElse(TileFormat.DefaultTileBytes)
-    private val targetRows: Long = Option(options.get("target_tile_rows"))
+    private val targetRows: Long = opt("target_tile_rows")
       .map(_.toLong).getOrElse(TileFormat.DefaultTileRows)
     /** Bloom sidecars (r13): `bloom_columns=c1,c2` — per-tile bloom filters
       * for point-lookup pruning on columns the tiles are NOT clustered by
-      * (the case zone maps cannot prune). */
+      * (the case zone maps cannot prune). Durable via TBLPROPERTIES (r14):
+      * a table that declares `bloom_columns` once gets sidecars from every
+      * writer, not only the ones that remembered the option. */
     private val bloomCols: Array[String] =
-      Option(options.get("bloom_columns"))
+      opt("bloom_columns")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
     bloomCols.foreach { c =>
       require(schema.fieldNames.contains(c),

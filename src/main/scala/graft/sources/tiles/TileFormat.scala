@@ -203,12 +203,19 @@ object TileFormat {
     * `TIMESTAMP AS OF` resolves against (the Delta/Iceberg
     * timestamp-to-version lookup). Advisory for time travel only; no
     * correctness surface reads it. */
+  /** `properties` (r14): durable table properties (SET/UNSET
+    * TBLPROPERTIES) — write-layout defaults (`target_tile_bytes`,
+    * `target_tile_rows`, `bloom_columns`) live here so every writer of
+    * the table inherits them without per-write options; a write option
+    * still overrides per write. Publishes PRESERVE the map unless the
+    * caller names a new one. */
   final case class ManifestData(schema: StructType, tiles: Seq[TileMeta],
                                 lastEpoch: Long, queryId: Option[String] = None,
                                 generation: Long = 0L, commitSeq: Long = 0L,
                                 partitionBy: Option[String] = None,
                                 nextFieldId: Int = 0,
-                                commitTs: Long = 0L)
+                                commitTs: Long = 0L,
+                                properties: Map[String, String] = Map.empty)
 
   /** Optimistic-concurrency expectation for a manifest publish (r13,
     * VERDICT r12 missing-item 2 — the `Layout.commitConflicts` semantics
@@ -429,12 +436,13 @@ object TileFormat {
                     generation: Long = 0L,
                     expect: PublishExpectation = Unchecked,
                     partitionBy: Option[String] = None,
-                    nextFieldId: Int = 0): Unit = {
+                    nextFieldId: Int = 0,
+                    tableProps: Option[Map[String, String]] = None): Unit = {
     // every published schema carries field ids (fresh/legacy → positional);
     // next_field_id never regresses below max(id)+1 so dropped ids stay dead
     val stamped = withFieldIds(schema)
     val nextId = math.max(nextFieldId, fieldIds(stamped).foldLeft(0)(math.max) + 1)
-    def render(commitSeq: Long): Array[Byte] = {
+    def render(commitSeq: Long, props: Map[String, String]): Array[Byte] = {
       val json: JValue =
         ("version" -> 2) ~
           ("schema" -> stamped.json) ~
@@ -445,6 +453,9 @@ object TileFormat {
           ("partition_by" -> partitionBy) ~
           ("next_field_id" -> nextId) ~
           ("commit_ts" -> System.currentTimeMillis()) ~
+          ("properties" -> JObject(props.toList.sortBy(_._1).map {
+            case (k, v) => k -> (JString(v): JValue)
+          })) ~
           ("tiles" -> tiles.map { t =>
             val base = ("file" -> t.file) ~ ("rows" -> t.rows) ~ ("bytes" -> t.bytes) ~
               ("stats" -> JObject(t.stats.toList.sortBy(_._1).map { case (c, s) =>
@@ -471,7 +482,11 @@ object TileFormat {
       // between — failing here leaves the table on the other committer's
       // version and this committer's tiles as vacuumable orphans, never a
       // silent lost update.
-      val onDisk = readManifest(dir).map(_.commitSeq)
+      val onDiskM = readManifest(dir)
+      val onDisk = onDiskM.map(_.commitSeq)
+      // properties are preserved across publishes unless the caller names
+      // a new map (the DDL path) — data commits never drop table config
+      val props = tableProps.getOrElse(onDiskM.map(_.properties).getOrElse(Map.empty))
       expect match {
         case Unchecked => ()
         case ExpectAbsent =>
@@ -485,7 +500,7 @@ object TileFormat {
               "landed since this edit was read; re-read and retry")
       }
       val seq = onDisk.map(_ + 1L).getOrElse(0L)
-      val bytes = render(seq)
+      val bytes = render(seq, props)
       // THE COMMIT POINT (ADVICE r13, cross-process CAS): the versioned
       // manifest `_graft_manifest.v<seq>.json` is published by HARD-LINKING
       // the fully-written staged bytes — link creation is atomic and
@@ -602,8 +617,12 @@ object TileFormat {
     val nextFieldId = (j \ "next_field_id").extractOpt[Int]
       .getOrElse(fieldIds(stamped).foldLeft(0)(math.max) + 1)
     val commitTs = (j \ "commit_ts").extractOpt[Long].getOrElse(0L)
+    val properties = (j \ "properties") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     Some(ManifestData(stamped, tiles, lastEpoch, queryId, generation, commitSeq,
-      partitionBy, nextFieldId, commitTs))
+      partitionBy, nextFieldId, commitTs, properties))
   }
 
   /** `TIMESTAMP AS OF` resolution: the LATEST committed version whose

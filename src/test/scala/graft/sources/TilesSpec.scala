@@ -719,6 +719,51 @@ class TilesSpec extends SparkSpec {
     assert(graft.sources.tiles.GraftTileOffset.fromJson(off.json()) === off)
   }
 
+  test("TBLPROPERTIES are durable: layout defaults inherited by every writer") {
+    val wh = tmp("tiles_spec_props_wh")
+    spark.conf.set("spark.sql.catalog.tprop",
+      classOf[graft.sources.tiles.GraftTileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tprop.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS tprop.db.t")
+    spark.sql("""CREATE TABLE tprop.db.t (k BIGINT, v STRING) USING `graft-tiles`
+                |TBLPROPERTIES ('bloom_columns'='k', 'target_tile_rows'='100',
+                |               'note'='hello')""".stripMargin)
+    val dir = s"$wh/db/t"
+    val m0 = TileFormat.readManifest(dir).get
+    assert(m0.properties.get("bloom_columns").contains("k"))
+    assert(m0.properties.get("note").contains("hello"))
+    assert(!m0.properties.contains("provider"), "engine key leaked into properties")
+
+    // a plain INSERT (no write options) inherits the declared layout:
+    // 100-row tiles, each with a bloom sidecar on k
+    spark.range(0, 250).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .coalesce(1).writeTo("tprop.db.t").append()
+    val m1 = TileFormat.readManifest(dir).get
+    assert(m1.tiles.size === 3, s"expected 100-row roll-over, got ${m1.tiles.size}")
+    assert(m1.tiles.forall(_.bloomCols == Seq("k")),
+      "bloom sidecars not inherited from TBLPROPERTIES")
+    assert(m1.properties === m0.properties, "data commit dropped properties")
+
+    // SHOW / SET / UNSET round-trip
+    val shown = spark.sql("SHOW TBLPROPERTIES tprop.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("note").contains("hello"), shown.toString)
+    spark.sql("ALTER TABLE tprop.db.t SET TBLPROPERTIES ('target_tile_rows'='1000')")
+    spark.sql("ALTER TABLE tprop.db.t UNSET TBLPROPERTIES ('note')")
+    val m2 = TileFormat.readManifest(dir).get
+    assert(m2.properties.get("target_tile_rows").contains("1000"))
+    assert(!m2.properties.contains("note"))
+
+    // a write OPTION still overrides the table default for that write
+    spark.range(250, 500).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .coalesce(1).write.format(Fmt).mode("append")
+      .option("target_tile_rows", "50").save(dir)
+    val m3 = TileFormat.readManifest(dir).get
+    assert(m3.tiles.size === 3 + 5, s"option override ignored: ${m3.tiles.size}")
+    assert(spark.sql("SELECT count(*) FROM tprop.db.t").head.getLong(0) === 500L)
+    spark.sql("DROP TABLE tprop.db.t")
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at-or-before the instant") {
     import spark.implicits._
     val wh = tmp("tiles_spec_tsasof_wh")
@@ -1620,6 +1665,20 @@ class TilesSpec extends SparkSpec {
     before.tiles.foreach(t => assert(removed.contains(t.file),
       s"pre-rewrite tile ${t.file} not reclaimed"))
     assert(box() === preAnswer)
+
+    // the Hilbert curve variant: same answer, box still prunes
+    val repH = graft.sources.tiles.GraftTileMaintenance.optimizeZOrder(
+      spark, dir, "l_partkey", "l_suppkey", bits = 16, targetRows = 500L,
+      curve = "hilbert")
+    assert(repH.rows === rep.rows)
+    assert(box() === preAnswer)
+    val hilbertOpened = opened(() => box())
+    assert(hilbertOpened * 2 <= TileFormat.readManifest(dir).get.tiles.size.toLong,
+      s"hilbert clustering pruned too little: $hilbertOpened")
+    intercept[IllegalArgumentException] {
+      graft.sources.tiles.GraftTileMaintenance.optimizeZOrder(
+        spark, dir, "l_partkey", "l_suppkey", curve = "peano")
+    }
   }
 
   test("manifest column stats reach CBO: a join's build side flips with stats on vs off") {
