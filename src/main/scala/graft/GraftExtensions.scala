@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GraftContainsAny, GraftDot, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftVocabHits, MinHashAgg, TopKAgg}
+import graft.functions.{DecSumAgg, GraftContainsAny, GraftDot, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftSqDistDec, GraftVocabHits, MinHashAgg, PercentileAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -56,6 +56,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       TopKAgg.builder))
+    // r14 native exact aggregates (bit-identical to the builtin decimal-sum
+    // / percentile chains — NativeAggEqualitySpec)
+    e.injectFunction((
+      FunctionIdentifier("graft_dec_sum"),
+      new ExpressionInfo(classOf[DecSumAgg].getName, "graft_dec_sum"),
+      DecSumAgg.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_percentile"),
+      new ExpressionInfo(classOf[PercentileAgg].getName, "graft_percentile"),
+      PercentileAgg.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_sqdist_dec"),
+      new ExpressionInfo(classOf[GraftSqDistDec].getName, "graft_sqdist_dec"),
+      GraftSqDistDec.builder))
     e.injectFunction((
       FunctionIdentifier("graft_contains_any"),
       new ExpressionInfo(classOf[GraftContainsAny].getName, "graft_contains_any"),

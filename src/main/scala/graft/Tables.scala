@@ -12,6 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown into the scan, which is the scale-critical property (SURVEY §4).
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Every registry query's first touch point: make the native exact
+  // aggregates (graft_dec_sum / graft_percentile / graft_sqdist_dec)
+  // resolvable in this session before any Ops helper builds a call to
+  // them. Idempotent, registry-only — no plan or data effect.
+  graft.functions.GraftNativeAggs.register(spark)
+
   // Memoized: repeated accessor calls must return the SAME DataFrame
   // instance, so `t.customer("c_custkey")` resolves against the exact plan
   // used in a join (fresh reads get fresh expr IDs, which semi/anti joins

@@ -165,7 +165,8 @@ object CoreQueries {
       dsum(x).as("s1"),
       dsumWide(x * x).as("s2"),
       min(x).as("min_v"), max(x).as("max_v"),
-      percentile(x, array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      call_function("graft_percentile", x,
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
       .select(col("n"),
         round(col("s1") / col("n"), 4).as("mean_v"),
         round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
@@ -182,7 +183,8 @@ object CoreQueries {
   private val a10Percentiles: Q = (s, dir) => {
     val x = col("l_extendedprice")
     Tables(s, dir).lineitem.agg(
-      percentile(x, array(Seq(0.25, 0.5, 0.75, 0.95, 0.99).map(lit): _*)).as("qs"))
+      call_function("graft_percentile", x,
+        array(Seq(0.25, 0.5, 0.75, 0.95, 0.99).map(lit): _*)).as("qs"))
       .select(
         round(col("qs").getItem(0), 4).as("p25"),
         round(col("qs").getItem(1), 4).as("p50"),
@@ -198,7 +200,8 @@ object CoreQueries {
   private val a10PercentilesGrouped: Q = (s, dir) => {
     val x = col("l_extendedprice")
     Tables(s, dir).lineitem.groupBy(col("l_returnflag"))
-      .agg(percentile(x, array(Seq(0.5, 0.9, 0.99).map(lit): _*)).as("qs"))
+      .agg(call_function("graft_percentile", x,
+        array(Seq(0.5, 0.9, 0.99).map(lit): _*)).as("qs"))
       .select(col("l_returnflag"),
         round(col("qs").getItem(0), 4).as("p50"),
         round(col("qs").getItem(1), 4).as("p90"),
@@ -220,7 +223,7 @@ object CoreQueries {
     val eps = 0.005
     Tables(s, dir).lineitem.agg(
       percentile_approx(x, array(lit(0.5), lit(0.95)), lit(10000)).as("qa"),
-      percentile(x, array(lit(0.5), lit(0.95))).as("qe"))
+      call_function("graft_percentile", x, array(lit(0.5), lit(0.95))).as("qe"))
       .select(
         round(col("qe").getItem(0), 4).as("p50_exact"),
         round(col("qe").getItem(1), 4).as("p95_exact"),

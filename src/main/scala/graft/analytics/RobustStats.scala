@@ -42,11 +42,12 @@ object RobustStats {
     * runtime error, and the oracle carries the identical CASE.) */
   def zscoreOutliers(df: DataFrame, groupCol: String, valCol: String,
                      zThresh: Double): DataFrame = {
+    graft.functions.GraftNativeAggs.register(df.sparkSession)
     val x = col(valCol)
     val st = df.groupBy(groupCol).agg(
         count(lit(1)).as("n"),
-        sum(x.cast(DecimalType(18, 2))).cast(DoubleType).as("s"),
-        sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("ss"))
+        call_function("graft_dec_sum", x, lit(18), lit(2)).cast(DoubleType).as("s"),
+        call_function("graft_dec_sum", x * x, lit(30), lit(6)).cast(DoubleType).as("ss"))
       .select(col(groupCol), col("n"),
         (col("s") / col("n")).as("mean"),
         // clamp the cancellation form at 0: a constant group can land an
@@ -85,6 +86,7 @@ object RobustStats {
     * through DECIMAL so the mean is row-order independent. */
   def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
                      pLo: Double, pHi: Double): DataFrame = {
+    graft.functions.GraftNativeAggs.register(df.sparkSession)
     val x = col(valCol)
     val bounds = df.groupBy(groupCol).agg(
       round(pct(x, pLo), 6).as("lo"),
@@ -100,7 +102,7 @@ object RobustStats {
         sum(col("is_hi")).as("n_clipped_high"),
         round(any_value(col("lo")), 4).as("p_lo"),
         round(any_value(col("hi")), 4).as("p_hi"),
-        round(sum(col("clipped").cast(DecimalType(18, 6))).cast(DoubleType)
+        round(call_function("graft_dec_sum", col("clipped"), lit(18), lit(6)).cast(DoubleType)
           / count(lit(1)), 4).as("winsorized_mean"))
   }
 
@@ -155,19 +157,21 @@ object RobustStats {
     * engines run downstream starts from identical inputs;
     * `corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)(n·Σy²−Σy²))`, rounded. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    graft.functions.GraftNativeAggs.register(df.sparkSession)
     require(cols.size >= 2, "need at least two columns")
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (cols(i), cols(j))
     val moments =
       Seq(count(lit(1)).as("n")) ++
         cols.flatMap { c =>
-          Seq(sum(col(c).cast(DecimalType(24, 6))).cast(DoubleType).as(s"s_$c"),
-            sum((col(c) * col(c)).cast(DecimalType(30, 6))).cast(DoubleType)
-              .as(s"ss_$c"))
+          Seq(call_function("graft_dec_sum", col(c), lit(24), lit(6))
+            .cast(DoubleType).as(s"s_$c"),
+            call_function("graft_dec_sum", col(c) * col(c), lit(30), lit(6))
+              .cast(DoubleType).as(s"ss_$c"))
         } ++
         pairs.map { case (a, b) =>
-          sum((col(a) * col(b)).cast(DecimalType(30, 6))).cast(DoubleType)
-            .as(s"sp_${a}_$b")
+          call_function("graft_dec_sum", col(a) * col(b), lit(30), lit(6))
+            .cast(DoubleType).as(s"sp_${a}_$b")
         }
     val aggRow = df.agg(moments.head, moments.tail: _*)
     def corrOf(a: String, b: String) = round(
@@ -217,9 +221,10 @@ object RobustStats {
     * artifact. Degenerate designs (zero determinant) emit NULL betas. */
   def olsClosedForm(df: DataFrame, yCol: String, x1Col: String,
                     x2Col: String): DataFrame = {
+    graft.functions.GraftNativeAggs.register(df.sparkSession)
     val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(32, 8))).cast(DoubleType)
+      call_function("graft_dec_sum", c, lit(32), lit(8)).cast(DoubleType)
     val m = df.agg(
       count(lit(1)).cast(DoubleType).as("n"),
       dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
@@ -268,8 +273,10 @@ object RobustStats {
     * replay. */
   def kFoldOls(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
                foldExpr: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.GraftNativeAggs.register(df.sparkSession)
     val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
-    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(32, 8)))
+    def dsum(c: org.apache.spark.sql.Column) =
+      call_function("graft_dec_sum", c, lit(32), lit(8))
     val m = df.withColumn("fold", foldExpr)
       .groupBy("fold")
       .agg(count(lit(1)).as("n_test"),

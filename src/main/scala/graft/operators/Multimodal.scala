@@ -149,6 +149,95 @@ object Multimodal {
     }
   }
 
+  /** Seekable ImageInputStream directly over a byte array (r14, guide
+    * §1.2 step 2): `ImageIO.createImageInputStream(new
+    * ByteArrayInputStream(…))` wraps every payload in a
+    * MemoryCacheImageInputStream — an 8 KiB-block cache built for
+    * unseekable streams, pure overhead when the bytes are already in
+    * memory. Reads here are array indexing; seeks (the GIF reader's
+    * frame-table random access) are a field assignment. Identical bytes
+    * in, identical reader behavior — only the plumbing is gone. */
+  private final class ByteArrayImageInputStream(data: Array[Byte])
+    extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      if (streamPos >= data.length) -1
+      else {
+        bitOffset = 0
+        val b = data(streamPos.toInt) & 0xFF
+        streamPos += 1
+        b
+      }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (streamPos >= data.length) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, data.length - streamPos.toInt)
+        System.arraycopy(data, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = data.length.toLong
+    override def isCachedMemory: Boolean = true
+    override def isCached: Boolean = true
+  }
+
+  /** Growable, seekable ImageOutputStream over an in-memory array — the
+    * encode-side twin of [[ByteArrayImageInputStream]], replacing
+    * MemoryCacheImageOutputStream's block-cache bookkeeping with plain
+    * array writes. The produced bytes are exactly what the writer wrote
+    * (read-back and seek supported, as the ImageOutputStream contract
+    * requires). */
+  private final class ByteArrayImageOutputStream(initial: Int = 1024)
+    extends javax.imageio.stream.ImageOutputStreamImpl {
+    private var buf = new Array[Byte](math.max(initial, 64))
+    private var limit = 0
+    private def ensure(end: Int): Unit = {
+      if (end > buf.length) {
+        var cap = buf.length
+        while (cap < end) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+      if (end > limit) limit = end
+    }
+    override def write(b: Int): Unit = {
+      flushBits()
+      ensure(streamPos.toInt + 1)
+      buf(streamPos.toInt) = b.toByte
+      streamPos += 1
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      flushBits()
+      ensure(streamPos.toInt + len)
+      System.arraycopy(b, off, buf, streamPos.toInt, len)
+      streamPos += len
+    }
+    override def read(): Int = {
+      if (streamPos >= limit) -1
+      else {
+        bitOffset = 0
+        val b = buf(streamPos.toInt) & 0xFF
+        streamPos += 1
+        b
+      }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (streamPos >= limit) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, limit - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = limit.toLong
+    override def isCachedMemory: Boolean = true
+    override def isCached: Boolean = true
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, limit)
+  }
+
   /** ===== REAL DECODE KERNEL, VIDEO (r11 — VERDICT r10 missing-item 1) =====
     * Multi-frame decode over the JDK's animated-GIF reader — the one
     * moving-picture container `javax.imageio` genuinely demuxes
@@ -182,8 +271,7 @@ object Multimodal {
     override def close(): Unit = if (reader != null) { reader.dispose(); reader = null }
     def decode(mediaType: String, content: Array[Byte]): Array[Double] = {
       if (reader == null) open() // standalone (non-mapPartitions) use
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(content))
+      val iis = new ByteArrayImageInputStream(content)
       try {
         reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
         val n = reader.getNumImages(/*allowSearch=*/ true)
@@ -196,15 +284,47 @@ object Multimodal {
           val img = reader.read(f)
           val (w, h) = (img.getWidth, img.getHeight)
           if (k == 0) { out(1) = w.toDouble; out(2) = h.toDouble }
+          // `getRGB(x, y) & 0xFF` on an indexed image is palette-blue of
+          // the sample: sum palette-blue over the raw raster bytes instead
+          // of paying a per-pixel ColorModel conversion (bit-identical;
+          // r14, guide §1.2 step 2). Unexpected layouts take the original
+          // per-pixel path.
           var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              sum += img.getRGB(x, y) & 0xFF // gray: r = g = b
-              x += 1
-            }
-            y += 1
+          val cm = img.getColorModel
+          val sm = img.getSampleModel
+          (cm, sm) match {
+            case (icm: java.awt.image.IndexColorModel,
+                  csm: java.awt.image.ComponentSampleModel)
+                if csm.getNumBands == 1 && csm.getPixelStride == 1 &&
+                  img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] =>
+              val blues = new Array[Byte](icm.getMapSize)
+              icm.getBlues(blues)
+              val data = img.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferByte].getData
+              val stride = csm.getScanlineStride
+              val base = csm.getOffset(
+                -img.getRaster.getSampleModelTranslateX,
+                -img.getRaster.getSampleModelTranslateY)
+              var y = 0
+              while (y < h) {
+                var off = base + y * stride
+                var x = 0
+                while (x < w) {
+                  sum += blues(data(off) & 0xFF) & 0xFF
+                  off += 1; x += 1
+                }
+                y += 1
+              }
+            case _ =>
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += img.getRGB(x, y) & 0xFF // gray: r = g = b
+                  x += 1
+                }
+                y += 1
+              }
           }
           out(3 + k) = math.round(sum.toDouble / (w.toLong * h) * 10000.0) / 10000.0
           k += 1
@@ -279,8 +399,7 @@ object Multimodal {
       val w = (8 + mediaId % 5).toInt
       val h = (4 + mediaId % 3).toInt
       val n = (3 + mediaId % 4).toInt
-      val out = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val ios = new ByteArrayImageOutputStream(256)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
@@ -289,15 +408,38 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
           val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0,
-                ((x * 3 + y * 5 + mediaId * 7 + f * 11) % 256).toInt)
-              x += 1
-            }
-            y += 1
+          // TYPE_BYTE_INDEXED backs a single-band byte raster: fill the
+          // data buffer directly instead of a per-pixel setSample call
+          // (identical samples; r14). Unexpected layouts keep the old path.
+          raster.getDataBuffer match {
+            case db: java.awt.image.DataBufferByte
+                if raster.getSampleModel.isInstanceOf[java.awt.image.ComponentSampleModel] &&
+                  raster.getSampleModel.getNumBands == 1 =>
+              val csm = raster.getSampleModel
+                .asInstanceOf[java.awt.image.ComponentSampleModel]
+              val data = db.getData
+              val stride = csm.getScanlineStride
+              var y = 0
+              while (y < h) {
+                var off = y * stride
+                var x = 0
+                while (x < w) {
+                  data(off) = ((x * 3 + y * 5 + mediaId * 7 + f * 11) % 256).toByte
+                  off += 1; x += 1
+                }
+                y += 1
+              }
+            case _ =>
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0,
+                    ((x * 3 + y * 5 + mediaId * 7 + f * 11) % 256).toInt)
+                  x += 1
+                }
+                y += 1
+              }
           }
           writer.writeToSequence(
             new javax.imageio.IIOImage(img, null, frameMetadata(img)), null)
@@ -308,7 +450,7 @@ object Multimodal {
         writer.reset()
         ios.close()
       }
-      out.toByteArray
+      ios.toByteArray
     }
 
     def close(): Unit = writer.dispose()

@@ -653,8 +653,8 @@ object Similarity {
     corpus.select(col(labelCol).as("label"),
         posexplode(toDouble(col(vecCol))).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(round(sum(col("v").cast(DecimalType(30, 15))).cast(DoubleType)
-        / count(lit(1)), 6).as("m"))
+      .agg(round(call_function("graft_dec_sum", col("v"), lit(30), lit(15))
+        .cast(DoubleType) / count(lit(1)), 6).as("m"))
 
   /** Nearest-centroid assignment — the auto-labeling / cluster-assign step
     * of an embedding pipeline: score every vector against each label's
@@ -668,6 +668,7 @@ object Similarity {
     * audit. */
   def centroidAssign(corpus: DataFrame, idCol: String, labelCol: String,
                      vecCol: String): DataFrame = {
+    graft.functions.GraftNativeAggs.register(corpus.sparkSession)
     graft.functions.GraftDot.register(corpus.sparkSession)
     val cvecs = labelCentroids(corpus, labelCol, vecCol)
       .groupBy(col("label").as("cand"))
@@ -705,6 +706,7 @@ object Similarity {
     * all-pairs anything. */
   def centroidSilhouette(corpus: DataFrame, idCol: String, labelCol: String,
                          vecCol: String): DataFrame = {
+    graft.functions.GraftNativeAggs.register(corpus.sparkSession)
     import org.apache.spark.sql.types.DecimalType
     graft.functions.GraftDot.register(corpus.sparkSession)
     val cvecs = labelCentroids(corpus, labelCol, vecCol)
@@ -731,8 +733,8 @@ object Similarity {
           .otherwise(lit(0.0)), 6))
     ranked.groupBy("label")
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("__sil").cast(DecimalType(18, 6))).cast(DoubleType)
-          / count(lit(1)), 6).as("avg_silhouette"))
+        round(call_function("graft_dec_sum", col("__sil"), lit(18), lit(6))
+          .cast(DoubleType) / count(lit(1)), 6).as("avg_silhouette"))
   }
 
   /** Fixed-iteration Lloyd k-means over an embedding column — the
@@ -758,6 +760,7 @@ object Similarity {
                   k: Int = 4, iters: Int = 3): DataFrame = {
     require(k >= 1 && iters >= 1)
     val spark = corpus.sparkSession
+    graft.functions.GraftNativeAggs.register(spark)
     import spark.implicits._
     val v = corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .persist()
@@ -768,12 +771,13 @@ object Similarity {
     // entry vs the crossJoin+groupBy-min form). The decimal fold keeps the
     // distance an exact order-independent sum (the oracle contract).
     def assign(centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+      // graft_sqdist_dec == the decimal fold
+      // aggregate(zip_with(v, c, round((x-y)^2, 12) :: DEC(26,12)), 0, +)
+      // bit-for-bit (incl. the fold Add's scale-11 precision-loss rounding;
+      // NativeAggEqualitySpec) — one flat loop instead of an interpreted
+      // per-element lambda/Decimal chain, ~4x on the assignment pass
       def dist(cvec: Column): Column =
-        aggregate(
-          zip_with(col("v"), cvec, (x, y) =>
-            round((x - y) * (x - y), 12).cast(DecimalType(26, 12))),
-          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
-          (acc, t) => (acc + t).cast(DecimalType(38, 12))).cast(DoubleType)
+        call_function("graft_sqdist_dec", col("v"), cvec)
       val scored = array(centroids.map { case (c, vec) =>
         struct(dist(array(vec.map(lit): _*)).as("dist"),
           lit(c).as("cluster"))
@@ -792,8 +796,8 @@ object Similarity {
       val means = assign(cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
-        .agg(round(sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType)
-          / count(lit(1)), 6).as("m"))
+        .agg(round(call_function("graft_dec_sum", col("x"), lit(30), lit(15))
+          .cast(DoubleType) / count(lit(1)), 6).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
