@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DecSumAgg, GraftContainsAny, GraftDot, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftSqDistDec, GraftVocabHits, MinHashAgg, PercentileAgg, TopKAgg}
+import graft.functions.{DecSumAgg, GraftContainsAny, GraftDot, GraftPqCode, GraftPqEncode, GraftPqTable, GraftJaroWinkler, GraftPqAdc, GraftRollingHash, GraftShingles, GraftSimHash, GraftSqDistDec, GraftVocabHits, MinHashAgg, PercentileAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * functions at session build time, so a deployment can enable the whole
@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_percentile"),
       new ExpressionInfo(classOf[PercentileAgg].getName, "graft_percentile"),
       PercentileAgg.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[GraftPqEncode].getName, "graft_pq_encode"),
+      GraftPqCode.encodeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_table"),
+      new ExpressionInfo(classOf[GraftPqTable].getName, "graft_pq_table"),
+      GraftPqCode.tableBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_sqdist_dec"),
       new ExpressionInfo(classOf[GraftSqDistDec].getName, "graft_sqdist_dec"),

@@ -461,6 +461,17 @@ object Multimodal {
   def syntheticGifMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      // The encode is pure per-row CPU, but the documents table arrives as
+      // ONE scan split at bench scale — measured 3.0 s of single-threaded
+      // LZW on a 32-core session (r14, guide §2.5 input skew). Spread the
+      // ids across the session's parallelism before the opaque
+      // mapPartitions. RANGE partitioning on the id, not repartition(n):
+      // round-robin distributes by position, which the repo's retry-safety
+      // census rejects (PlanSpec); range on a key is deterministic under
+      // retries and stays balanced on sequential ids where pmod-hash would
+      // leave buckets empty. At cluster scale this is exactly how a
+      // production featurizer spreads codec CPU.
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         // one encode context per partition (the open/close contract the
         // decode side already follows); closed when the iterator drains
@@ -510,7 +521,12 @@ object Multimodal {
     * document id, encoded executor-side (no shuffle, no collect). */
   def syntheticWavMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables(spark, dir).documents.select(col("doc_id")).as[Long].map { id =>
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      // same single-scan-split fix as syntheticGifMedia (r14): spread the
+      // per-row codec CPU across the session's cores (range on the id —
+      // retry-deterministic, balanced on sequential ids)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .map { id =>
       val n = (800 + id % 40 * 25).toInt
       MediaRecord(id, "audio/wav", syntheticWav(id), n, 1, n)
     }
@@ -548,7 +564,12 @@ object Multimodal {
     * no collect — generation scales like any projection). */
   def syntheticPngMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables(spark, dir).documents.select(col("doc_id")).as[Long].map { id =>
+    Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      // same single-scan-split fix as syntheticGifMedia (r14): spread the
+      // per-row codec CPU across the session's cores (range on the id —
+      // retry-deterministic, balanced on sequential ids)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .map { id =>
       val png = syntheticPng(id)
       MediaRecord(id, "image/png", png,
         (8 + id % 9).toInt, (6 + id % 7).toInt, 1)
@@ -693,8 +714,14 @@ object Multimodal {
     * every emitted column is the generator's closed form and the oracle
     * re-derives it — the video path joins PNG/WAV as hash-green. */
   private val videoQ: Q = (s, dir) =>
+    // localCheckpoint before the global sort: orderBy's range-partitioner
+    // SAMPLES its input first, and with the opaque encode+decode pipeline
+    // underneath, that sampling pass re-ran the entire GIF round trip a
+    // second time (measured ~2x the entry, r14). The features frame is
+    // rows x ~10 doubles — snapshot it once, sort the snapshot.
     decodeFeatures(syntheticGifMedia(s, dir), new GifFrameDecoder(every = 2))
       .toDF()
+      .localCheckpoint(true)
       .select(col("media_id"),
         element_at(col("feature"), 1).cast(IntegerType).as("n_frames"),
         element_at(col("feature"), 2).cast(IntegerType).as("width"),

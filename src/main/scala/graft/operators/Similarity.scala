@@ -887,10 +887,9 @@ object Similarity {
 
   // ------------------------------------------------- product quantization
 
-  /** Squared L2 distance of two double arrays (sequential fold). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  // (the former private `l2sq` HOF helper is retired: every PQ site now
+  // runs the native graft_pq_encode / graft_pq_table kernels, which fold
+  // the identical (x-y)^2 sequence in a flat loop — r14)
 
   /** PQ codebook training (Jégou et al., TPAMI 2011): split each UNIT-
     * NORMALIZED vector into `m` subvectors and run Lloyd k-means per
@@ -1039,18 +1038,16 @@ object Similarity {
               codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    require(sub > 0, s"pqIndex: degenerate codebooks (m=$m)")
     graft.functions.GraftDot.register(corpus.sparkSession)
+    graft.functions.GraftPqCode.register(corpus.sparkSession)
     val cb = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     corpus
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
       .withColumn("__n", expr("nullif(sqrt(graft_dot(__v, __v)), 0d)"))
       .withColumn("__nv", transform(col("__v"), x => x / col("__n")))
       .select(col("neighbor_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
-            ctr => l2sq(slice(col("__nv"), s * lit(sub) + lit(1), lit(sub)), ctr))
-          (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
-        }).as("codes"))
+        call_function("graft_pq_encode", col("__nv"), cb).as("codes"))
   }
 
   /** PQ-ADC top-k with exact refine — the IndexPQ search shape: the query
@@ -1086,6 +1083,7 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.functions.GraftDot.register(spark)
     graft.functions.GraftPqAdc.register(spark)
+    graft.functions.GraftPqCode.register(spark)
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val cb = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
@@ -1093,9 +1091,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
       .withColumn("qnv", transform(col("qv"), x => x / col("qn")))
-      .withColumn("qtab", transform(sequence(lit(0), lit(m - 1)), s =>
-        transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
-          ctr => l2sq(slice(col("qnv"), s * lit(sub) + lit(1), lit(sub)), ctr))))
+      .withColumn("qtab", call_function("graft_pq_table", col("qnv"), cb))
     // ADC scan: only (query_id, neighbor_id, sim) leaves the scan, and the
     // scan side carries codes, not vectors
     val adc = index
@@ -1140,6 +1136,7 @@ object Similarity {
     import spark.implicits._
     graft.functions.GraftDot.register(spark)
     graft.functions.GraftPqAdc.register(spark)
+    graft.functions.GraftPqCode.register(spark)
     val (ivf, centers) =
       ivfIndex(corpus, idCol, vecCol, nCentroids, fitSampleRows = fitSampleRows)
     val codebooks = pqCodebooks(corpus, idCol, vecCol, m, nCodes,
@@ -1151,11 +1148,7 @@ object Similarity {
     val index = ivf
       .withColumn("__nv", transform(col("cv"), x => x / col("cn")))
       .select(col("bucket"), col("neighbor_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
-            ctr => l2sq(slice(col("__nv"), s * lit(sub) + lit(1), lit(sub)), ctr))
-          (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
-        }).as("codes"))
+        call_function("graft_pq_encode", col("__nv"), cb).as("codes"))
     // driver-side probe assignment — same contract as cosineTopKIvfIncremental
     val qRows = queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")).collect()
@@ -1172,9 +1165,7 @@ object Similarity {
       .toSeq.toDF("query_id", "qv")
       .withColumn("qn", expr("nullif(sqrt(graft_dot(qv, qv)), 0d)"))
       .withColumn("qnv", transform(col("qv"), x => x / col("qn")))
-      .withColumn("qtab", transform(sequence(lit(0), lit(m - 1)), s =>
-        transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
-          ctr => l2sq(slice(col("qnv"), s * lit(sub) + lit(1), lit(sub)), ctr))))
+      .withColumn("qtab", call_function("graft_pq_table", col("qnv"), cb))
     val adc = index
       .join(broadcast(probes), Seq("bucket"))
       .join(broadcast(q.select(col("query_id"), col("qtab"))), Seq("query_id"))
@@ -1230,6 +1221,7 @@ object Similarity {
     import spark.implicits._
     graft.functions.GraftDot.register(spark)
     graft.functions.GraftPqAdc.register(spark)
+    graft.functions.GraftPqCode.register(spark)
     val (ivf, centers) =
       ivfIndex(corpus, idCol, vecCol, nCentroids, fitSampleRows = fitSampleRows)
     val codebooks = pqCodebooksResidualFor(corpus, idCol, vecCol, centers,
@@ -1249,11 +1241,7 @@ object Similarity {
         element_at(cnl, (col("bucket") + lit(1)).cast(IntegerType)),
         (a, b) => a - b))
       .select(col("bucket"), col("neighbor_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
-            ctr => l2sq(slice(col("__rv"), s * lit(sub) + lit(1), lit(sub)), ctr))
-          (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
-        }).as("codes"))
+        call_function("graft_pq_encode", col("__rv"), cb).as("codes"))
     // driver-side probe assignment (raw-space, the ivfIndex rule)
     val qRows = queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")).collect()
@@ -1277,10 +1265,7 @@ object Similarity {
         element_at(cnl, (col("bucket") + lit(1)).cast(IntegerType)),
         (a, b) => a - b))
       .select(col("query_id"), col("bucket"),
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
-            ctr => l2sq(slice(col("__qr"), s * lit(sub) + lit(1), lit(sub)), ctr)))
-          .as("qtab"))
+        call_function("graft_pq_table", col("__qr"), cb).as("qtab"))
     val adc = index
       .join(broadcast(probeTabs), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -15,6 +15,7 @@ class NativeAggEqualitySpec extends SparkSpec {
   DecSumAgg.register(spark)
   PercentileAgg.register(spark)
   GraftSqDistDec.register(spark)
+  GraftPqCode.register(spark)
 
   private val rnd = new scala.util.Random(42)
 
@@ -188,6 +189,62 @@ class NativeAggEqualitySpec extends SparkSpec {
     val nat = df.select(call_function("graft_sqdist_dec", col("a"), col("b")).as("d"))
       .collect()
     hof.zip(nat).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  // the composed HOF chain the PQ sites used before the native kernels
+  private def hofCodes(cbS: Seq[Seq[Seq[Double]]], vcol: org.apache.spark.sql.Column) = {
+    val m = cbS.length; val sub = cbS.head.head.length
+    val cb = typedLit(cbS)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val dists = transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+        ctr => aggregate(
+          zip_with(slice(vcol, s * lit(sub) + lit(1), lit(sub)), ctr,
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t))
+      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+    })
+  }
+  private def hofTable(cbS: Seq[Seq[Seq[Double]]], vcol: org.apache.spark.sql.Column) = {
+    val m = cbS.length; val sub = cbS.head.head.length
+    val cb = typedLit(cbS)
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cb, (s + lit(1)).cast(IntegerType)),
+        ctr => aggregate(
+          zip_with(slice(vcol, s * lit(sub) + lit(1), lit(sub)), ctr,
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)))
+  }
+
+  test("graft_pq_encode / graft_pq_table equal the composed HOF chain") {
+    val m = 4; val sub = 4; val nCodes = 7
+    val cbS: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      (0 until nCodes).map { c =>
+        (0 until sub).map(i => rnd.nextGaussian() + (if (c == 3) 0.0 else c * 0.1))
+      }
+    }
+    // include exact-tie codebooks rows (codes 3 and 5 identical in subspace 0)
+    val cbTie = cbS.updated(0, cbS(0).updated(5, cbS(0)(3)))
+    for (book <- Seq(cbS, cbTie)) {
+      val vecs = (0 until 300).map { _ =>
+        (0 until m * sub).map(_ => rnd.nextGaussian(): java.lang.Double)
+      }
+      val df = vecs.toDF("v")
+      val cbLit = typedLit(book)
+      val hof = df.select(hofCodes(book, col("v")).as("c"),
+        hofTable(book, col("v")).as("t")).collect()
+      val nat = df.select(
+        call_function("graft_pq_encode", col("v"), cbLit).as("c"),
+        call_function("graft_pq_table", col("v"), cbLit).as("t")).collect()
+      hof.zip(nat).foreach { case (x, y) =>
+        assert(x.getSeq[Int](0) == y.getSeq[Int](0), s"codes: $x vs $y")
+        assert(x.getSeq[Seq[Double]](1) == y.getSeq[Seq[Double]](1), s"table: $x vs $y")
+      }
+    }
+    // null vector → null both ways
+    val dfn = Seq[Seq[java.lang.Double]](null).toDF("v")
+    val natn = dfn.select(
+      call_function("graft_pq_encode", col("v"), typedLit(cbS)).as("c")).collect()
+    assert(natn.head.isNullAt(0))
   }
 
   test("graft_sqdist_dec null semantics match zip_with padding") {
